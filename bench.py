@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are consumed with a noop sink (full materialization, no
+driver collect) so the measurement is the distributed plan, not
+toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from h3ron_spark import queries as Q  # noqa: E402
+from h3ron_spark.session import get_spark  # noqa: E402
+
+# Headline benchmark queries (subset of the registry; grows per round).
+BENCH_QUERIES = [
+    "rel_pricing_summary",
+    "rel_top_revenue_orders",
+    "rel_nation_order_stats",
+    "h3_bits_accessors",
+    "h3_parent_rollup",
+    "text_document_stats",
+    "text_quality_by_source",
+    "dedup_exact",
+    "ann_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="h3ron_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = Q.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        if name not in registry:
+            continue
+        fn = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "h3ron_spark_bench_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,334 @@
+"""Bit-level H3 index functions as pure Spark Column expressions.
+
+Everything in this module compiles to JVM-side expressions inside
+whole-stage codegen — zero Python/UDF overhead, so these are safe in
+the hot path of a 100 TB scan. They mirror (capability-wise) the
+reference's index accessors:
+
+- resolution:    h3ron/src/index.rs:19-21, columnar
+                 h3ron-polars/src/algorithm/chunkedarray/resolution.rs:11-26
+- base cell:     h3ron/src/cell.rs:249-252
+- parent:        h3ron/src/cell.rs:102-113
+- center child:  h3ron/src/cell.rs:328-339
+- pentagon:      h3ron/src/cell.rs:244-247
+- validity:      h3ron/src/cell.rs:56-63 (isValidCell)
+- direction:     h3ron/src/direction.rs:22-139
+- hex parse/fmt: h3ron/src/cell.rs:342-437
+- hierarchy predicates: h3ron/src/cell.rs:87-100
+- edge accessors: h3ron/src/directed_edge.rs:89-137
+
+Bit layout of an H3 index (public Uber H3 spec):
+
+    bit  63     : reserved, always 0
+    bits 59..62 : mode (1 = cell, 2 = directed edge)
+    bits 56..58 : reserved (0) for cells; edge direction (1..6) for edges
+    bits 52..55 : resolution r in 0..15
+    bits 45..51 : base cell 0..121
+    bits 0..44  : 15 3-bit digits for res 1..15, MSB-first;
+                  digits past r are all set to 7 (0b111)
+
+Valid cell indexes have bit 63 = 0, so unsigned u64 <-> signed int64
+is lossless and order-preserving; we store cells as LongType.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- layout constants (public H3 spec) ---
+MODE_CELL = 1
+MODE_DIRECTED_EDGE = 2
+RES_OFFSET = 52
+BASE_CELL_OFFSET = 45
+MODE_OFFSET = 59
+RESERVED_OFFSET = 56
+RES_MASK = 15 << RES_OFFSET
+BASE_CELL_MASK = 127 << BASE_CELL_OFFSET
+MODE_MASK = 15 << MODE_OFFSET
+RESERVED_MASK = 7 << RESERVED_OFFSET
+DIGITS_MASK = (1 << 45) - 1
+NUM_BASE_CELLS = 122
+MAX_RES = 15
+
+# The 12 pentagon base cells (public H3 spec).
+PENTAGON_BASE_CELLS = (4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _lit_or_col(res) -> Column:
+    return F.lit(res) if isinstance(res, int) else _c(res)
+
+
+def _ones(nbits: Column) -> Column:
+    """(1 << nbits) - 1 for a *column* bit count 0..45.
+
+    PySpark's shiftleft only takes a Python int shift, so use exact
+    double pow (2^45 < 2^53, exact in IEEE double).
+    """
+    return F.pow(F.lit(2.0), nbits.cast("double")).cast("long") - F.lit(1)
+
+
+# ---------------------------------------------------------------- accessors
+
+def h3_get_resolution(cell) -> Column:
+    """Resolution 0..15 of a cell/edge index (S4/D1). Pure bit math."""
+    return F.shiftrightunsigned(_c(cell), RES_OFFSET).bitwiseAND(F.lit(15)).cast("int")
+
+
+def h3_get_base_cell(cell) -> Column:
+    """Base cell number 0..121 (S17)."""
+    return (
+        F.shiftrightunsigned(_c(cell), BASE_CELL_OFFSET)
+        .bitwiseAND(F.lit(127))
+        .cast("int")
+    )
+
+
+def h3_get_mode(cell) -> Column:
+    return F.shiftrightunsigned(_c(cell), MODE_OFFSET).bitwiseAND(F.lit(15)).cast("int")
+
+
+def h3_get_reserved(cell) -> Column:
+    return (
+        F.shiftrightunsigned(_c(cell), RESERVED_OFFSET)
+        .bitwiseAND(F.lit(7))
+        .cast("int")
+    )
+
+
+def h3_get_index_digit(cell, res) -> Column:
+    """3-bit digit (direction 0..7) of ``cell`` at resolution ``res`` (1..15).
+
+    Mirrors H3Direction extraction (h3ron/src/direction.rs:105-139):
+    ``(cell >> (3 * (15 - res))) & 7``.
+    """
+    if isinstance(res, int):
+        shift = 3 * (MAX_RES - res)
+        return F.shiftrightunsigned(_c(cell), shift).bitwiseAND(F.lit(7)).cast("int")
+    # Column resolution: variable shift via exact double pow. Mask the
+    # 3 digit bits first so the double division is exact (t <= 7*2^42
+    # < 2^53, and t is an exact multiple of the divisor).
+    nbits = (F.lit(3) * (F.lit(MAX_RES) - _lit_or_col(res))).cast("double")
+    p2 = F.pow(F.lit(2.0), nbits)
+    mask = (p2 * F.lit(7.0)).cast("long")
+    t = _c(cell).bitwiseAND(mask)
+    return (t.cast("double") / p2).cast("int")
+
+
+# ---------------------------------------------------------------- hierarchy
+
+def h3_to_parent(cell, parent_res) -> Column:
+    """Parent cell at ``parent_res`` (S6). NULL when parent_res > res(cell).
+
+    Set the res field to parent_res and fill all finer digits with 7.
+    """
+    c = _c(cell)
+    if isinstance(parent_res, int):
+        ones = F.lit((1 << (3 * (MAX_RES - parent_res))) - 1)
+        pr = F.lit(parent_res)
+    else:
+        pr = _c(parent_res)
+        ones = _ones(F.lit(3) * (F.lit(MAX_RES) - pr))
+    parent = (
+        c.bitwiseOR(ones)
+        .bitwiseAND(F.lit(~RES_MASK))
+        .bitwiseOR(F.shiftleft(pr.cast("long"), RES_OFFSET))
+    )
+    return F.when(h3_get_resolution(c) >= pr, parent)
+
+
+def h3_to_center_child(cell, child_res) -> Column:
+    """Center child at ``child_res`` (S8). NULL when child_res < res(cell).
+
+    Zero the digits between res(cell)+1 and child_res, keep the rest 7.
+    """
+    c = _c(cell)
+    res = h3_get_resolution(c)
+    cr = _lit_or_col(child_res)
+    ones_below_res = _ones(F.lit(3) * (F.lit(MAX_RES) - res))
+    ones_below_child = _ones(F.lit(3) * (F.lit(MAX_RES) - cr))
+    # Bits res+1..child_res are all ones in the input (unused digits are
+    # 7), so clearing them is an exact subtraction.
+    clear = ones_below_res - ones_below_child
+    child = (
+        (c - clear)
+        .bitwiseAND(F.lit(~RES_MASK))
+        .bitwiseOR(F.shiftleft(cr.cast("long"), RES_OFFSET))
+    )
+    return F.when(res <= cr, child)
+
+
+def h3_to_children_nextres(cell) -> Column:
+    """All children one resolution finer, as array<long> (S7, depth 1).
+
+    Pure SQL path: center child + digit d at the new res for d in 0..6;
+    pentagons skip digit 1 (the deleted K axis). Deeper descent uses the
+    vectorized numpy kernel in functions.geo.
+    """
+    c = _c(cell)
+    res = h3_get_resolution(c)
+    child_res = res + F.lit(1)
+    center = h3_to_center_child(c, child_res)
+    shift = (F.lit(3) * (F.lit(MAX_RES) - child_res)).cast("double")
+    step = F.pow(F.lit(2.0), shift).cast("long")
+    digits = F.when(h3_is_pentagon(c), F.array([F.lit(d) for d in (0, 2, 3, 4, 5, 6)])).otherwise(
+        F.array([F.lit(d) for d in range(7)])
+    )
+    return F.when(
+        res < MAX_RES,
+        F.transform(digits, lambda d: center + d.cast("long") * step),
+    )
+
+
+def h3_is_parent_of(parent, child) -> Column:
+    """True when ``parent`` is an ancestor-or-self of ``child`` (S9)."""
+    p, ch = _c(parent), _c(child)
+    return (h3_get_resolution(p) <= h3_get_resolution(ch)) & (
+        h3_to_parent(ch, h3_get_resolution(p)) == p
+    )
+
+
+def h3_is_child_of(child, parent) -> Column:
+    return h3_is_parent_of(parent, child)
+
+
+# ---------------------------------------------------------------- predicates
+
+def h3_is_pentagon(cell) -> Column:
+    """True iff the cell is one of the 12 pentagons at its resolution (S16).
+
+    A cell is a pentagon iff its base cell is a pentagon base cell and
+    every used digit is 0 (center path).
+    """
+    c = _c(cell)
+    res = h3_get_resolution(c)
+    ones_below = _ones(F.lit(3) * (F.lit(MAX_RES) - res))
+    digits_zero = c.bitwiseAND(F.lit(DIGITS_MASK)) == ones_below.bitwiseAND(
+        F.lit(DIGITS_MASK)
+    )
+    return h3_get_base_cell(c).isin(list(PENTAGON_BASE_CELLS)) & digits_zero
+
+
+def h3_is_res_class_iii(cell) -> Column:
+    """True for odd (Class III) resolutions — rotated ~19.1° vs Class II."""
+    return h3_get_resolution(_c(cell)) % 2 == 1
+
+
+# every 3rd bit over the 15 digit groups: 0b001001...001 (45 bits)
+_DIGIT_LSB_MASK = int("001" * 15, 2)
+
+
+def h3_is_valid_cell(cell) -> Column:
+    """Full cell validity predicate (S5) as a pure SQL expression.
+
+    Checks: high bit 0, mode == 1, reserved bits 0, base cell < 122,
+    used digits in 0..6, unused digits all 7, and the pentagon
+    deleted-subsequence rule (leading nonzero digit != 1 / K axis).
+    NULL input propagates NULL (the invalid->NULL contract, SURVEY §1.2).
+
+    Uses SWAR bit tricks instead of per-digit loops so the whole check
+    stays one small codegen'd expression:
+    - a digit is 7 iff all 3 bits of its group are set, detected with
+      ``x & (x>>1) & (x>>2)`` masked to group LSBs;
+    - the leading nonzero digit is 1 iff the MSB position of the used
+      digit bits is ≡ 0 (mod 3) (digit 1 = 0b001 contributes only the
+      group LSB, and any higher nonzero group would own the MSB).
+    """
+    c = _c(cell)
+    res = h3_get_resolution(c)
+    base = h3_get_base_cell(c)
+    pent = base.isin(list(PENTAGON_BASE_CELLS))
+    ones_below = _ones(F.lit(3) * (F.lit(MAX_RES) - res))
+    trailing_ok = c.bitwiseAND(ones_below) == ones_below
+
+    x = c.bitwiseAND(F.lit(DIGITS_MASK))
+    sevens = (
+        x.bitwiseAND(F.shiftrightunsigned(x, 1))
+        .bitwiseAND(F.shiftrightunsigned(x, 2))
+        .bitwiseAND(F.lit(_DIGIT_LSB_MASK))
+    )
+    used_sevens = sevens.bitwiseAND(ones_below.bitwiseXOR(F.lit(DIGITS_MASK)))
+    used_digits_ok = used_sevens == 0
+
+    # used digit bits only (unused trailing 7s cleared)
+    z = x - x.bitwiseAND(ones_below)
+    msb = F.floor(F.log2(z.cast("double"))).cast("int")
+    lead_is_k = (z != 0) & (msb % 3 == 0)
+
+    return (
+        (c >= 0)
+        & (h3_get_mode(c) == MODE_CELL)
+        & (h3_get_reserved(c) == 0)
+        & (base < NUM_BASE_CELLS)
+        & trailing_ok
+        & used_digits_ok
+        & (~pent | ~lead_is_k)
+    )
+
+
+# ---------------------------------------------------------------- edges
+
+def h3_edge_origin(edge) -> Column:
+    """Origin cell of a directed edge: clear mode+reserved back to cell."""
+    e = _c(edge)
+    return (
+        e.bitwiseAND(F.lit(~(MODE_MASK | RESERVED_MASK)))
+        .bitwiseOR(F.lit(MODE_CELL << MODE_OFFSET))
+    )
+
+
+def h3_edge_direction(edge) -> Column:
+    """Edge direction 1..6 stored in the reserved bits."""
+    return h3_get_reserved(_c(edge))
+
+
+def h3_is_valid_directed_edge(edge) -> Column:
+    e = _c(edge)
+    d = h3_edge_direction(e)
+    origin_ok = h3_is_valid_cell(h3_edge_origin(e))
+    pent_k = h3_is_pentagon(h3_edge_origin(e)) & (d == 1)
+    return (
+        (e >= 0)
+        & (h3_get_mode(e) == MODE_DIRECTED_EDGE)
+        & (d >= 1)
+        & (d <= 6)
+        & origin_ok
+        & ~pent_k
+    )
+
+
+# ---------------------------------------------------------------- strings
+
+def h3_to_string(cell) -> Column:
+    """Canonical lowercase hex form (S28); valid indexes are 15 chars."""
+    return F.lower(F.hex(_c(cell)))
+
+
+def h3_from_string(s) -> Column:
+    """Parse hex form back to a long (S28)."""
+    return F.conv(_c(s), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------- builders
+
+def h3_build_cell(base_cell, digits, res: int) -> Column:
+    """Assemble a cell index from (base_cell column, list of digit columns).
+
+    ``digits`` supplies the first len(digits) digits; remaining digits up
+    to ``res`` are 0 (center path), digits past ``res`` are 7. With a
+    non-pentagon base cell and digits in 0..6 the result is always valid.
+    Used to synthesize deterministic cell columns from integer test data
+    in a form DuckDB can replicate for the oracle.
+    """
+    if res < 0 or res > MAX_RES or len(digits) > res:
+        raise ValueError("invalid res/digits")
+    c = F.lit(MODE_CELL << MODE_OFFSET).bitwiseOR(F.lit(res << RES_OFFSET))
+    c = c.bitwiseOR(F.shiftleft(_c(base_cell).cast("long"), BASE_CELL_OFFSET))
+    for i, d in enumerate(digits, start=1):
+        c = c.bitwiseOR(F.shiftleft(_c(d).cast("long"), 3 * (MAX_RES - i)))
+    c = c.bitwiseOR(F.lit((1 << (3 * (MAX_RES - res))) - 1))
+    return c

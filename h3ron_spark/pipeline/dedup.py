@@ -1,0 +1,166 @@
+"""Deduplication operators: exact, normalized, MinHash/LSH, SimHash,
+n-gram Jaccard.
+
+Scale design (100 TB): never a cross join. Exact/normalized dedup is a
+single hash aggregation (map-side partial agg, AQE-coalesced). Near-dup
+detection first buckets candidates (LSH bands / fingerprint prefixes)
+and only compares within buckets, so the shuffle is keyed on the bucket
+id and the pair space stays linear-ish in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from h3ron_spark.pipeline.text import fingerprint, tokens
+
+# MinHash parameters shared with the oracle SQL generator.
+MINHASH_PERMS = 16
+LSH_BANDS = 4  # 4 rows/band
+
+
+def shingles(text, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (consecutive n tokens)."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)])
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def _shingle_hash(s: Column, seed: int) -> Column:
+    """Deterministic 63-bit hash of a shingle, identical in DuckDB:
+    first 15 hex chars of md5(seed || ' ' || shingle) parsed base-16."""
+    return F.conv(F.substring(F.md5(F.concat_ws(" ", F.lit(str(seed)), s)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_signature(text, num_perms: int = MINHASH_PERMS) -> Column:
+    """MinHash signature: per-permutation min over shingle hashes.
+
+    array<long> of length ``num_perms``; documents with similar shingle
+    sets collide on many coordinates (classic Broder MinHash).
+    """
+    sh = shingles(text)
+    mins = [
+        F.array_min(F.transform(sh, lambda s, k=k: _shingle_hash(s, k)))
+        for k in range(num_perms)
+    ]
+    return F.array(*mins)
+
+
+def lsh_band_keys(sig: Column, bands: int = LSH_BANDS) -> Column:
+    """Split a signature into ``bands`` band keys (md5 of the band slice).
+
+    Candidate pairs are documents sharing >=1 band key — the classic
+    banding trick; the join key is the band hash, never the full pairs.
+    """
+    rows = MINHASH_PERMS // bands
+    keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[F.element_at(sig, b * rows + r + 1).cast("string") for r in range(rows)],
+            )
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash; keeps the smallest id per group.
+
+    One hash aggregation — partial agg map-side, no Python. Returns
+    (keep_id, dup_count) per distinct content.
+    """
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    plan: signature (JVM exprs) -> explode band keys -> self-join on
+    band key -> distinct pairs. The only shuffle is on the band key;
+    identical docs share all bands, similar docs >=1.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("id"), F.explode(lsh_band_keys(minhash_signature(text_col))).alias("band")
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_similarity(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact word-shingle Jaccard between two text columns."""
+    sa = F.array_distinct(shingles(text_a, n))
+    sb = F.array_distinct(shingles(text_b, n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    return F.round(inter.cast("double") / union, 4)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """LSH candidates refined by exact shingle Jaccard >= threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col)
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    pairs = (
+        cands.join(docs.withColumnsRenamed({"id": "id_a", "txt": "txt_a"}), "id_a")
+        .join(docs.withColumnsRenamed({"id": "id_b", "txt": "txt_b"}), "id_b")
+        .withColumn("jaccard", jaccard_similarity(F.col("txt_a"), F.col("txt_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def simhash(text, bits: int = 32) -> Column:
+    """SimHash fingerprint over word shingles (bit-majority of hashes).
+
+    Per-bit majority vote across shingle hashes, folded into a single
+    long. Hamming-close simhashes => similar documents.
+    """
+    sh = shingles(text)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        votes = F.size(
+            F.filter(
+                sh,
+                lambda s, b=b: F.shiftrightunsigned(_shingle_hash(s, 9999), b)
+                .bitwiseAND(F.lit(1))
+                == 1,
+            )
+        )
+        bit = (votes * 2 > F.size(sh)).cast("long")
+        acc = acc.bitwiseOR(F.shiftleft(bit, b))
+    return acc
+
+
+def dedup_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialized dedup: keep the lowest-id row per exact content."""
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with a broadcast query set (the
+100 TB-safe shape: the corpus scan is a single pass, queries are
+broadcast, the only shuffle is the per-query top-k aggregation).
+Scale path: LSH bucketing via random hyperplanes (SimHash for vectors)
+so candidate generation is a bucket equi-join instead of a full scan
+per query.
+
+All dot products run as JVM higher-order functions (zip_with +
+aggregate) — no Python in the scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query over the corpus.
+
+    ``queries`` is expected to be small — it is broadcast so the plan
+    is BroadcastNestedLoopJoin over one corpus scan; the row_number
+    window shuffles only (query, corpus) pairs, i.e. |Q| * |corpus|.
+    For large |Q| use :func:`lsh_topk`.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python, no
+    numpy state) — same constants on driver and in oracle generation."""
+    out = []
+    x = seed
+    for _ in range(planes):
+        v = []
+        for _ in range(dim):
+            # xorshift64*
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+            v.append(((x % 2000001) / 1000000.0) - 1.0)
+        n = math.sqrt(sum(t * t for t in v)) or 1.0
+        out.append([t / n for t in v])
+    return out
+
+
+def lsh_bucket(vec, dim: int, planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (int in [0, 2^planes))."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    hps = _hyperplanes(dim, planes, seed)
+    acc = F.lit(0)
+    for i, h in enumerate(hps):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(t) for t in h]), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc.bitwiseOR(F.shiftleft((proj > 0).cast("int"), i))
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket, then exact cosine +
+    window top-k inside the bucket. The join key is the bucket id, so
+    this scales to large query sets (no nested-loop)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(vec_col, dim, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(vec_col, dim, planes).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

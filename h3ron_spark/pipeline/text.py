@@ -1,0 +1,104 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+Everything here is a pure Spark SQL expression (whole-stage codegen,
+no Python in the hot path) so a 100 TB documents scan stays JVM-side
+with full predicate pushdown. Each has an exact ANSI-SQL twin used as
+the DuckDB oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword list shared with the oracle SQL.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Marker words for the n-gram/stopword language-ID heuristic. The
+# synthetic corpus is English-ish; real corpora would extend this map.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "fr": ("le", "la", "et", "de"),
+    "es": ("el", "la", "y", "de"),
+    "de": ("der", "die", "und", "von"),
+}
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def char_per_token(text) -> Column:
+    """Mean token length (characters per token)."""
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.round(total.cast("double") / F.size(t), 4)
+
+
+def stopword_ratio(text) -> Column:
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: x.isin(list(STOPWORDS))))
+    return F.round(hits.cast("double") / F.size(t), 4)
+
+
+def distinct_token_ratio(text) -> Column:
+    """Lexical diversity: distinct tokens / tokens (low => repetitive)."""
+    t = tokens(text)
+    return F.round(F.size(F.array_distinct(t)).cast("double") / F.size(t), 4)
+
+
+def quality_score(text) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + diversity -
+    stopword saturation. Mirrors the shape of C4/Gopher-style filters.
+    """
+    n = token_count(text)
+    len_band = F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = (
+        len_band * F.lit(0.4)
+        + distinct_token_ratio(text) * F.lit(0.4)
+        + (F.lit(1.0) - stopword_ratio(text)) * F.lit(0.2)
+    )
+    return F.round(score, 4)
+
+
+def fingerprint(text) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    (md5 is available and bit-identical in both Spark and DuckDB, which
+    makes the oracle exact; a rolling/Karp-Rabin hash would not be.)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def lang_guess(text) -> Column:
+    """Stopword-marker language ID heuristic; 'und' when nothing matches."""
+    t = tokens(text)
+    out = F.lit("und")
+    best = F.lit(0)
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(t, lambda x: x.isin(list(markers))))
+        out = F.when(hits > best, F.lit(lang)).otherwise(out)
+        best = F.when(hits > best, hits).otherwise(best)
+    return out
+
+
+def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document stats column set."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("chars_per_token", char_per_token(text_col))
+        .withColumn("stopword_ratio", stopword_ratio(text_col))
+        .withColumn("distinct_ratio", distinct_token_ratio(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+        .withColumn("lang_guess", lang_guess(text_col))
+    )

@@ -1,0 +1,516 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, an
+exact DuckDB oracle string over the same parquet tables.
+
+This module is the single source of truth consumed by
+``__spark_entry__.py`` (driver correctness gate) and ``bench.py``.
+
+Conventions:
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates are rounded (2/4/6 dp) on BOTH sides;
+- LIMIT/top-k queries carry fully deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from h3ron_spark.functions import bits as B
+from h3ron_spark.pipeline import dedup as DD
+from h3ron_spark.pipeline import similarity as SIM
+from h3ron_spark.pipeline import text as TX
+from h3ron_spark.testdata import load
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, dict] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn):
+        REGISTRY[name] = {"fn": fn, "oracle": oracle}
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Relational core (scan/filter/agg/join/window/top-k) — SURVEY §2.7
+# =====================================================================
+
+@register(
+    "rel_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                            AS sum_qty,
+           round(sum(l_extendedprice), 2)                       AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+           round(avg(l_quantity), 4)                            AS avg_qty,
+           round(avg(l_discount), 4)                            AS avg_disc,
+           count(*)                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one scan, partial+final hash agg; at 100 TB this
+    is shuffle-light (9 groups) and the shipdate filter pushes to parquet."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def rel_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is the small dim — broadcast it so the
+    only shuffle is the orderkey aggregation; deterministic top-k."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "rel_customer_order_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             round(o_totalprice, 2) AS totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def rel_customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-N per key — one shuffle on the partition key."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "rel_nation_order_stats",
+    oracle="""
+    SELECT n.n_name,
+           count(*)                          AS n_orders,
+           round(sum(o.o_totalprice), 2)     AS total_value,
+           round(min(o.o_totalprice), 2)     AS min_value,
+           round(max(o.o_totalprice), 2)     AS max_value
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def rel_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two broadcast joins (nation: 25 rows, customer: small dim) then
+    a 25-group agg — at 100 TB the fact scan never shuffles pre-agg."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            F.round(F.min("o_totalprice"), 2).alias("min_value"),
+            F.round(F.max("o_totalprice"), 2).alias("max_value"),
+        )
+    )
+
+
+# =====================================================================
+# H3 bit-math layer (S4/S6/S8/S16/S17/S26/S28, D1) — pure SQL both sides
+# =====================================================================
+
+_BITS_CELL_SQL = """
+      WITH base AS (
+        SELECT event_id, user_id,
+               CASE WHEN user_id % 20 = 0 THEN 38
+                    ELSE 25 + (user_id % 13) END AS b,
+               CASE WHEN user_id % 20 = 0 THEN 0 ELSE event_id % 7 END AS d1,
+               CASE WHEN user_id % 20 = 0 THEN 0 ELSE user_id % 7 END AS d2,
+               CASE WHEN user_id % 20 = 0 THEN 0
+                    ELSE (event_id + user_id) % 7 END AS d3
+        FROM events
+      ), built AS (
+        SELECT event_id, user_id,
+               ((1::BIGINT << 59) | (3::BIGINT << 52) | (b::BIGINT << 45)
+                | (d1::BIGINT << 42) | (d2::BIGINT << 39) | (d3::BIGINT << 36)
+                | ((1::BIGINT << 36) - 1)) AS cell0
+        FROM base
+      ), cells AS (
+        SELECT event_id,
+               CASE WHEN user_id % 31 = 0
+                    THEN cell0 | (7::BIGINT << 39)
+                    ELSE cell0 END AS cell
+        FROM built
+      )
+"""
+
+# Pentagon base cells as a SQL list (public H3 spec).
+_PENT_SQL = "(4,14,24,38,49,58,63,72,83,97,107,117)"
+
+
+@register(
+    "h3_bits_accessors",
+    oracle=_BITS_CELL_SQL
+    + f"""
+      SELECT event_id, cell,
+             ((cell >> 52) & 15)::INT  AS res,
+             ((cell >> 45) & 127)::INT AS base_cell,
+             ((cell | ((1::BIGINT << 39) - 1)) & {~(15 << 52)}) | (2::BIGINT << 52)
+                                       AS parent2,
+             ((cell - ((1::BIGINT << 36) - 1) + ((1::BIGINT << 27) - 1))
+               & {~(15 << 52)}) | (6::BIGINT << 52)
+                                       AS child6,
+             ((cell >> 39) & 7)::INT   AS digit2,
+             (((cell >> 45) & 127) IN {_PENT_SQL}
+               AND (cell & ((1::BIGINT << 45) - 1)) = ((1::BIGINT << 36) - 1))
+                                       AS is_pent,
+             (((cell >> 42) & 7) <> 7 AND ((cell >> 39) & 7) <> 7
+               AND ((cell >> 36) & 7) <> 7) AS is_valid
+      FROM cells
+    """,
+)
+def h3_bits_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize deterministic res-3 cells from events ints (valid by
+    construction except deliberately corrupted rows), then exercise
+    every bit accessor. All JVM-side expressions — this is the proof
+    that the hot-path H3 layer needs no UDFs at all."""
+    ev = load(spark, sf_dir, "events")
+    pent = F.col("user_id") % 20 == 0
+    b = F.when(pent, F.lit(38)).otherwise(25 + F.col("user_id") % 13)
+    d1 = F.when(pent, F.lit(0)).otherwise(F.col("event_id") % 7)
+    d2 = F.when(pent, F.lit(0)).otherwise(F.col("user_id") % 7)
+    d3 = F.when(pent, F.lit(0)).otherwise((F.col("event_id") + F.col("user_id")) % 7)
+    cell0 = B.h3_build_cell(b, [d1, d2, d3], 3)
+    cell = F.when(F.col("user_id") % 31 == 0, cell0.bitwiseOR(F.lit(7 << 39))).otherwise(
+        cell0
+    )
+    return ev.select("event_id", cell.alias("cell")).select(
+        "event_id",
+        "cell",
+        B.h3_get_resolution("cell").alias("res"),
+        B.h3_get_base_cell("cell").alias("base_cell"),
+        B.h3_to_parent("cell", 2).alias("parent2"),
+        B.h3_to_center_child("cell", 6).alias("child6"),
+        B.h3_get_index_digit("cell", 2).alias("digit2"),
+        B.h3_is_pentagon("cell").alias("is_pent"),
+        B.h3_is_valid_cell("cell").alias("is_valid"),
+    )
+
+
+@register(
+    "h3_parent_rollup",
+    oracle=_BITS_CELL_SQL
+    + f"""
+      SELECT parent1, count(*) AS n_cells, count(DISTINCT cell) AS n_distinct
+      FROM (
+        SELECT cell,
+               ((cell | ((1::BIGINT << 42) - 1)) & {~(15 << 52)}) | (1::BIGINT << 52)
+                 AS parent1
+        FROM cells
+        WHERE ((cell >> 42) & 7) <> 7 AND ((cell >> 39) & 7) <> 7
+          AND ((cell >> 36) & 7) <> 7
+      )
+      GROUP BY parent1
+    """,
+)
+def h3_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical H3 rollup: filter valid -> parent -> aggregate.
+    Parent extraction is bit math, so Catalyst keeps the whole pipeline
+    in one codegen stage; the groupBy count is partial-agg'd map-side
+    (D6 + S6 + §2.7 aggregate parity)."""
+    ev = h3_bits_accessors(spark, sf_dir).select("cell", "is_valid")
+    return (
+        ev.filter(F.col("is_valid"))
+        .select(B.h3_to_parent("cell", 1).alias("parent1"), "cell")
+        .groupBy("parent1")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.countDistinct("cell").alias("n_distinct"),
+        )
+    )
+
+
+# =====================================================================
+# Text analysis (language-ID, quality, tokens, fingerprint)
+# =====================================================================
+
+_STOP_SQL = "('the','a','of','and','to','in')"
+
+
+@register(
+    "text_document_stats",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
+                 / len(toks), 4) AS chars_per_token,
+           round(len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
+                 / len(toks), 4) AS stopword_ratio,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS distinct_ratio,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM t
+    """,
+)
+def text_document_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/quality statistics — single scan, all
+    higher-order JVM functions (no Python), columns pruned to (doc_id,
+    text) at the parquet reader."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.char_per_token("text").alias("chars_per_token"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+        TX.distinct_token_ratio("text").alias("distinct_ratio"),
+        TX.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality_by_source",
+    oracle=rf"""
+    WITH t AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), q AS (
+      SELECT source,
+             round(CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END * 0.4
+                   + round(len(list_distinct(toks))::DOUBLE / len(toks), 4) * 0.4
+                   + (1.0 - round(len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
+                                  / len(toks), 4)) * 0.2, 4) AS quality
+      FROM t
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(quality), 4) AS avg_quality,
+           round(min(quality), 4) AS min_quality,
+           round(max(quality), 4) AS max_quality
+    FROM q GROUP BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score rollup per source — the shape of a corpus audit at
+    100 TB: one scan, 20 groups, partial agg everywhere."""
+    docs = load(spark, sf_dir, "documents")
+    q = docs.select("source", TX.quality_score("text").alias("quality"))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.min("quality"), 4).alias("min_quality"),
+        F.round(F.max("quality"), 4).alias("max_quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS h_en,
+             len(list_filter(toks, x -> x IN ('le','la','et','de')))  AS h_fr,
+             len(list_filter(toks, x -> x IN ('el','la','y','de')))   AS h_es,
+             len(list_filter(toks, x -> x IN ('der','die','und','von'))) AS h_de
+      FROM t
+    )
+    SELECT lang,
+           CASE WHEN h_de > greatest(h_en, h_fr, h_es, 0) THEN 'de'
+                WHEN h_es > greatest(h_en, h_fr, 0) THEN 'es'
+                WHEN h_fr > greatest(h_en, 0) THEN 'fr'
+                WHEN h_en > 0 THEN 'en'
+                ELSE 'und' END AS lang_guess,
+           count(*) AS n_docs
+    FROM h GROUP BY lang, lang_guess
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID vs. the labeled lang column —
+    confusion-matrix style rollup."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_guess("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# =====================================================================
+# Deduplication
+# =====================================================================
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_id,
+           count(*)    AS dup_count
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash aggregation on the fingerprint. At
+    100 TB this is the classic map-side-partial pattern; no Python."""
+    return DD.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_groups_summary",
+    oracle=r"""
+    WITH g AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             count(*) AS dup_count
+      FROM documents GROUP BY fp
+    )
+    SELECT dup_count, count(*) AS n_groups
+    FROM g GROUP BY dup_count
+    """,
+)
+def dedup_groups_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of duplicate-group sizes (corpus health metric)."""
+    g = DD.exact_dedup(load(spark, sf_dir, "documents"))
+    return g.groupBy("dup_count").agg(F.count(F.lit(1)).alias("n_groups"))
+
+
+# =====================================================================
+# Similarity search (embeddings)
+# =====================================================================
+
+@register(
+    "ann_topk_cosine",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS c_vec FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(q.q_vec, c.c_vec)
+                   / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                      * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) AS cosine
+      FROM c, q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for a broadcast query subset —
+    the ANN baseline. Dot products are zip_with/aggregate (JVM)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_topk(emb, queries, k=5, query_id_col="query_id")
+
+
+@register(
+    "embedding_label_centroid_norms",
+    oracle="""
+    WITH n AS (
+      SELECT label, vec_id,
+             round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+               AS norm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(norm), 6) AS avg_norm,
+           round(min(norm), 6) AS min_norm,
+           round(max(norm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics — exercises vector math over
+    array<float> without any shuffle beyond the 10-group agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "label", "vec_id", F.round(SIM.l2_norm("embedding"), 6).alias("norm")
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec["fn"] for name, spec in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        name: spec["oracle"]
+        for name, spec in REGISTRY.items()
+        if spec["oracle"] is not None
+    }

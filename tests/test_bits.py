@@ -1,0 +1,129 @@
+"""Unit tests for the pure-SQL bit-level H3 functions.
+
+Ground truth: hand-computed indexes per the public H3 bit layout, plus
+known constants from the spec (12 pentagon base cells, 122 base cells).
+Mirrors the reference's known-value test idiom (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from h3ron_spark.functions import bits as B
+
+
+def make_cell(base: int, digits: list[int], res: int) -> int:
+    c = (1 << 59) | (res << 52) | (base << 45)
+    for i, d in enumerate(digits, start=1):
+        c |= d << (3 * (15 - i))
+    c |= (1 << (3 * (15 - res))) - 1
+    return c
+
+
+def one_value(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_resolution_and_base_cell(spark):
+    c = make_cell(20, [3, 5], 2)
+    assert one_value(spark, B.h3_get_resolution(F.lit(c))) == 2
+    assert one_value(spark, B.h3_get_base_cell(F.lit(c))) == 20
+    assert one_value(spark, B.h3_get_mode(F.lit(c))) == 1
+
+
+def test_index_digits(spark):
+    c = make_cell(20, [3, 5, 1], 3)
+    assert one_value(spark, B.h3_get_index_digit(F.lit(c), 1)) == 3
+    assert one_value(spark, B.h3_get_index_digit(F.lit(c), 2)) == 5
+    assert one_value(spark, B.h3_get_index_digit(F.lit(c), 3)) == 1
+    assert one_value(spark, B.h3_get_index_digit(F.lit(c), 4)) == 7  # unused
+    # column-res variant must agree
+    assert one_value(spark, B.h3_get_index_digit(F.lit(c), F.lit(2))) == 5
+
+
+def test_parent_and_center_child_roundtrip(spark):
+    child = make_cell(33, [1, 2, 3, 4], 4)
+    parent2 = make_cell(33, [1, 2], 2)
+    assert one_value(spark, B.h3_to_parent(F.lit(child), 2)) == parent2
+    # parent deeper than res -> NULL
+    assert one_value(spark, B.h3_to_parent(F.lit(parent2), 3)) is None
+    # center child of the parent at res 4 has digits 1,2,0,0
+    cc = make_cell(33, [1, 2, 0, 0], 4)
+    assert one_value(spark, B.h3_to_center_child(F.lit(parent2), 4)) == cc
+    # center child shallower than res -> NULL
+    assert one_value(spark, B.h3_to_center_child(F.lit(child), 2)) is None
+    # roundtrip: parent(center_child(c)) == c
+    assert one_value(
+        spark, B.h3_to_parent(B.h3_to_center_child(F.lit(parent2), 9), 2)
+    ) == parent2
+
+
+def test_children_nextres(spark):
+    c = make_cell(33, [1], 1)
+    kids = one_value(spark, B.h3_to_children_nextres(F.lit(c)))
+    assert len(kids) == 7
+    assert kids[0] == make_cell(33, [1, 0], 2)
+    assert kids[6] == make_cell(33, [1, 6], 2)
+    # every child's parent is c
+    for k in kids:
+        assert one_value(spark, B.h3_to_parent(F.lit(k), 1)) == c
+    # pentagon: 6 children, digit 1 skipped
+    p = make_cell(38, [0], 1)
+    pkids = one_value(spark, B.h3_to_children_nextres(F.lit(p)))
+    assert len(pkids) == 6
+    assert make_cell(38, [0, 1], 2) not in pkids
+
+
+def test_pentagon_predicate(spark):
+    assert one_value(spark, B.h3_is_pentagon(F.lit(make_cell(38, [0, 0], 2))))
+    assert not one_value(spark, B.h3_is_pentagon(F.lit(make_cell(38, [0, 2], 2))))
+    assert not one_value(spark, B.h3_is_pentagon(F.lit(make_cell(33, [0, 0], 2))))
+
+
+def test_validity(spark):
+    assert one_value(spark, B.h3_is_valid_cell(F.lit(make_cell(33, [1, 2], 2))))
+    # digit 7 in used range -> invalid
+    bad = make_cell(33, [1, 2], 2) | (7 << 42)
+    assert not one_value(spark, B.h3_is_valid_cell(F.lit(bad)))
+    # base cell >= 122 -> invalid
+    assert not one_value(spark, B.h3_is_valid_cell(F.lit(make_cell(123, [0], 1))))
+    # pentagon with leading digit 1 (K axis) -> invalid
+    assert not one_value(spark, B.h3_is_valid_cell(F.lit(make_cell(38, [1], 1))))
+    # non-pentagon with leading digit 1 -> valid
+    assert one_value(spark, B.h3_is_valid_cell(F.lit(make_cell(33, [1], 1))))
+    # trailing digits not 7 -> invalid
+    notrail = make_cell(33, [1], 1) & ~(1 << 30)
+    assert not one_value(spark, B.h3_is_valid_cell(F.lit(notrail)))
+    # wrong mode -> invalid; int 55 and NULL propagate
+    assert not one_value(spark, B.h3_is_valid_cell(F.lit(55)))
+    assert one_value(spark, B.h3_is_valid_cell(F.lit(None).cast("long"))) is None
+
+
+def test_hierarchy_predicates(spark):
+    parent = make_cell(33, [1], 1)
+    child = make_cell(33, [1, 4, 2], 3)
+    other = make_cell(33, [2], 1)
+    assert one_value(spark, B.h3_is_parent_of(F.lit(parent), F.lit(child)))
+    assert one_value(spark, B.h3_is_parent_of(F.lit(parent), F.lit(parent)))
+    assert not one_value(spark, B.h3_is_parent_of(F.lit(other), F.lit(child)))
+    assert not one_value(spark, B.h3_is_parent_of(F.lit(child), F.lit(parent)))
+
+
+def test_string_roundtrip(spark):
+    c = make_cell(20, [3, 5], 2)
+    s = one_value(spark, B.h3_to_string(F.lit(c)))
+    assert len(s) == 15 and s == s.lower()
+    assert one_value(spark, B.h3_from_string(F.lit(s))) == c
+
+
+def test_edge_bits(spark):
+    origin = make_cell(33, [1, 2], 2)
+    edge = (origin & ~(15 << 59)) | (2 << 59) | (3 << 56)
+    assert one_value(spark, B.h3_edge_origin(F.lit(edge))) == origin
+    assert one_value(spark, B.h3_edge_direction(F.lit(edge))) == 3
+    assert one_value(spark, B.h3_is_valid_directed_edge(F.lit(edge)))
+    assert not one_value(spark, B.h3_is_valid_directed_edge(F.lit(origin)))
+    # direction 0 or 7 invalid
+    for d in (0, 7):
+        e = (origin & ~(15 << 59)) | (2 << 59) | (d << 56)
+        assert not one_value(spark, B.h3_is_valid_directed_edge(F.lit(e)))
