@@ -27,3 +27,37 @@ from h3ron_spark.functions.bits import (  # noqa: F401
     h3_edge_direction,
     h3_is_valid_directed_edge,
 )
+from h3ron_spark.functions.geo import (  # noqa: F401
+    h3_latlng_to_cell,
+    h3_cell_to_latlng,
+    h3_cell_to_lat,
+    h3_cell_to_lng,
+    h3_cell_to_boundary,
+    h3_cell_to_boundary_wkt,
+    h3_cell_to_children,
+    h3_change_resolution,
+    h3_grid_disk,
+    h3_grid_ring,
+    h3_grid_disk_distances,
+    h3_grid_distance,
+    h3_grid_path,
+    h3_are_neighbor_cells,
+    h3_cell_area_km2,
+    h3_cell_area_m2,
+    h3_cell_area_rads2,
+    h3_cell_to_directed_edges,
+    h3_cells_to_directed_edge,
+    h3_directed_edge_to_cells,
+    h3_edge_destination,
+    h3_edge_reverse,
+    h3_edge_length_km,
+    h3_edge_length_m,
+    h3_edge_length_rads,
+    h3_edge_boundary_wkt,
+    h3_cell_centroid_distance_m,
+    h3_great_circle_distance_km,
+    h3_cell_to_local_ij,
+    h3_local_ij_to_cell,
+    h3_compact_cells,
+    h3_uncompact_cells,
+)
