@@ -371,34 +371,33 @@ def grid_path_cells(a: int, b: int) -> list[int] | None:
     out = []
     for s in range(n + 1):
         t = s / n if n else 0.0
-        # cube lerp with rounding (public gridPathCells approach)
-        fi = la[0] + di * t
-        fj = lb is not None and (la[1] + dj * t)
-        fk = 0.0
-        ri, rj, rk = _cube_round(fi - fk, fj - fk)
+        # lerp in local axial space with cube rounding (public
+        # gridPathCells approach)
+        ri, rj = _cube_round(la[0] + di * t, la[1] + dj * t)
         cell = local_ij_to_cell(a, ri, rj)
         if cell is not None and (not out or out[-1] != cell):
             out.append(cell)
     return out
 
 
-def _cube_round(x: float, y: float) -> tuple[int, int, int]:
-    """Round fractional axial coords to the nearest hex (cube round)."""
-    cx, cy = x, y
-    cz = 0.0 - cx + cx - cy if False else -0.0  # placeholder, replaced below
-    # cube coords: (x, y, z) with z = -x + ... use x=i, z=j, y=-x-z form
-    cube_x = cx
-    cube_z = cy
-    cube_y = -cube_x - cube_z
-    rx, ry, rz = round(cube_x), round(cube_y), round(cube_z)
-    dx, dy, dz = abs(rx - cube_x), abs(ry - cube_y), abs(rz - cube_z)
+def _cube_round(fi: float, fj: float) -> tuple[int, int]:
+    """Round fractional local-axial (i, j) to the nearest hex.
+
+    The local metric is max(|di|, |dj|, |di-dj|), which corresponds to
+    cube coordinates (x=i, z=-j, y=j-i); round in cube space keeping
+    x+y+z=0, then map back to axial (i, j)."""
+    x = fi
+    z = -fj
+    y = -x - z
+    rx, ry, rz = round(x), round(y), round(z)
+    dx, dy, dz = abs(rx - x), abs(ry - y), abs(rz - z)
     if dx > dy and dx > dz:
         rx = -ry - rz
     elif dy > dz:
         ry = -rx - rz
     else:
         rz = -rx - ry
-    return int(rx), int(rz), 0
+    return int(rx), int(-rz)
 
 
 # ----------------------------------------------------------- edges
@@ -465,23 +464,25 @@ def is_valid_directed_edge(e: int) -> bool:
 
 def edge_boundary(e: int) -> list[tuple[float, float]]:
     """Shared boundary segment of the edge's two cells (S24;
-    directed_edge.rs:139-151): the two closest vertex pairs."""
+    directed_edge.rs:139-151): the CCW-consecutive vertex pair of the
+    origin's boundary facing the destination, so the segment runs
+    interior-left when the origin is inside a region."""
     o = edge_origin(e)
     d = edge_destination(e)
     if d is None:
         return []
     bo = cell_to_boundary(o)
-    bd = cell_to_boundary(d)
-    shared = []
-    for vo in bo:
-        for vd in bd:
-            if (
-                geo_distance_rads(vo[0] * _D2R, vo[1] * _D2R, vd[0] * _D2R, vd[1] * _D2R)
-                < 1e-9
-            ):
-                shared.append(vo)
-                break
-    return shared
+    dla, dln = cell_to_latlng(d)
+    n = len(bo)
+    best_i, best_dist = 0, float("inf")
+    for i in range(n):
+        a = bo[i]
+        b = bo[(i + 1) % n]
+        mla, mln = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+        dist = geo_distance_rads(mla * _D2R, mln * _D2R, dla * _D2R, dln * _D2R)
+        if dist < best_dist:
+            best_i, best_dist = i, dist
+    return [bo[best_i], bo[(best_i + 1) % n]]
 
 
 def edge_length_rads(e: int) -> float | None:
