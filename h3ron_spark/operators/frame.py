@@ -1,0 +1,75 @@
+"""Frame-level helpers: validity filter, resolution ops, bounding rect.
+
+Parity targets:
+- filter_h3_is_valid:        h3ron-polars/src/algorithm/frame/valid.rs:6-52
+- h3_resolution column (D1): .../chunkedarray/resolution.rs:11-26
+- change_resolution (D2):    .../chunkedarray/resolution.rs:29-49
+- partition_by_resolution:   .../frame/resolution.rs:35-89
+- bounding_rect agg (D8):    h3ron-polars/src/algorithm/bounding_rect.rs:7-56
+
+All pure-SQL where possible (resolution is bit math -> whole-stage
+codegen; no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from h3ron_spark.functions import bits as B
+from h3ron_spark.functions import geo as G
+
+
+def filter_h3_is_valid(df: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """Keep rows whose index is a valid H3 cell (D6). NULL-safe: nulls
+    are dropped, like the reference's validity mask."""
+    return df.filter(B.h3_is_valid_cell(cell_col))
+
+
+def with_resolution(
+    df: DataFrame, cell_col: str = "cell", out_col: str = "res"
+) -> DataFrame:
+    """D1: per-row resolution, NULL where the index is invalid."""
+    return df.withColumn(
+        out_col,
+        F.when(B.h3_is_valid_cell(cell_col), B.h3_get_resolution(cell_col)),
+    )
+
+
+def change_resolution_dataframe(
+    df: DataFrame, target_res: int, cell_col: str = "cell"
+) -> DataFrame:
+    """D2 frame-level: replace the cell column with cells at target_res
+    (parents collapse, children explode; other columns replicated)."""
+    return (
+        df.withColumn("_cr", G.h3_change_resolution(cell_col, F.lit(target_res)))
+        .filter(F.col("_cr").isNotNull())
+        .withColumn(cell_col, F.explode("_cr"))
+        .drop("_cr")
+    )
+
+
+def partition_by_resolution(
+    df: DataFrame, cell_col: str = "cell", repartition: bool = True
+) -> DataFrame:
+    """D7: tag rows with their resolution and (optionally) repartition
+    so each resolution is processed/written res-homogeneously. The
+    writer-side equivalent is ``.write.partitionBy('h3_res')``."""
+    out = with_resolution(df, cell_col, "h3_res")
+    if repartition:
+        out = out.repartition("h3_res")
+    return out
+
+
+def bounding_rect(df: DataFrame, cell_col: str = "cell"):
+    """D8: aggregate bbox (min/max lat/lng of cell centroids) over the
+    frame. One partial+final agg, no shuffle of data rows."""
+    ll = G.h3_cell_to_latlng(cell_col)
+    return df.select(
+        ll["lat"].alias("_lat"), ll["lng"].alias("_lng")
+    ).agg(
+        F.min("_lat").alias("min_lat"),
+        F.max("_lat").alias("max_lat"),
+        F.min("_lng").alias("min_lng"),
+        F.max("_lng").alias("max_lng"),
+    )

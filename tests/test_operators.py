@@ -1,0 +1,212 @@
+"""Frame-operator layer vs scalar-kernel oracles.
+
+Mirrors the reference's own test shapes: compact->uncompact roundtrip
+(frame/compact.rs:309-355), fixture frames built from grid disks
+(algorithm/tests.rs:6-31), cluster equality to input disks
+(cell_clusters.rs:123-150), exact spatial masks (spatial_index/tests.rs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import h3ron_spark.h3core as h3c
+from h3ron_spark import operators as OPS
+from h3ron_spark.functions import bits as B
+from h3ron_spark.h3core import regions as R
+
+SEED = h3c.latlng_to_cell(37.76, -122.44, 8)
+FAR = h3c.latlng_to_cell(45.0, 45.0, 8)
+
+
+@pytest.fixture(scope="module")
+def disk_df(spark):
+    """Reference fixture shape (algorithm/tests.rs:6-31): two grid
+    disks with a constant value column."""
+    rows = [(c, "a") for c in h3c.grid_disk(SEED, 10)] + [
+        (c, "b") for c in h3c.grid_disk(FAR, 3)
+    ]
+    return spark.createDataFrame(rows, "cell long, v string")
+
+
+def test_compact_dataframe_roundtrip(spark, disk_df):
+    compacted = OPS.compact_dataframe(disk_df, "cell")
+    rows = compacted.collect()
+    # grouped by v; disk of 331 cells compacts to fewer mixed-res cells
+    n_in = disk_df.count()
+    assert len(rows) < n_in
+    for r in rows:
+        assert h3c.is_valid_cell(r.cell)
+    # uncompact back at res 8 restores the exact cell sets per group
+    out = OPS.uncompact_dataframe(compacted, 8, "cell")
+    got_a = {r.cell for r in out.filter(F.col("v") == "a").collect()}
+    assert got_a == set(h3c.grid_disk(SEED, 10))
+    got_b = {r.cell for r in out.filter(F.col("v") == "b").collect()}
+    assert got_b == set(h3c.grid_disk(FAR, 3))
+
+
+def test_compact_matches_scalar_kernel(spark, disk_df):
+    only_a = disk_df.filter(F.col("v") == "a")
+    got = {r.cell for r in OPS.compact_dataframe(only_a, "cell").collect()}
+    want = set(h3c.compact_cells(h3c.grid_disk(SEED, 10)))
+    assert got == want
+
+
+def test_uncompact_subset(spark):
+    parent = h3c.cell_to_parent(SEED, 5)
+    df = spark.createDataFrame([(h3c.cell_to_parent(SEED, 6), 1)], "cell long, x int")
+    out = OPS.uncompact_dataframe(df, 8, "cell", subset_parent=parent)
+    cells = [r.cell for r in out.collect()]
+    assert cells and all(h3c.cell_to_parent(c, 5) == parent for c in cells)
+
+
+def test_filter_valid_and_resolution(spark):
+    df = spark.createDataFrame(
+        [(SEED,), (0,), (None,), (SEED | (7 << 39),)], "cell long"
+    )
+    assert OPS.filter_h3_is_valid(df).count() == 1
+    res = OPS.with_resolution(df).collect()
+    assert {(r.cell, r.res) for r in res} == {
+        (SEED, 8),
+        (0, None),
+        (None, None),
+        (SEED | (7 << 39), None),
+    }
+
+
+def test_change_resolution_dataframe(spark):
+    df = spark.createDataFrame([(SEED, "x")], "cell long, v string")
+    up = OPS.change_resolution_dataframe(df, 6, "cell").collect()
+    assert len(up) == 1 and up[0].cell == h3c.cell_to_parent(SEED, 6)
+    down = OPS.change_resolution_dataframe(df, 9, "cell").collect()
+    assert {r.cell for r in down} == set(h3c.cell_to_children(SEED, 9))
+    assert all(r.v == "x" for r in down)
+
+
+def test_partition_by_resolution(spark, disk_df):
+    mixed = OPS.compact_dataframe(disk_df, "cell")
+    parts = OPS.partition_by_resolution(mixed, "cell")
+    got = {r.h3_res for r in parts.select("h3_res").distinct().collect()}
+    assert got == {h3c.get_resolution(r.cell) for r in mixed.collect()}
+
+
+def test_bounding_rect(spark, disk_df):
+    r = OPS.bounding_rect(disk_df.filter(F.col("v") == "a"), "cell").collect()[0]
+    lats, lngs = zip(*[h3c.cell_to_latlng(c) for c in h3c.grid_disk(SEED, 10)])
+    assert abs(r.min_lat - min(lats)) < 1e-12
+    assert abs(r.max_lng - max(lngs)) < 1e-12
+
+
+def test_cell_clusters_two_components(spark):
+    cells = list(h3c.grid_disk(SEED, 2)) + list(h3c.grid_disk(FAR, 1))
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    out = OPS.cell_clusters(df, "cell")
+    rows = out.collect()
+    assert len(rows) == len(cells)
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster, set()).add(r.cell)
+    assert len(clusters) == 2
+    sizes = sorted(len(v) for v in clusters.values())
+    assert sizes == [7, 19]
+    # same membership as the scalar oracle
+    oracle = R.find_cell_clusters(cells)
+    want = {}
+    for c, lab in oracle.items():
+        want.setdefault(lab, set()).add(c)
+    assert set(map(frozenset, clusters.values())) == set(
+        map(frozenset, want.values())
+    )
+
+
+def test_cell_clusters_eq_value(spark):
+    cells = list(h3c.grid_disk(SEED, 1))
+    vals = [0 if c == SEED else 1 for c in cells]
+    df = spark.createDataFrame(list(zip(cells, vals)), "cell long, value int")
+    out = OPS.cell_clusters(df, "cell", "value")
+    labs = {r.cluster for r in out.collect()}
+    assert len(labs) == 2
+
+
+def test_dissolve_df(spark, disk_df):
+    out = OPS.cells_to_polygons_df(
+        disk_df, "cell", group_cols=["v"]
+    ).collect()
+    byv = {r.v: r for r in out}
+    assert byv["a"].n_cells == len(h3c.grid_disk(SEED, 10))
+    assert byv["a"].geometry_wkt.startswith("MULTIPOLYGON (")
+    # smoothing doubles vertex counts
+    sm = OPS.cells_to_polygons_df(
+        disk_df, "cell", group_cols=["v"], smooth_iterations=1
+    ).collect()
+    assert len(sm[0].geometry_wkt) > len(out[0].geometry_wkt)
+
+
+def test_cells_in_rect_exact(spark, disk_df):
+    got = {
+        r.cell
+        for r in OPS.cells_in_rect(
+            disk_df, 37.70, -122.50, 37.82, -122.38, 8, "cell"
+        ).collect()
+    }
+    want = set()
+    for c in h3c.grid_disk(SEED, 10) + h3c.grid_disk(FAR, 3):
+        la, ln = h3c.cell_to_latlng(c)
+        if 37.70 <= la <= 37.82 and -122.50 <= ln <= -122.38:
+            want.add(c)
+    assert got == want and len(want) > 0
+
+
+def test_cells_in_polygon_exact(spark, disk_df):
+    ring = [(37.70, -122.50), (37.70, -122.38), (37.82, -122.38), (37.82, -122.50)]
+    got = {
+        r.cell for r in OPS.cells_in_polygon(disk_df, ring, 8, "cell").collect()
+    }
+    want = {
+        c
+        for c in h3c.grid_disk(SEED, 10)
+        if R.point_in_polygon(*h3c.cell_to_latlng(c), ring)
+    }
+    assert got == want
+
+
+def test_cells_within_distance(spark, disk_df):
+    got = {
+        r.cell
+        for r in OPS.cells_within_distance(
+            disk_df, 37.76, -122.44, 3.0, 8, "cell"
+        ).collect()
+    }
+    want = {
+        c
+        for c in h3c.grid_disk(SEED, 10) + h3c.grid_disk(FAR, 3)
+        if h3c.great_circle_distance_km(37.76, -122.44, *h3c.cell_to_latlng(c))
+        <= 3.0
+    }
+    assert got == want and len(want) > 0
+
+
+def test_continuous_cells_to_edges(spark):
+    target = h3c.grid_disk(SEED, 4)[-1]
+    path = h3c.grid_path_cells(SEED, target)
+    df = spark.createDataFrame(list(enumerate(path)), "pos int, cell long")
+    out = OPS.continuous_cells_to_edges(df, "cell", "pos").orderBy("pos").collect()
+    assert len(out) == len(path) - 1
+    for r in out:
+        assert r.edge == h3c.cells_to_directed_edge(r.cell, r.next_cell)
+
+
+def test_neighbors_within_distance(spark):
+    cells = h3c.grid_disk(SEED, 1)
+    df = spark.createDataFrame([(c, float(i)) for i, c in enumerate(cells)],
+                               "cell long, value double")
+    out = OPS.neighbors_within_distance(df, 1, default=-1.0)
+    rows = out.filter(F.col("cell") == SEED).collect()
+    assert len(rows) == 7  # disk(1) incl. center
+    vals = {r.neighbor: r.neighbor_value for r in rows}
+    assert all(v >= 0 for v in vals.values())  # all neighbors have values
+    # a cell on the rim sees default-filled outside neighbors
+    rim = cells[-1]
+    rim_rows = out.filter(F.col("cell") == rim).collect()
+    assert any(r.neighbor_value == -1.0 for r in rim_rows)
