@@ -1,0 +1,15 @@
+"""Routing graphs on H3 edges (h3ron-graph re-expressed for Spark)."""
+
+from h3ron_spark.graph.build import (  # noqa: F401
+    downsample_graph,
+    edge_graph_from_cell_pairs,
+    graph_from_linestrings,
+    graph_nodes,
+)
+from h3ron_spark.graph.algorithms import (  # noqa: F401
+    differential_shortest_path,
+    nearest_graph_nodes,
+    shortest_path_many_to_many,
+    sssp_frontier,
+    within_weight_threshold,
+)

@@ -1,0 +1,387 @@
+"""Routing algorithms over the edges table.
+
+Parity targets:
+- edge_dijkstra + early exit:      h3ron-graph/src/algorithm/dijkstra.rs:138-251
+- weight-threshold flood:          dijkstra.rs:72-133
+- ShortestPath[ManyToMany]:        algorithm/shortest_path.rs:118-204
+  (origin/destination substitution :334-414)
+- WithinWeightThreshold[Many]:     within_weight_threshold.rs:16-101
+- DifferentialShortestPath:        differential_shortest_path.rs:32-139
+  (ExcludeCells wrapper graph/modifiers.rs:11-95 -> anti-join)
+- NearestGraphNodes:               nearest_graph_nodes.rs:7-67
+- Path ordering:                   path.rs:194-206 (cost, origin, destination)
+
+Execution model (SURVEY §3.3): the reference runs one Dijkstra per
+origin on rayon threads against a shared in-memory adjacency. The
+Spark shape is identical: the adjacency broadcasts to executors and
+`mapInPandas` fans one Dijkstra per origin row across partitions.
+LongEdge shortcuts (prepared.rs:260-402) are a traversal-speed device
+with identical results (prepared.rs:59-64) — not reproduced.
+
+For graphs beyond broadcast size, `sssp_frontier` is the scale path:
+Pregel-style frontier relaxation where each iteration is one join +
+min-agg on the co-partitioned edges table. Same results, no driver
+materialization; O(longest-shortest-path-hops) iterations.
+"""
+
+from __future__ import annotations
+
+import heapq
+from math import inf
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_BROADCAST_EDGE_LIMIT = 5_000_000
+
+
+def _collect_adjacency(edges: DataFrame) -> dict:
+    """origin -> list[(destination, edge, weight)]. Guarded driver
+    collect: beyond _BROADCAST_EDGE_LIMIT edges use sssp_frontier."""
+    n = edges.count()
+    if n > _BROADCAST_EDGE_LIMIT:
+        raise ValueError(
+            f"{n} edges exceeds the broadcast limit "
+            f"({_BROADCAST_EDGE_LIMIT}); use sssp_frontier for "
+            "beyond-broadcast graphs"
+        )
+    adj: dict = {}
+    for r in edges.select("origin", "destination", "edge", "weight").collect():
+        adj.setdefault(r.origin, []).append((r.destination, r.edge, r.weight))
+    return adj
+
+
+def _dijkstra(adj, src, dests=None, num_dests=None, threshold=None):
+    """Binary-heap Dijkstra with the reference's early-exit rules
+    (dijkstra.rs:148-177). Returns (dist, parent, reached)."""
+    dist = {src: 0.0}
+    parent: dict = {}
+    done = set()
+    reached = []
+    h = [(0.0, src)]
+    while h:
+        d, u = heapq.heappop(h)
+        if u in done:
+            continue
+        if threshold is not None and d > threshold:
+            break
+        done.add(u)
+        if dests is not None and u in dests:
+            reached.append(u)
+            if num_dests is not None and len(reached) >= num_dests:
+                break
+        for v, e, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, inf):
+                dist[v] = nd
+                parent[v] = (u, e)
+                heapq.heappush(h, (nd, v))
+    return dist, parent, done, reached
+
+
+def _assemble_path(parent, src, dst):
+    """Walk parents backward (dijkstra.rs:253-312)."""
+    cells = [dst]
+    edges = []
+    cur = dst
+    while cur != src:
+        if cur not in parent:
+            return None, None
+        cur, e = parent[cur]
+        cells.append(cur)
+        edges.append(e)
+    cells.reverse()
+    edges.reverse()
+    return cells, edges
+
+
+_SP_SCHEMA = StructType(
+    [
+        StructField("origin", LongType()),
+        StructField("destination", LongType()),
+        StructField("cost", DoubleType()),
+        StructField("path_cells", ArrayType(LongType())),
+        StructField("path_edges", ArrayType(LongType())),
+    ]
+)
+
+
+def shortest_path_many_to_many(
+    edges: DataFrame,
+    origins,
+    destinations,
+    num_destinations_to_reach: int | None = None,
+    max_distance_to_graph: int = 0,
+) -> DataFrame:
+    """Origins x destinations routing (shortest_path.rs:118-204).
+
+    ``origins``: DataFrame with a `cell` column (or list of cells);
+    ``destinations``: list of cells or single-column DataFrame.
+    ``max_distance_to_graph``: substitute each origin/destination with
+    the nearest graph node within this many grid steps (k), like
+    shortest_path.rs:334-414.
+
+    Returns (origin, destination, cost, path_cells, path_edges) in the
+    deterministic (cost, origin, destination) order, with origin/
+    destination being the ORIGINAL (pre-substitution) cells.
+    """
+    spark = edges.sparkSession
+    if not isinstance(origins, DataFrame):
+        origins = spark.createDataFrame([(c,) for c in origins], "cell long")
+    if isinstance(destinations, DataFrame):
+        dest_cells = [r[0] for r in destinations.collect()]
+    else:
+        dest_cells = list(destinations)
+
+    adj = _collect_adjacency(edges)
+    origin_nodes = set(adj.keys())
+    dest_nodes = {d for lst in adj.values() for d, _, _ in lst} | origin_nodes
+
+    sc = spark.sparkContext
+    adj_b = sc.broadcast(adj)
+
+    # destination substitution (driver-side: destination list is small)
+    import h3ron_spark.h3core as h3c
+
+    def substitute(cell, nodes, k_max):
+        if cell in nodes or k_max <= 0:
+            return cell if cell in nodes else None
+        for cand, k in h3c.grid_disk_distances(cell, k_max):
+            if k > 0 and cand in nodes:
+                return cand
+        return None
+
+    dest_map = {}
+    for d in dest_cells:
+        sub = substitute(d, dest_nodes, max_distance_to_graph)
+        if sub is not None:
+            dest_map.setdefault(sub, []).append(d)
+    dest_map_b = sc.broadcast(dest_map)
+    k_max = max_distance_to_graph
+    n_reach = num_destinations_to_reach
+
+    def run(batches):
+        import pandas as pd
+
+        adj_v = adj_b.value
+        dmap = dest_map_b.value
+        dset = set(dmap.keys())
+        onodes = set(adj_v.keys())
+        for pdf in batches:
+            rows = []
+            for c in pdf["cell"]:
+                orig = int(c)
+                src = substitute(orig, onodes, k_max)
+                if src is None:
+                    continue
+                dist, parent, _, reached = _dijkstra(
+                    adj_v, src, dests=dset, num_dests=n_reach
+                )
+                for node in reached:
+                    cells, path_edges = _assemble_path(parent, src, node)
+                    for original_dest in dmap[node]:
+                        rows.append(
+                            (orig, original_dest, dist[node], cells, path_edges)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "origin",
+                    "destination",
+                    "cost",
+                    "path_cells",
+                    "path_edges",
+                ],
+            )
+
+    out = origins.select("cell").distinct().mapInPandas(run, _SP_SCHEMA)
+    return out.orderBy("cost", "origin", "destination")
+
+
+def within_weight_threshold(
+    edges: DataFrame,
+    origins,
+    threshold: float,
+    aggregate: str | None = None,
+) -> DataFrame:
+    """Isochrone flood (P6/P9): cells reachable within ``threshold``
+    cost per origin. ``aggregate``: None -> per-origin rows (origin,
+    cell, weight); 'min'/'max'/... -> merged over origins per cell
+    (within_weight_threshold.rs:56-101 agg_fn)."""
+    spark = edges.sparkSession
+    if not isinstance(origins, DataFrame):
+        origins = spark.createDataFrame([(c,) for c in origins], "cell long")
+    adj_b = spark.sparkContext.broadcast(_collect_adjacency(edges))
+    thr = float(threshold)
+
+    schema = StructType(
+        [
+            StructField("origin", LongType()),
+            StructField("cell", LongType()),
+            StructField("weight", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        adj_v = adj_b.value
+        for pdf in batches:
+            rows = []
+            for c in pdf["cell"]:
+                src = int(c)
+                dist, _, done, _ = _dijkstra(adj_v, src, threshold=thr)
+                rows.extend(
+                    (src, cell, w) for cell, w in dist.items()
+                    if w <= thr and cell in done
+                )
+            yield pd.DataFrame(rows, columns=["origin", "cell", "weight"])
+
+    out = origins.select("cell").distinct().mapInPandas(run, schema)
+    if aggregate:
+        return out.groupBy("cell").agg(
+            getattr(F, aggregate)("weight").alias("weight")
+        )
+    return out
+
+
+def differential_shortest_path(
+    edges: DataFrame,
+    origins,
+    destinations,
+    exclude_cells,
+) -> DataFrame:
+    """Routes before vs after removing a cell set from the graph
+    (differential_shortest_path.rs:32-139). Exclusion = anti-join on
+    both endpoints (modifiers.rs:11-95). Full-outer diff keyed on
+    (origin, destination); NULL cost_after = became unreachable."""
+    spark = edges.sparkSession
+    if not isinstance(exclude_cells, DataFrame):
+        exclude_cells = spark.createDataFrame(
+            [(c,) for c in exclude_cells], "cell long"
+        )
+    excluded = (
+        edges.join(
+            exclude_cells, edges.origin == exclude_cells.cell, "left_anti"
+        )
+        .join(
+            exclude_cells,
+            F.col("destination") == exclude_cells.cell,
+            "left_anti",
+        )
+    )
+    before = shortest_path_many_to_many(edges, origins, destinations).select(
+        "origin", "destination", F.col("cost").alias("cost_before")
+    )
+    after = shortest_path_many_to_many(excluded, origins, destinations).select(
+        "origin", "destination", F.col("cost").alias("cost_after")
+    )
+    return before.join(after, ["origin", "destination"], "full_outer").orderBy(
+        "origin", "destination"
+    )
+
+
+def nearest_graph_nodes(
+    df: DataFrame,
+    nodes: DataFrame,
+    max_k: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """P11: for each input cell, all graph nodes at the smallest k
+    within max_k (nearest_graph_nodes.rs:7-67). Explode the disk with
+    distances, semi-match nodes, keep rows at the per-cell min k."""
+    from pyspark.sql import Window
+
+    from h3ron_spark.functions import geo as G
+
+    disks = df.select(
+        F.col(cell_col),
+        F.explode(G.h3_grid_disk_distances(cell_col, F.lit(max_k))).alias("_nk"),
+    ).select(
+        cell_col,
+        F.col("_nk.cell").alias("node"),
+        F.col("_nk.k").alias("k"),
+    )
+    matched = disks.join(
+        F.broadcast(nodes.select(F.col("cell").alias("node"))), "node"
+    )
+    w = Window.partitionBy(cell_col)
+    return (
+        matched.withColumn("_mink", F.min("k").over(w))
+        .filter(F.col("k") == F.col("_mink"))
+        .drop("_mink")
+    )
+
+
+def sssp_frontier(
+    edges: DataFrame,
+    origins,
+    threshold: float | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Beyond-broadcast SSSP: iterative frontier relaxation (the
+    'Pregel path' of SURVEY §7). Each round relaxes the frontier
+    through the edges table (join on origin) and folds with min-agg;
+    converged when no cost improves. Returns (origin, cell, weight)
+    like within_weight_threshold.
+
+    Scale: edges stay partitioned by origin across rounds (one-time
+    repartition), the frontier shrinks as labels settle, and
+    localCheckpoint bounds lineage. Rounds = shortest-path hop radius
+    (bounded by threshold/min_weight when a threshold is set,
+    dijkstra.rs:72-133's monotonicity argument)."""
+    spark = edges.sparkSession
+    if not isinstance(origins, DataFrame):
+        origins = spark.createDataFrame([(c,) for c in origins], "cell long")
+    e = edges.select(
+        F.col("origin").alias("_u"),
+        F.col("destination").alias("_v"),
+        F.col("weight").alias("_w"),
+    ).repartition("_u").localCheckpoint(eager=True)
+
+    dist = origins.select(
+        F.col("cell").alias("origin"),
+        F.col("cell").alias("cell"),
+        F.lit(0.0).alias("weight"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+
+    for _ in range(max_iter):
+        relaxed = (
+            frontier.join(e, frontier.cell == e._u)
+            .select(
+                "origin",
+                F.col("_v").alias("cell"),
+                (F.col("weight") + F.col("_w")).alias("weight"),
+            )
+        )
+        if threshold is not None:
+            relaxed = relaxed.filter(F.col("weight") <= threshold)
+        if relaxed.isEmpty():
+            break
+        merged = (
+            dist.unionByName(relaxed)
+            .groupBy("origin", "cell")
+            .agg(F.min("weight").alias("weight"))
+            .localCheckpoint(eager=True)
+        )
+        # new frontier: strictly improved labels
+        frontier = merged.join(
+            dist.withColumnRenamed("weight", "_old"),
+            ["origin", "cell"],
+            "left",
+        ).filter(
+            F.col("_old").isNull() | (F.col("weight") < F.col("_old"))
+        ).select("origin", "cell", "weight")
+        if frontier.isEmpty():
+            dist = merged
+            break
+        dist = merged
+    return dist

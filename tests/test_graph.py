@@ -1,0 +1,210 @@
+"""Graph engine vs scalar oracles.
+
+Reference test idioms: line graphs from traced linestrings
+(h3edge.rs:280-299, within_weight_threshold.rs:117-133), micro-graph
+single-edge routing (shortest_path.rs:428-464), exact isochrone cell
+counts (within_weight_threshold.rs:136-184).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import h3ron_spark.h3core as h3c
+from h3ron_spark import graph as GR
+from h3ron_spark.h3core.regions import line_to_cells
+
+RES = 6
+LINE = [(37.0, -122.0), (37.4, -121.6)]
+
+
+@pytest.fixture(scope="module")
+def path_cells():
+    return line_to_cells(LINE, RES)
+
+
+@pytest.fixture(scope="module")
+def line_edges(spark, path_cells):
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in zip(path_cells, path_cells[1:])],
+        "origin long, destination long, weight double",
+    )
+    return GR.edge_graph_from_cell_pairs(pairs, bidirectional=True).cache()
+
+
+def test_graph_build_min_weight_rule(spark):
+    a, b = h3c.latlng_to_cell(37.0, -122.0, RES), None
+    b = h3c.grid_disk(h3c.latlng_to_cell(37.0, -122.0, RES), 1)[1]
+    df = spark.createDataFrame(
+        [(a, b, 5.0), (a, b, 2.0), (a, b, 9.0)],
+        "origin long, destination long, weight double",
+    )
+    out = GR.edge_graph_from_cell_pairs(df).collect()
+    assert len(out) == 1 and out[0].weight == 2.0
+    assert out[0].edge == h3c.cells_to_directed_edge(a, b)
+
+
+def test_graph_build_drops_non_neighbors(spark):
+    a = h3c.latlng_to_cell(37.0, -122.0, RES)
+    far = h3c.latlng_to_cell(38.5, -120.0, RES)
+    df = spark.createDataFrame(
+        [(a, far, 1.0)], "origin long, destination long, weight double"
+    )
+    assert GR.edge_graph_from_cell_pairs(df).count() == 0
+
+
+def test_line_graph_shape(line_edges, path_cells):
+    n = len(path_cells)
+    assert line_edges.count() == 2 * (n - 1)  # bidirectional
+    nodes = GR.graph_nodes(line_edges)
+    assert nodes.count() == n
+    # every interior node is origin+destination (type 3)
+    assert (
+        nodes.filter(F.col("node_type") == GR.build.NODE_ORIGIN_AND_DESTINATION)
+        .count()
+        == n
+    )
+
+
+def test_graph_from_linestrings(spark, line_edges, path_cells):
+    coords = [[{"lat": la, "lng": ln} for la, ln in LINE]]
+    df = spark.createDataFrame(
+        [(c,) for c in coords],
+        "coords array<struct<lat: double, lng: double>>",
+    )
+    g = GR.graph_from_linestrings(df, RES)
+    got = {(r.origin, r.destination, r.weight) for r in g.collect()}
+    want = {(r.origin, r.destination, r.weight) for r in line_edges.collect()}
+    assert got == want
+
+
+def test_downsample_graph(line_edges):
+    down = GR.downsample_graph(line_edges, RES - 2)
+    rows = down.collect()
+    assert rows
+    from h3ron_spark.functions import bits  # bit-level res check
+
+    for r in rows:
+        assert h3c.get_resolution(r.origin) == RES - 2
+        assert h3c.get_resolution(r.destination) == RES - 2
+        assert h3c.are_neighbor_cells(r.origin, r.destination)
+        assert r.weight == 1.0  # min over unit weights
+
+
+def test_shortest_path_line(line_edges, path_cells):
+    src, dst = path_cells[0], path_cells[-1]
+    out = GR.shortest_path_many_to_many(line_edges, [src], [dst]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # along a unit-weight line, cost = hop count
+    assert r.cost == float(len(path_cells) - 1)
+    assert r.path_cells[0] == src and r.path_cells[-1] == dst
+    assert len(r.path_cells) == len(path_cells)
+    assert len(r.path_edges) == len(path_cells) - 1
+    for e, (a, b) in zip(
+        r.path_edges, zip(r.path_cells, r.path_cells[1:])
+    ):
+        assert e == h3c.cells_to_directed_edge(a, b)
+
+
+def test_shortest_path_many_to_many_ordering(line_edges, path_cells):
+    srcs = [path_cells[0], path_cells[2]]
+    dsts = [path_cells[-1], path_cells[5]]
+    out = GR.shortest_path_many_to_many(line_edges, srcs, dsts).collect()
+    assert len(out) == 4
+    costs = [r.cost for r in out]
+    assert costs == sorted(costs)  # deterministic (cost, o, d) order
+
+
+def test_shortest_path_substitution(line_edges, path_cells):
+    # an origin 1 step off the line routes after substitution
+    off = next(
+        c
+        for c in h3c.grid_disk(path_cells[3], 1)
+        if c not in set(path_cells)
+    )
+    none = GR.shortest_path_many_to_many(line_edges, [off], [path_cells[-1]])
+    assert none.count() == 0
+    subbed = GR.shortest_path_many_to_many(
+        line_edges, [off], [path_cells[-1]], max_distance_to_graph=1
+    ).collect()
+    assert len(subbed) == 1
+    assert subbed[0].origin == off  # reports the original cell
+
+
+def test_num_destinations_early_exit(line_edges, path_cells):
+    out = GR.shortest_path_many_to_many(
+        line_edges,
+        [path_cells[4]],
+        [path_cells[0], path_cells[-1]],
+        num_destinations_to_reach=1,
+    ).collect()
+    assert len(out) == 1
+    # the nearer end is reached first
+    d_near = min(4, len(path_cells) - 1 - 4)
+    assert out[0].cost == float(d_near)
+
+
+def test_within_weight_threshold_line(line_edges, path_cells):
+    src = path_cells[4]
+    out = GR.within_weight_threshold(line_edges, [src], 3.0).collect()
+    got = {r.cell: r.weight for r in out}
+    # line graph: cells within 3 hops either direction
+    want = {
+        c: float(abs(i - 4))
+        for i, c in enumerate(path_cells)
+        if abs(i - 4) <= 3
+    }
+    assert got == want
+
+
+def test_within_weight_threshold_many_min(line_edges, path_cells):
+    out = GR.within_weight_threshold(
+        line_edges, [path_cells[0], path_cells[-1]], 2.0, aggregate="min"
+    ).collect()
+    got = {r.cell: r.weight for r in out}
+    n = len(path_cells)
+    want = {}
+    for i, c in enumerate(path_cells):
+        d = min(i, n - 1 - i)
+        if d <= 2.0:
+            want[c] = float(d)
+    assert got == want
+
+
+def test_differential_shortest_path(line_edges, path_cells):
+    cut = path_cells[len(path_cells) // 2]
+    out = GR.differential_shortest_path(
+        line_edges, [path_cells[0]], [path_cells[-1]], [cut]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cost_before == float(len(path_cells) - 1)
+    assert r.cost_after is None  # line is severed
+
+
+def test_nearest_graph_nodes(spark, line_edges, path_cells):
+    nodes = GR.graph_nodes(line_edges)
+    off = next(
+        c for c in h3c.grid_disk(path_cells[3], 2)
+        if c not in set(path_cells) and h3c.grid_distance(c, path_cells[3]) == 2
+    )
+    df = spark.createDataFrame([(off,)], "cell long")
+    out = GR.nearest_graph_nodes(df, nodes, 3).collect()
+    assert out
+    ks = {r.k for r in out}
+    assert len(ks) == 1  # all at the smallest k
+    kmin = ks.pop()
+    assert kmin == min(
+        h3c.grid_distance(off, p) for p in path_cells
+    )
+
+
+def test_sssp_frontier_matches_dijkstra(line_edges, path_cells):
+    src = path_cells[0]
+    broad = GR.within_weight_threshold(line_edges, [src], 6.0).collect()
+    front = GR.sssp_frontier(line_edges, [src], threshold=6.0).collect()
+    got_b = {(r.cell, r.weight) for r in broad}
+    got_f = {(r.cell, r.weight) for r in front}
+    assert got_f == got_b
