@@ -1,0 +1,64 @@
+"""Structured Streaming surface.
+
+The reference has no streaming at all (SURVEY §1.8) — this is the
+'free' extension the survey licenses: every stateless H3 projection
+(cell functions, bit math, validity) works unchanged on a streaming
+DataFrame because Arrow UDFs and SQL expressions are row-local, and
+stateful rollups use standard watermark + window aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from h3ron_spark.functions import bits as B
+from h3ron_spark.functions import geo as G
+
+
+def index_stream(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    res: int = 8,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Attach the H3 cell (and its validity-guarded resolution) to a
+    streaming or batch frame — pure projection, no state."""
+    out = df.withColumn(
+        cell_col, G.h3_latlng_to_cell(lat_col, lng_col, F.lit(res))
+    )
+    return out.withColumn(
+        "cell_res",
+        F.when(B.h3_is_valid_cell(cell_col), B.h3_get_resolution(cell_col)),
+    )
+
+
+def windowed_cell_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    cell_col: str = "cell",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    parent_res: int | None = None,
+) -> DataFrame:
+    """Streaming rollup: events per (time window, cell[/parent]).
+    Watermark bounds state for late data; parent_res coarsens the key
+    with bit math before the shuffle (smaller state, same pattern as
+    the batch h3_parent_rollup)."""
+    key = (
+        B.h3_to_parent(cell_col, parent_res).alias("cell")
+        if parent_res is not None
+        else F.col(cell_col)
+    )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("win"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "cell",
+            "n_events",
+        )
+    )

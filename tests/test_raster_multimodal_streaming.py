@@ -1,0 +1,177 @@
+"""Raster pipeline, multimodal plumbing, and streaming surface."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import h3ron_spark.h3core as h3c
+from h3ron_spark import raster as RA
+from h3ron_spark.h3core import regions as R
+from h3ron_spark.pipeline import multimodal as MM
+
+
+# ------------------------------------------------------------------ transform
+
+
+def test_transform_roundtrip_and_orderings():
+    t = RA.Transform.from_gdal((-122.5, 0.001, 0.0, 37.9, 0.0, -0.001))
+    x, y = t.apply(10, 20)
+    assert abs(x - (-122.5 + 0.01)) < 1e-12
+    assert abs(y - (37.9 - 0.02)) < 1e-12
+    inv = t.invert()
+    c, r = inv.apply(x, y)
+    assert abs(c - 10) < 1e-9 and abs(r - 20) < 1e-9
+    # rasterio ordering (a, b, xoff, d, e, yoff)
+    t2 = RA.Transform.from_rasterio((0.001, 0.0, -122.5, 0.0, -0.001, 37.9))
+    assert t2 == t
+
+
+def test_nearest_h3_resolution_modes():
+    # ~0.001 deg pixels near 37.8N: ~0.11 km x 0.088 km => ~0.0097 km^2
+    t = RA.Transform.from_gdal((-122.5, 0.001, 0.0, 37.9, 0.0, -0.001))
+    r_min = RA.nearest_h3_resolution(t, (100, 100), "min_diff")
+    r_small = RA.nearest_h3_resolution(t, (100, 100), "smaller_than_pixel")
+    assert 9 <= r_min <= 11
+    assert r_small >= r_min
+    # smaller_than_pixel: avg area at chosen res <= pixel area
+    from h3ron_spark.h3core.cells import _AVG_HEX_AREA_KM2
+
+    assert _AVG_HEX_AREA_KM2[r_small] <= RA.pixel_area_km2(t, (100, 100))
+
+
+# ------------------------------------------------------------------- raster
+
+
+@pytest.fixture(scope="module")
+def small_raster():
+    arr = np.zeros((8, 8), dtype=np.int64)
+    arr[2:5, 2:6] = 7
+    arr[6, 1] = 9
+    return arr
+
+
+def test_raster_to_dataframe_nodata_filter(spark, small_raster):
+    df = RA.raster_to_dataframe(spark, small_raster, nodata=0)
+    assert df.count() == int((small_raster != 0).sum())
+    vals = {r.value for r in df.select("value").distinct().collect()}
+    assert vals == {7, 9}
+
+
+def test_raster_to_cells_centroid_parity(spark, small_raster):
+    t = RA.Transform.from_gdal((-122.46, 0.005, 0.0, 37.80, 0.0, -0.005))
+    res = RA.nearest_h3_resolution(t, small_raster.shape, "smaller_than_pixel")
+    out = RA.raster_to_cells(spark, small_raster, t, res, nodata=0).collect()
+    got = {(r.cell, r.value) for r in out}
+    # oracle: brute-force every cell in the covered area, assign the
+    # pixel containing its centroid (the reference's probe direction)
+    inv = t.invert()
+    want = set()
+    corners = [t.apply(0, 0), t.apply(8, 0), t.apply(8, 8), t.apply(0, 8)]
+    ring = [(y, x) for x, y in corners]
+    for cell in R.polygon_to_cells(ring, res):
+        la, ln = h3c.cell_to_latlng(cell)
+        c, r = inv.apply(ln, la)
+        ci, ri = int(c), int(r)
+        if 0 <= ri < 8 and 0 <= ci < 8 and small_raster[ri, ci] != 0:
+            want.add((cell, int(small_raster[ri, ci])))
+    assert got == want and len(want) > 0
+
+
+def test_raster_to_cells_compact_roundtrip(spark, small_raster):
+    t = RA.Transform.from_gdal((-122.46, 0.005, 0.0, 37.80, 0.0, -0.005))
+    res = RA.nearest_h3_resolution(t, small_raster.shape, "smaller_than_pixel")
+    plain = RA.raster_to_cells(spark, small_raster, t, res, nodata=0)
+    compacted = RA.raster_to_cells(
+        spark, small_raster, t, res, nodata=0, compact=True
+    )
+    from h3ron_spark.operators.compact import uncompact_dataframe
+
+    restored = uncompact_dataframe(compacted, res, "cell")
+    got = {(r.cell, r.value) for r in restored.collect()}
+    want = {(r.cell, r.value) for r in plain.collect()}
+    assert got == want
+    assert compacted.count() <= plain.count()
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_multimodal_fake_features(spark):
+    media = MM.synthetic_media(spark, 32)
+    feats = MM.extract_features(media, fake=True).collect()
+    assert len(feats) == 32
+    for r in feats:
+        assert r.dim == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-6  # normalized histogram
+    # deterministic: same asset -> same feature
+    again = MM.extract_features(MM.synthetic_media(spark, 32), fake=True).collect()
+    assert {(r.asset_id, tuple(r.feature)) for r in feats} == {
+        (r.asset_id, tuple(r.feature)) for r in again
+    }
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = MM.synthetic_media(spark, 4)
+    with pytest.raises(Exception) as ei:
+        MM.extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sampling_plan(spark):
+    media = MM.synthetic_media(spark, 9)
+    out = MM.sample_frames(media, every_n=10)
+    rows = out.collect()
+    meta = {r.asset_id: r for r in media.select("asset_id", "meta").collect()}
+    for aid in {r.asset_id for r in rows}:
+        n_frames = meta[aid].meta.n_frames
+        want = len(range(0, n_frames, 10))
+        assert sum(1 for r in rows if r.asset_id == aid) == want
+
+
+# ----------------------------------------------------------------- streaming
+
+
+def test_streaming_index_and_window(spark, tmp_path):
+    from h3ron_spark import streaming as ST
+
+    # memory-source-free test: rate source, short run
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()
+        .withColumn("lat", (F.col("value") % 160) / 2.0 - 40.0)
+        .withColumn("lng", (F.col("value") % 360) - 180.0)
+        .withColumnRenamed("timestamp", "ts")
+    )
+    indexed = ST.index_stream(src, res=5)
+    agg = ST.windowed_cell_counts(
+        indexed, "ts", "cell", "10 seconds", "10 seconds", parent_res=2
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cellcounts")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from cellcounts").collect()[0].c
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0
+        rows = spark.sql("select * from cellcounts").collect()
+        for r in rows:
+            assert h3c.is_valid_cell(r.cell)
+            assert h3c.get_resolution(r.cell) == 2
+    finally:
+        q.stop()
