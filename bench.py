@@ -21,16 +21,27 @@ from h3ron_spark import queries as Q  # noqa: E402
 from h3ron_spark.session import get_spark  # noqa: E402
 
 # Headline benchmark queries (subset of the registry; grows per round).
+# geo_* map to BASELINE.md's B1-B6 reference workloads.
 BENCH_QUERIES = [
     "rel_pricing_summary",
     "rel_top_revenue_orders",
     "rel_nation_order_stats",
     "h3_bits_accessors",
     "h3_parent_rollup",
+    "h3_compact_dataframe",
+    "h3_uncompact_join",
+    "geo_cell_rollup",      # B1 index-agg
+    "geo_disk_explode",     # B2 disk-explode
+    "geo_compact_events",   # B3 compact
+    "geo_polyfill_filter",  # B4 polyfill-filter
+    "geo_route_line",       # B5 route
+    "geo_raster_cells",     # B6 raster
     "text_document_stats",
     "text_quality_by_source",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "ann_topk_cosine",
+    "ann_lsh_topk",
 ]
 
 

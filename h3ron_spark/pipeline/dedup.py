@@ -47,9 +47,14 @@ def minhash_signature(text, num_perms: int = MINHASH_PERMS) -> Column:
     sets collide on many coordinates (classic Broder MinHash).
     """
     sh = shingles(text)
+
+    def _perm(k: int):
+        # NB: a plain `lambda s, k=k` has arity 2 and pyspark would
+        # bind k to the (element, index) lambda's index column.
+        return lambda s: _shingle_hash(s, k)
+
     mins = [
-        F.array_min(F.transform(sh, lambda s, k=k: _shingle_hash(s, k)))
-        for k in range(num_perms)
+        F.array_min(F.transform(sh, _perm(k))) for k in range(num_perms)
     ]
     return F.array(*mins)
 
@@ -74,6 +79,75 @@ def lsh_band_keys(sig: Column, bands: int = LSH_BANDS) -> Column:
     return F.array(*keys)
 
 
+def minhash_signature_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """MinHash signatures as a frame op: explode shingles, hash each
+    shingle ONCE per permutation, min-aggregate per document.
+
+    This is the scale shape: the column-expression variant
+    (:func:`minhash_signature`) nests the shingle computation inside
+    every permutation and Catalyst cannot common-subexpression it —
+    at corpus scale that's a combinatorial expression tree. Here work
+    is linear: |shingles| x num_perms hash evaluations + one shuffle.
+    Returns (id, m0..m{P-1}).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("_s")
+    ).dropDuplicates(["id", "_s"])
+    hashed = sh.select(
+        "id",
+        *[_shingle_hash(F.col("_s"), k).alias(f"_h{k}") for k in range(num_perms)],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"_h{k}").alias(f"m{k}") for k in range(num_perms)]
+    )
+
+
+def _band_keys_from_sig(bands: int = LSH_BANDS) -> Column:
+    rows = MINHASH_PERMS // bands
+    keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)],
+            )
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash as a frame op (explode + one hash per shingle + bit-vote
+    aggregation) — same result as :func:`simhash`, linear work.
+    Returns (id, simhash)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("_s")
+    )
+    h = sh.select("id", _shingle_hash(F.col("_s"), 9999).alias("_h"))
+    aggs = [
+        F.sum(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(bits)
+    ] + [F.count(F.lit(1)).alias("_n")]
+    votes = h.groupBy("id").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc.bitwiseOR(
+            F.shiftleft((F.col(f"_b{b}") * 2 > F.col("_n")).cast("long"), b)
+        )
+    return votes.select("id", acc.alias("simhash"))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash; keeps the smallest id per group.
 
@@ -96,8 +170,8 @@ def minhash_lsh_candidates(
     band key -> distinct pairs. The only shuffle is on the band key;
     identical docs share all bands, similar docs >=1.
     """
-    sigs = df.select(
-        F.col(id_col).alias("id"), F.explode(lsh_band_keys(minhash_signature(text_col))).alias("band")
+    sigs = minhash_signature_df(df, text_col, id_col).select(
+        "id", F.explode(_band_keys_from_sig()).alias("band")
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -143,16 +217,17 @@ def simhash(text, bits: int = 32) -> Column:
     long. Hamming-close simhashes => similar documents.
     """
     sh = shingles(text)
+
+    def _bit_pred(b: int):
+        return (
+            lambda s: F.shiftrightunsigned(_shingle_hash(s, 9999), b)
+            .bitwiseAND(F.lit(1))
+            == 1
+        )
+
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        votes = F.size(
-            F.filter(
-                sh,
-                lambda s, b=b: F.shiftrightunsigned(_shingle_hash(s, 9999), b)
-                .bitwiseAND(F.lit(1))
-                == 1,
-            )
-        )
+        votes = F.size(F.filter(sh, _bit_pred(b)))
         bit = (votes * 2 > F.size(sh)).cast("long")
         acc = acc.bitwiseOR(F.shiftleft(bit, b))
     return acc

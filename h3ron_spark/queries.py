@@ -505,10 +505,18 @@ def embedding_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def queries() -> dict[str, QueryFn]:
+    _load_extra()
     return {name: spec["fn"] for name, spec in REGISTRY.items()}
 
 
+def _load_extra() -> None:
+    """Import the second registry module exactly once (it registers
+    itself into REGISTRY on import)."""
+    import h3ron_spark.queries_h3  # noqa: F401
+
+
 def oracles() -> dict[str, str]:
+    _load_extra()
     return {
         name: spec["oracle"]
         for name, spec in REGISTRY.items()

@@ -1,0 +1,499 @@
+"""Second query-registry module: H3 frame operators, near-dup
+pipelines, LSH similarity, geo/graph/raster workloads.
+
+Registered into the same REGISTRY as h3ron_spark.queries (imported at
+its end). Queries whose semantics are ANSI-SQL-expressible carry an
+exact DuckDB oracle; geodesic queries (anything needing the H3
+icosahedral math) are registered without an oracle — the driver
+records the weaker rows-only check for those, by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from h3ron_spark.functions import bits as B
+from h3ron_spark.pipeline import dedup as DD
+from h3ron_spark.pipeline import similarity as SIM
+from h3ron_spark.queries import register
+from h3ron_spark.testdata import derived_lat, derived_lng, load
+
+# =====================================================================
+# Oracle-backed H3 frame operators (pentagon-free synthesized cells)
+# =====================================================================
+
+# res-2 parents synthesized from events: b in 25..36 (no pentagons),
+# digits from independent base-7 digits of event_id.
+_PARENTS_SQL = """
+  WITH base AS (
+    SELECT DISTINCT 25 + (user_id % 12) AS b,
+           event_id % 7 AS d1,
+           (event_id // 7) % 7 AS d2
+    FROM events
+  ), parents AS (
+    SELECT ((1::BIGINT << 59) | (2::BIGINT << 52) | (b::BIGINT << 45)
+            | (d1::BIGINT << 42) | (d2::BIGINT << 39)
+            | ((1::BIGINT << 39) - 1)) AS parent
+    FROM base
+  )
+"""
+
+
+def _spark_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = 25 + F.col("user_id") % 12
+    d1 = F.col("event_id") % 7
+    d2 = F.expr("event_id div 7") % 7
+    return (
+        ev.select(B.h3_build_cell(b, [d1, d2], 2).alias("parent"))
+        .distinct()
+    )
+
+
+@register(
+    "h3_uncompact_join",
+    oracle=_PARENTS_SQL
+    + f"""
+  SELECT parent,
+         ((parent - ((7 - d.d)::BIGINT << 36)) & {~(15 << 52)})
+           | (3::BIGINT << 52) AS cell
+  FROM parents, (SELECT unnest(range(7)) AS d) d
+    """,
+)
+def h3_uncompact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 uncompaction: distinct res-2 parents -> all res-3 children
+    via the mapping join (frame/compact.rs:236-295). The oracle builds
+    the same children with pure bit math (valid because the parents
+    are pentagon-free by construction)."""
+    from h3ron_spark.operators.compact import uncompact_dataframe
+
+    parents = _spark_parents(spark, sf_dir)
+    df = parents.withColumn("cell", F.col("parent"))
+    out = uncompact_dataframe(df, 3, "cell")
+    return out.select("parent", "cell")
+
+
+_COMPACT_CELLS_SQL = """
+  WITH base AS (
+    SELECT DISTINCT 25 + (user_id % 12) AS b,
+           event_id % 7 AS d1,
+           (event_id // 7) % 7 AS d2,
+           (event_id // 49) % 7 AS d3
+    FROM events
+    WHERE (event_id // 7) % 7 = 0 OR (event_id // 49) % 7 < 6
+  ), cells AS (
+    SELECT DISTINCT
+           ((1::BIGINT << 59) | (3::BIGINT << 52) | (b::BIGINT << 45)
+            | (d1::BIGINT << 42) | (d2::BIGINT << 39) | (d3::BIGINT << 36)
+            | ((1::BIGINT << 36) - 1)) AS cell,
+           ((1::BIGINT << 59) | (2::BIGINT << 52) | (b::BIGINT << 45)
+            | (d1::BIGINT << 42) | (d2::BIGINT << 39)
+            | ((1::BIGINT << 39) - 1)) AS parent
+    FROM base
+  )
+"""
+
+
+def _spark_compact_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = 25 + F.col("user_id") % 12
+    d1 = F.col("event_id") % 7
+    d2 = F.expr("event_id div 7") % 7
+    d3 = F.expr("event_id div 49") % 7
+    keep = (d2 == 0) | (d3 < 6)
+    return (
+        ev.filter(keep)
+        .select(B.h3_build_cell(b, [d1, d2, d3], 3).alias("cell"))
+        .distinct()
+    )
+
+
+@register(
+    "h3_compact_dataframe",
+    oracle=_COMPACT_CELLS_SQL
+    + """
+  , par AS (SELECT parent, count(*) AS n FROM cells GROUP BY parent)
+  SELECT parent AS cell FROM par WHERE n = 7
+  UNION ALL
+  SELECT c.cell FROM cells c JOIN par p ON c.parent = p.parent WHERE p.n < 7
+    """,
+)
+def h3_compact_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 frame compaction on a cell set constructed (pentagon-free,
+    one collapsible level) so the expected output is SQL-expressible:
+    parents with all 7 children compact, everything else passes
+    through. Exercises the real compact kernel + groupBy plan
+    (frame/compact.rs:43-97)."""
+    from h3ron_spark.operators.compact import compact_dataframe
+
+    cells = _spark_compact_input(spark, sf_dir)
+    return compact_dataframe(cells, "cell")
+
+
+# =====================================================================
+# Near-duplicate detection with full SQL oracles
+# =====================================================================
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_SHINGLES = f"""
+  CASE WHEN len({_TOKS}) >= 3
+       THEN list_transform(
+              range(0, greatest(len({_TOKS}) - 3, 0) + 1),
+              i -> {_TOKS}[i + 1] || ' ' || {_TOKS}[i + 2] || ' ' || {_TOKS}[i + 3])
+       ELSE [array_to_string({_TOKS}, ' ')]
+  END
+"""
+
+
+def _hash_sql(expr: str, seed: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{seed}' || ' ' || {expr}), 1, 15))::BIGINT)"
+    )
+
+
+def _minhash_sig_sql() -> list[str]:
+    return [
+        f"list_aggregate(list_transform(sh, s -> {_hash_sql('s', k)}), 'min')"
+        for k in range(DD.MINHASH_PERMS)
+    ]
+
+
+def _band_keys_sql() -> list[str]:
+    rows = DD.MINHASH_PERMS // DD.LSH_BANDS
+    keys = []
+    for b in range(DD.LSH_BANDS):
+        parts = ", ".join(
+            f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)
+        )
+        keys.append(f"md5(concat_ws(',', '{b}', {parts}))")
+    return keys
+
+
+def _minhash_oracle(threshold: float) -> str:
+    sigs = ",\n           ".join(
+        f"{s} AS m{k}" for k, s in enumerate(_minhash_sig_sql())
+    )
+    sig_arr = ", ".join(f"m{k}" for k in range(DD.MINHASH_PERMS))
+    bands = ", ".join(_band_keys_sql())
+    return rf"""
+  WITH sh_t AS (
+    SELECT doc_id, {_SHINGLES} AS sh FROM documents
+  ), sig_t AS (
+    SELECT doc_id, sh,
+           {sigs}
+    FROM sh_t
+  ), band_t AS (
+    SELECT doc_id, unnest([{bands}]) AS band
+    FROM (SELECT doc_id, [{sig_arr}] AS sig FROM sig_t)
+  ), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM band_t a JOIN band_t b ON a.band = b.band AND a.doc_id < b.doc_id
+  ), j AS (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::DOUBLE
+                 / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+                    - len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))),
+                 4) AS jaccard
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.id_a
+    JOIN sh_t sb ON sb.doc_id = c.id_b
+  )
+  SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(0.5))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs refined by exact shingle Jaccard.
+    Signature/banding/Jaccard are all JVM higher-order functions; the
+    only shuffle keys on the band hash. The DuckDB oracle replicates
+    the identical md5-derived permutation hashes."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    hashes = f"list_transform(sh, s -> {_hash_sql('s', 9999)})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) "
+        f"> len(hs) THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+  WITH sh_t AS (
+    SELECT doc_id, {_SHINGLES} AS sh FROM documents
+  ), hs_t AS (
+    SELECT doc_id, {hashes} AS hs FROM sh_t
+  ), sim AS (
+    SELECT doc_id, ({bit_terms}) AS simhash FROM hs_t
+  )
+  SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
+  FROM sim GROUP BY simhash
+"""
+
+
+@register("dedup_simhash_groups", oracle=_simhash_oracle())
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint groups (bit-majority over shingle hashes,
+    all JVM bit math); grouping identical fingerprints is the cheap
+    near-dup bucketing."""
+    docs = load(spark, sf_dir, "documents")
+    sim = DD.simhash_df(docs)
+    return sim.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("min_doc")
+    )
+
+
+_NGRAM_ORACLE = rf"""
+  WITH sh_t AS (
+    SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+    FROM documents WHERE doc_id % 10 = 0
+  )
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+               4) AS jaccard
+  FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) > 0
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over a document subsample (the quadratic
+    baseline the LSH path approximates; subsampled so the cross join
+    stays bounded)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sh = docs.select(
+        "doc_id", F.array_distinct(DD.shingles("text")).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        .filter(inter > 0)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# =====================================================================
+# LSH similarity with embedded-hyperplane oracle
+# =====================================================================
+
+_DIM = 64
+_PLANES = 4
+
+
+def _lsh_oracle() -> str:
+    hps = SIM._hyperplanes(_DIM, _PLANES, 42)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(t) for t in h)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, h in enumerate(hps)
+    )
+    return f"""
+  WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           ({bucket_terms}) AS bucket
+    FROM embeddings
+  ), q AS (
+    SELECT vec_id AS query_id, v AS q_vec, bucket
+    FROM e WHERE vec_id % 50 = 0
+  ), scored AS (
+    SELECT q.query_id, e.vec_id,
+           round(list_dot_product(q.q_vec, e.v)
+                 / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                    * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+    FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+  )
+  SELECT * FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+"""
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket equi-join +
+    exact cosine rerank inside the bucket — the scale path next to the
+    brute-force baseline (ann_topk_cosine). The oracle embeds the same
+    deterministic hyperplane constants."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_topk(emb, queries, dim=_DIM, k=5, planes=_PLANES)
+
+
+# =====================================================================
+# Geodesic workloads (rows-only driver check: no SQL oracle can
+# compute the icosahedral math; correctness is pinned by the pytest
+# suite against public H3 vectors instead)
+# =====================================================================
+
+
+def _event_cells(spark: SparkSession, sf_dir: str, res: int = 5) -> DataFrame:
+    from h3ron_spark.functions import geo as G
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        G.h3_latlng_to_cell(
+            derived_lat(), derived_lng(), F.lit(res)
+        ).alias("cell"),
+    ).filter(F.col("cell").isNotNull())
+
+
+@register("geo_cell_rollup")
+def geo_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 index-agg: encode events to res-5 cells (Arrow UDF), roll up
+    to the res-2 parent in bit math, count. The M1 flagship shape."""
+    cells = _event_cells(spark, sf_dir, 5)
+    return (
+        cells.select(B.h3_to_parent("cell", 2).alias("parent2"))
+        .groupBy("parent2")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register("geo_disk_explode")
+def geo_disk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 disk-explode: k=1 neighborhoods of the distinct event cells,
+    counted per origin-resolution (exercises array explode + memoized
+    disk kernel)."""
+    from h3ron_spark.functions import geo as G
+
+    cells = _event_cells(spark, sf_dir, 5).select("cell").distinct()
+    disks = cells.select(
+        "cell", F.explode(G.h3_grid_disk("cell", F.lit(1))).alias("n")
+    )
+    return disks.agg(
+        F.count(F.lit(1)).alias("n_neighbor_rows"),
+        F.countDistinct("n").alias("n_distinct_cells"),
+    )
+
+
+@register("geo_polyfill_filter")
+def geo_polyfill_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 polyfill-filter: AOI rect predicate over indexed events via
+    the coarse-probe broadcast semi-join + exact refine."""
+    from h3ron_spark.operators.spatial import cells_in_rect
+
+    cells = _event_cells(spark, sf_dir, 5)
+    hits = cells_in_rect(cells, 10.0, 10.0, 25.0, 40.0, 5, "cell")
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("cell").alias("n_cells"),
+    )
+
+
+@register("geo_compact_events")
+def geo_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 compact: full-hierarchy compaction of the distinct event
+    cells; returns per-resolution counts of the compacted set."""
+    from h3ron_spark.operators.compact import compact_dataframe
+
+    cells = _event_cells(spark, sf_dir, 5).select("cell").distinct()
+    comp = compact_dataframe(cells, "cell")
+    return (
+        comp.select(B.h3_get_resolution("cell").alias("res"))
+        .groupBy("res")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+
+
+def _event_line_graph(spark: SparkSession, sf_dir: str):
+    """Deterministic line graph: a linestring through the first 40
+    event coordinates (ordered by event_id), traced at res 4."""
+    from h3ron_spark.graph import graph_from_linestrings
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(40)
+        .select(derived_lat().alias("lat"), derived_lng().alias("lng"))
+    )
+    pts = [(r.lat, r.lng) for r in ev.collect()]
+    df = spark.createDataFrame(
+        [([{"lat": la, "lng": ln} for la, ln in pts],)],
+        "coords array<struct<lat: double, lng: double>>",
+    )
+    return graph_from_linestrings(df, 4)
+
+
+@register("geo_route_line")
+def geo_route_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 route: many-to-many shortest paths on the traced event
+    linestring graph (broadcast adjacency + per-origin Dijkstra)."""
+    from h3ron_spark.graph import graph_nodes, shortest_path_many_to_many
+
+    g = _event_line_graph(spark, sf_dir)
+    nodes = [r.cell for r in graph_nodes(g).orderBy("cell").limit(12).collect()]
+    out = shortest_path_many_to_many(g, nodes[:6], nodes[6:12])
+    return out.select("origin", "destination", F.round("cost", 4).alias("cost"))
+
+
+@register("geo_isochrone")
+def geo_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone flood on the event line graph, min-merged over two
+    origins; returns the reachable-cell histogram by integer cost."""
+    from h3ron_spark.graph import graph_nodes, within_weight_threshold
+
+    g = _event_line_graph(spark, sf_dir)
+    nodes = [r.cell for r in graph_nodes(g).orderBy("cell").limit(2).collect()]
+    iso = within_weight_threshold(g, nodes, 25.0, aggregate="min")
+    return (
+        iso.select(F.col("weight").cast("int").alias("cost_bucket"))
+        .groupBy("cost_bucket")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+
+
+@register("geo_dissolve")
+def geo_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve the res-4 event cells into multipolygon outlines,
+    grouped by the res-1 parent (aligned dissolve, G7)."""
+    from h3ron_spark.operators.dissolve import cells_to_polygons_df
+
+    cells = _event_cells(spark, sf_dir, 4).select("cell").distinct()
+    out = cells_to_polygons_df(cells, "cell", align_res=1)
+    return out.select("align_cell", "n_cells")
+
+
+@register("geo_raster_cells")
+def geo_raster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 raster: synthetic deterministic raster -> cells per value
+    (centroid-parity mode), counts by value."""
+    import numpy as np
+
+    from h3ron_spark.raster import Transform, raster_to_cells
+
+    arr = np.zeros((64, 64), dtype=np.int64)
+    yy, xx = np.mgrid[0:64, 0:64]
+    arr[(yy // 8 + xx // 8) % 3 == 0] = 1
+    arr[(yy // 8 + xx // 8) % 3 == 1] = 2
+    t = Transform.from_gdal((-122.6, 0.004, 0.0, 37.95, 0.0, -0.004))
+    cells = raster_to_cells(spark, arr, t, 7, nodata=0)
+    return cells.groupBy("value").agg(F.count(F.lit(1)).alias("n_cells"))
+
+
+@register("mm_fake_features")
+def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: fake-decoder feature extraction over the
+    synthetic media table, aggregated per kind."""
+    from h3ron_spark.pipeline import multimodal as MM
+
+    media = MM.synthetic_media(spark, 96)
+    feats = MM.extract_features(media, fake=True)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+    )
