@@ -39,21 +39,27 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from h3ron_spark.util import local_df
+
 _BROADCAST_EDGE_LIMIT = 5_000_000
 
 
 def _collect_adjacency(edges: DataFrame) -> dict:
     """origin -> list[(destination, edge, weight)]. Guarded driver
     collect: beyond _BROADCAST_EDGE_LIMIT edges use sssp_frontier."""
-    n = edges.count()
-    if n > _BROADCAST_EDGE_LIMIT:
+    rows = (
+        edges.select("origin", "destination", "edge", "weight")
+        .limit(_BROADCAST_EDGE_LIMIT + 1)
+        .collect()
+    )
+    if len(rows) > _BROADCAST_EDGE_LIMIT:
         raise ValueError(
-            f"{n} edges exceeds the broadcast limit "
+            f"edge count exceeds the broadcast limit "
             f"({_BROADCAST_EDGE_LIMIT}); use sssp_frontier for "
             "beyond-broadcast graphs"
         )
     adj: dict = {}
-    for r in edges.select("origin", "destination", "edge", "weight").collect():
+    for r in rows:
         adj.setdefault(r.origin, []).append((r.destination, r.edge, r.weight))
     return adj
 
@@ -134,7 +140,7 @@ def shortest_path_many_to_many(
     """
     spark = edges.sparkSession
     if not isinstance(origins, DataFrame):
-        origins = spark.createDataFrame([(c,) for c in origins], "cell long")
+        origins = local_df(spark, [(c,) for c in origins], "cell long")
     if isinstance(destinations, DataFrame):
         dest_cells = [r[0] for r in destinations.collect()]
     else:
@@ -217,7 +223,7 @@ def within_weight_threshold(
     (within_weight_threshold.rs:56-101 agg_fn)."""
     spark = edges.sparkSession
     if not isinstance(origins, DataFrame):
-        origins = spark.createDataFrame([(c,) for c in origins], "cell long")
+        origins = local_df(spark, [(c,) for c in origins], "cell long")
     adj_b = spark.sparkContext.broadcast(_collect_adjacency(edges))
     thr = float(threshold)
 
@@ -264,8 +270,8 @@ def differential_shortest_path(
     (origin, destination); NULL cost_after = became unreachable."""
     spark = edges.sparkSession
     if not isinstance(exclude_cells, DataFrame):
-        exclude_cells = spark.createDataFrame(
-            [(c,) for c in exclude_cells], "cell long"
+        exclude_cells = local_df(
+            spark, [(c,) for c in exclude_cells], "cell long"
         )
     excluded = (
         edges.join(
@@ -339,7 +345,7 @@ def sssp_frontier(
     dijkstra.rs:72-133's monotonicity argument)."""
     spark = edges.sparkSession
     if not isinstance(origins, DataFrame):
-        origins = spark.createDataFrame([(c,) for c in origins], "cell long")
+        origins = local_df(spark, [(c,) for c in origins], "cell long")
     e = edges.select(
         F.col("origin").alias("_u"),
         F.col("destination").alias("_v"),

@@ -358,9 +358,12 @@ def _bfs_distance(a: int, b: int, cap: int = 200) -> int | None:
     return None
 
 
-def grid_path_cells(a: int, b: int) -> list[int] | None:
-    """Line of cells from a to b (S14; h3ron/src/lib.rs:86-110):
-    lerp in the origin's local frame, rounding each step."""
+def _path_local(a: int, b: int) -> list[int] | None:
+    """Single-frame path attempt: lerp in the origin's local axial
+    frame with cube rounding (public gridPathCells approach). Fails
+    (None) when the local frame doesn't hold — far cells, face
+    crossings with distortion — detected by an endpoint/adjacency
+    check."""
     la = _local_axial(a, a)
     lb = _local_axial(a, b)
     if la is None or lb is None:
@@ -371,13 +374,73 @@ def grid_path_cells(a: int, b: int) -> list[int] | None:
     out = []
     for s in range(n + 1):
         t = s / n if n else 0.0
-        # lerp in local axial space with cube rounding (public
-        # gridPathCells approach)
         ri, rj = _cube_round(la[0] + di * t, la[1] + dj * t)
         cell = local_ij_to_cell(a, ri, rj)
-        if cell is not None and (not out or out[-1] != cell):
+        if cell is None:
+            return None
+        if not out or out[-1] != cell:
             out.append(cell)
+    if out[0] != a or out[-1] != b:
+        return None
+    for x, y in zip(out, out[1:]):
+        if not are_neighbor_cells(x, y):
+            return None
     return out
+
+
+def _geo_midpoint_cell(a: int, b: int, res: int) -> int | None:
+    """Cell at the spherical midpoint of two cell centroids."""
+    la1, ln1 = cell_to_latlng(a)
+    la2, ln2 = cell_to_latlng(b)
+    p1 = _latlng_to_vec3(la1, ln1)
+    p2 = _latlng_to_vec3(la2, ln2)
+    m = [p1[i] + p2[i] for i in range(3)]
+    norm = math.sqrt(sum(v * v for v in m))
+    if norm < 1e-12:  # antipodal: nudge
+        m = [p1[0] + 1e-6, p1[1], p1[2] + 1e-6]
+        norm = math.sqrt(sum(v * v for v in m))
+    m = [v / norm for v in m]
+    lat = math.degrees(math.asin(max(-1.0, min(1.0, m[2]))))
+    lng = math.degrees(math.atan2(m[1], m[0]))
+    return latlng_to_cell(lat, lng, res)
+
+
+def _latlng_to_vec3(lat: float, lng: float):
+    lar, lnr = math.radians(lat), math.radians(lng)
+    return (
+        math.cos(lar) * math.cos(lnr),
+        math.cos(lar) * math.sin(lnr),
+        math.sin(lar),
+    )
+
+
+def grid_path_cells(a: int, b: int, _depth: int = 0) -> list[int] | None:
+    """Line of cells from a to b (S14; h3ron/src/lib.rs:86-110).
+
+    Local-frame lerp when the pair shares a usable frame; long or
+    face-crossing pairs are split recursively at the spherical
+    midpoint (the reference, like libh3, simply errors on those —
+    documented divergence: we succeed wherever a connected path
+    exists)."""
+    if a == b:
+        return [a]
+    direct = _path_local(a, b)
+    if direct is not None:
+        return direct
+    if _depth >= 40:
+        return None
+    mid = _geo_midpoint_cell(a, b, ix.get_resolution(a))
+    if mid is None or mid == a or mid == b:
+        # cannot subdivide further: adjacent but distorted — BFS hop
+        d = _bfs_distance(a, b)
+        if d == 1:
+            return [a, b]
+        return None
+    p1 = grid_path_cells(a, mid, _depth + 1)
+    p2 = grid_path_cells(mid, b, _depth + 1)
+    if p1 is None or p2 is None:
+        return None
+    return p1 + p2[1:]
 
 
 def _cube_round(fi: float, fj: float) -> tuple[int, int]:

@@ -66,7 +66,10 @@ def line_to_cells(coords, res: int) -> list[int]:
     verts = [latlng_to_cell(la, ln, res) for la, ln in coords]
     out: list[int] = []
     for a, b in zip(verts, verts[1:]):
-        for c in grid_path_cells(a, b):
+        path = grid_path_cells(a, b)
+        if path is None:  # unroutable segment (pentagon distortion):
+            path = [a, b]  # keep endpoints, degrade gracefully
+        for c in path:
             if not out or out[-1] != c:  # consecutive dedup, as lib.rs:129
                 out.append(c)
     if not out and verts:

@@ -64,9 +64,11 @@ def partition_by_resolution(
 def bounding_rect(df: DataFrame, cell_col: str = "cell"):
     """D8: aggregate bbox (min/max lat/lng of cell centroids) over the
     frame. One partial+final agg, no shuffle of data rows."""
-    ll = G.h3_cell_to_latlng(cell_col)
+    # single UDF evaluation, then cheap field extraction
     return df.select(
-        ll["lat"].alias("_lat"), ll["lng"].alias("_lng")
+        G.h3_cell_to_latlng(cell_col).alias("_ll")
+    ).select(
+        F.col("_ll.lat").alias("_lat"), F.col("_ll.lng").alias("_lng")
     ).agg(
         F.min("_lat").alias("min_lat"),
         F.max("_lat").alias("max_lat"),

@@ -62,7 +62,9 @@ def polyfill_table(
         if intersecting
         else R.polygon_to_cells(ring, res, holes)
     )
-    return spark.createDataFrame([(c,) for c in cells], "probe_cell long")
+    from h3ron_spark.util import local_df
+
+    return local_df(spark, [(c,) for c in cells], "probe_cell long")
 
 
 def _rect_ring(min_lat, min_lng, max_lat, max_lng):
@@ -95,13 +97,15 @@ def cells_in_rect(
         B.h3_to_parent(cell_col, pres) == probe.probe_cell,
         "left_semi",
     )
-    ll = G.h3_cell_to_latlng(cell_col)
-    return coarse.filter(
-        (ll["lat"] >= min_lat)
-        & (ll["lat"] <= max_lat)
-        & (ll["lng"] >= min_lng)
-        & (ll["lng"] <= max_lng)
-    )
+    # materialize the centroid ONCE: repeated references to the UDF
+    # expression would each get their own python-eval node
+    with_ll = coarse.withColumn("_ll", G.h3_cell_to_latlng(cell_col))
+    return with_ll.filter(
+        (F.col("_ll.lat") >= min_lat)
+        & (F.col("_ll.lat") <= max_lat)
+        & (F.col("_ll.lng") >= min_lng)
+        & (F.col("_ll.lng") <= max_lng)
+    ).drop("_ll")
 
 
 def cells_in_polygon(
@@ -173,18 +177,21 @@ def cells_within_distance(
     hex_r_km = math.sqrt(average_hexagon_area_km2(pres) * 2 / (3 * math.sqrt(3)))
     k = max(1, int(math.ceil(distance_km / (hex_r_km * 1.5))) + 1)
     center = latlng_to_cell(lat, lng, pres)
-    probe = spark.createDataFrame(
-        [(c,) for c in grid_disk(center, k)], "probe_cell long"
+    from h3ron_spark.util import local_df
+
+    probe = local_df(
+        spark, [(c,) for c in grid_disk(center, k)], "probe_cell long"
     )
     coarse = df.join(
         F.broadcast(probe),
         B.h3_to_parent(cell_col, pres) == probe.probe_cell,
         "left_semi",
     )
-    ll = G.h3_cell_to_latlng(cell_col)
-    return coarse.filter(
+    with_ll = coarse.withColumn("_ll", G.h3_cell_to_latlng(cell_col))
+    return with_ll.filter(
         G.h3_great_circle_distance_km(
-            ll["lat"], ll["lng"], F.lit(float(lat)), F.lit(float(lng))
+            F.col("_ll.lat"), F.col("_ll.lng"),
+            F.lit(float(lat)), F.lit(float(lng))
         )
         <= distance_km
-    )
+    ).drop("_ll")

@@ -316,8 +316,10 @@ _STOP_SQL = "('the','a','of','and','to','in')"
 def text_document_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/quality statistics — single scan, all
     higher-order JVM functions (no Python), columns pruned to (doc_id,
-    text) at the parquet reader."""
-    docs = load(spark, sf_dir, "documents")
+    text) at the parquet reader. The scan is CPU-bound per row, so
+    spread the single-file source across cores first."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents").repartition(par)
     return docs.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),

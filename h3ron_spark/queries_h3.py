@@ -209,7 +209,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature/banding/Jaccard are all JVM higher-order functions; the
     only shuffle keys on the band hash. The DuckDB oracle replicates
     the identical md5-derived permutation hashes."""
-    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents").repartition(par)
     return DD.minhash_dedup_pairs(docs, threshold=0.5)
 
 
@@ -238,7 +239,8 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint groups (bit-majority over shingle hashes,
     all JVM bit math); grouping identical fingerprints is the cheap
     near-dup bucketing."""
-    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents").repartition(par)
     sim = DD.simhash_df(docs)
     return sim.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("min_doc")
@@ -343,7 +345,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _event_cells(spark: SparkSession, sf_dir: str, res: int = 5) -> DataFrame:
     from h3ron_spark.functions import geo as G
 
-    ev = load(spark, sf_dir, "events")
+    # Repartition BEFORE the encode kernel: the source is one parquet
+    # file and AQE coalesces small-in-bytes shuffles to one partition,
+    # which would serialize the per-row Python kernel. Cost here is
+    # CPU-per-row, not bytes — spread it across all cores.
+    par = spark.sparkContext.defaultParallelism
+    ev = load(spark, sf_dir, "events").repartition(par)
     return ev.select(
         "event_id",
         G.h3_latlng_to_cell(
@@ -371,7 +378,8 @@ def geo_disk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     disk kernel)."""
     from h3ron_spark.functions import geo as G
 
-    cells = _event_cells(spark, sf_dir, 5).select("cell").distinct()
+    par = spark.sparkContext.defaultParallelism
+    cells = _event_cells(spark, sf_dir, 5).select("cell").distinct().repartition(par)
     disks = cells.select(
         "cell", F.explode(G.h3_grid_disk("cell", F.lit(1))).alias("n")
     )
@@ -421,12 +429,27 @@ def _event_line_graph(spark: SparkSession, sf_dir: str):
         .limit(40)
         .select(derived_lat().alias("lat"), derived_lng().alias("lng"))
     )
-    pts = [(r.lat, r.lng) for r in ev.collect()]
-    df = spark.createDataFrame(
-        [([{"lat": la, "lng": ln} for la, ln in pts],)],
-        "coords array<struct<lat: double, lng: double>>",
+    # confine the walk to a ~1 degree box so the traced graph size is
+    # bounded and independent of how far apart raw events land
+    pts = [
+        (37.0 + (r.lat + 80.0) / 160.0, -122.0 + (r.lng + 180.0) / 360.0)
+        for r in ev.collect()
+    ]
+    # build the one-row coords table as a pure JVM literal (a
+    # python-list createDataFrame would pay an RDD-serialization round
+    # on every downstream action)
+    coords = F.array(
+        *[
+            F.struct(F.lit(la).alias("lat"), F.lit(ln).alias("lng"))
+            for la, ln in pts
+        ]
     )
-    return graph_from_linestrings(df, 4)
+    # one row -> one partition: a wide stage of empty partitions still
+    # pays a python-worker attach per task for UDF plans
+    df = spark.range(1, numPartitions=1).select(coords.alias("coords"))
+    # several downstream actions (adjacency collect, node listing)
+    # reuse the edges — materialize once
+    return graph_from_linestrings(df, 6).localCheckpoint(eager=True)
 
 
 @register("geo_route_line")
