@@ -513,3 +513,93 @@ def h3_uncompact_cells(cells: pa.Array, res: pa.Array) -> pa.Array:
         except Exception:
             out.append(None)
     return pa.array(out, _ARR_I64)
+
+
+# ------------------------------------------------------- geometry dispatch
+
+
+@arrow_udf(_ARR_I64_SPARK)
+def h3_geometry_to_cells(wkt: pa.Array, res: pa.Array) -> pa.Array:
+    """G2: ToH3Cells dispatch over any WKT geometry type
+    (h3ron/src/to_h3.rs:24-127). NULL on parse failure."""
+    from h3ron_spark.h3core.wkt import geometry_to_cells
+
+    out = []
+    for w, r in zip(wkt.to_pylist(), res.to_pylist()):
+        if w is None or r is None or not 0 <= r <= 15:
+            out.append(None)
+            continue
+        try:
+            out.append(geometry_to_cells(w, r))
+        except Exception:
+            out.append(None)
+    return pa.array(out, _ARR_I64)
+
+
+@arrow_udf(_ARR_I64_SPARK)
+def h3_polygon_to_cells(wkt: pa.Array, res: pa.Array) -> pa.Array:
+    """G1: centroid-in polyfill of a WKT POLYGON/MULTIPOLYGON
+    (to_h3.rs:213-247)."""
+    from h3ron_spark.h3core.regions import polygon_to_cells
+    from h3ron_spark.h3core.wkt import parse_wkt
+
+    out = []
+    for w, r in zip(wkt.to_pylist(), res.to_pylist()):
+        if w is None or r is None or not 0 <= r <= 15:
+            out.append(None)
+            continue
+        try:
+            kind, payload = parse_wkt(w)
+            if kind == "polygon":
+                outer, holes = payload
+                out.append(polygon_to_cells(outer, r, holes))
+            elif kind == "multipolygon":
+                acc = set()
+                for outer, holes in payload:
+                    acc.update(polygon_to_cells(outer, r, holes))
+                out.append(sorted(acc))
+            else:
+                out.append(None)
+        except Exception:
+            out.append(None)
+    return pa.array(out, _ARR_I64)
+
+
+@arrow_udf(_ARR_I64_SPARK)
+def h3_line_to_cells(wkt: pa.Array, res: pa.Array) -> pa.Array:
+    """G3: ordered cell trace of a WKT LINESTRING (lib.rs:112-132)."""
+    from h3ron_spark.h3core.regions import line_to_cells
+    from h3ron_spark.h3core.wkt import parse_wkt
+
+    out = []
+    for w, r in zip(wkt.to_pylist(), res.to_pylist()):
+        if w is None or r is None or not 0 <= r <= 15:
+            out.append(None)
+            continue
+        try:
+            kind, payload = parse_wkt(w)
+            out.append(line_to_cells(payload, r) if kind == "linestring" else None)
+        except Exception:
+            out.append(None)
+    return pa.array(out, _ARR_I64)
+
+
+@arrow_udf(T.StringType())
+def h3_cells_to_linestring_wkt(cells: pa.Array) -> pa.Array:
+    """P8 to_linestring: centroid linestring of an ordered cell path
+    (h3ron-graph/src/algorithm/path.rs:118-150)."""
+    out = []
+    for arr in cells.to_pylist():
+        if arr is None or len(arr) == 0:
+            out.append(None)
+            continue
+        pts = [_latlng(c) for c in arr]
+        if any(p is None for p in pts):
+            out.append(None)
+            continue
+        out.append(
+            "LINESTRING ("
+            + ", ".join(f"{ln:.9f} {la:.9f}" for la, ln in pts)
+            + ")"
+        )
+    return pa.array(out, _STR)

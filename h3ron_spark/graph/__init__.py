@@ -7,6 +7,7 @@ from h3ron_spark.graph.build import (  # noqa: F401
     graph_nodes,
 )
 from h3ron_spark.graph.algorithms import (  # noqa: F401
+    covered_area,
     differential_shortest_path,
     nearest_graph_nodes,
     shortest_path_many_to_many,

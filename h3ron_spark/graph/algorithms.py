@@ -391,3 +391,24 @@ def sssp_frontier(
             break
         dist = merged
     return dist
+
+
+def covered_area(
+    edges: DataFrame,
+    reduce_res: int,
+    smooth_iterations: int = 0,
+) -> DataFrame:
+    """P12 CoveredArea (covered_area.rs:13-52): dissolved multipolygon
+    outline of the graph's node coverage at a reduced resolution —
+    node cells -> parents -> grouped dissolve (D2 + G5/G6)."""
+    from h3ron_spark.functions import bits as B
+    from h3ron_spark.operators.dissolve import cells_to_polygons_df
+
+    from h3ron_spark.graph.build import graph_nodes
+
+    nodes = graph_nodes(edges).select(
+        B.h3_to_parent("cell", reduce_res).alias("cell")
+    ).distinct()
+    return cells_to_polygons_df(
+        nodes, "cell", smooth_iterations=smooth_iterations
+    )

@@ -520,3 +520,30 @@ def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assets"),
         F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
     )
+
+
+@register("geo_wkt_polyfill")
+def geo_wkt_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G2: WKT geometry dispatch — polyfill a polygon, trace a
+    linestring, index points, all through the one dispatching UDF;
+    returns cell counts per geometry kind."""
+    from h3ron_spark.functions import geo as G
+
+    rows = [
+        ("polygon",
+         "POLYGON ((-122.5 37.70, -122.38 37.70, -122.38 37.82, "
+         "-122.5 37.82, -122.5 37.70))"),
+        ("linestring", "LINESTRING (-122.5 37.70, -122.38 37.82)"),
+        ("point", "POINT (-122.44 37.76)"),
+        ("multipolygon",
+         "MULTIPOLYGON (((-122.5 37.70, -122.38 37.70, -122.38 37.82, "
+         "-122.5 37.82, -122.5 37.70)), ((45.0 45.0, 45.1 45.0, "
+         "45.1 45.1, 45.0 45.1, 45.0 45.0)))"),
+    ]
+    from h3ron_spark.util import local_df
+
+    df = local_df(spark, rows, "kind string, wkt string").coalesce(1)
+    return df.select(
+        "kind",
+        F.size(G.h3_geometry_to_cells("wkt", F.lit(8))).alias("n_cells"),
+    )
