@@ -86,16 +86,21 @@ def _latlng_struct(pairs):
 
 @arrow_udf(T.LongType())
 def h3_latlng_to_cell(lat: pa.Array, lng: pa.Array, res: pa.Array) -> pa.Array:
-    enc = h3c.latlng_to_cell
-    out = []
-    for la, ln, r in zip(lat.to_pylist(), lng.to_pylist(), res.to_pylist()):
-        if la is None or ln is None or r is None or not (
-            0 <= r <= 15 and -90.0 <= la <= 90.0
-        ):
-            out.append(None)
-        else:
-            out.append(enc(la, ln, r))
-    return pa.array(out, _I64)
+    """S1 encode (cell.rs:66-71), numpy-vectorized whole-batch kernel
+    (h3core.vectorized; bit-exact vs the scalar reference, pentagons
+    fall back row-wise)."""
+    import numpy as np
+
+    from h3ron_spark.h3core.vectorized import latlng_to_cell_batch
+
+    la = lat.to_numpy(zero_copy_only=False)
+    ln = lng.to_numpy(zero_copy_only=False)
+    rs = res.to_numpy(zero_copy_only=False)
+    rs_null = ~np.isfinite(rs) if rs.dtype.kind == "f" else np.zeros(len(rs), bool)
+    cells = latlng_to_cell_batch(
+        la, ln, np.where(rs_null, -1, rs).astype(np.int64)
+    )
+    return pa.array(cells, _I64, mask=cells == 0)
 
 
 @lru_cache(maxsize=_CACHE)

@@ -43,4 +43,37 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    warm_python_workers(spark)
+    return spark
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Pre-fork the Python UDF worker pool (one tiny Arrow-UDF task per
+    core) so the first real kernel stage doesn't pay worker fork +
+    module import. On a long-lived cluster the pool amortizes to zero;
+    locally it is a fixed ~3 s session-setup cost that would otherwise
+    land on whichever query runs first."""
+    try:
+        import pyarrow as pa
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import LongType
+
+        @arrow_udf(LongType())
+        def _touch(x: pa.Array) -> pa.Array:
+            from h3ron_spark.h3core import derive
+            from h3ron_spark.h3core import vectorized
+
+            derive.precompute()
+            vectorized._luts()
+            return x
+
+        par = spark.sparkContext.defaultParallelism
+        (
+            spark.range(par, numPartitions=par)
+            .select(_touch(F.col("id")))
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:
+        pass  # warm-up is best-effort; never block session creation
