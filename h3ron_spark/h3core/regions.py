@@ -231,18 +231,69 @@ def cells_to_polygons(cells) -> list[tuple[list, list]]:
     return out
 
 
-def smoothen_ring(ring, iterations: int = 1):
-    """Chaikin corner cutting (h3ron/src/algorithm/smoothen.rs:17-75)."""
+def _triangle_area(a, b, c) -> float:
+    """Unsigned area of the (lat,lng)-plane triangle a-b-c."""
+    return abs(
+        (b[0] - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (b[1] - a[1])
+    ) / 2.0
+
+
+def visvalingam_ring(ring, epsilon: float):
+    """Visvalingam-Whyatt simplification, cyclic (ring) variant
+    (smoothen.rs:53-60 uses geo's SimplifyVw after the midpoint pass).
+
+    Iteratively drops the vertex whose effective triangle area
+    (formed with its cyclic neighbors) is smallest, while that area is
+    below ``epsilon``; never reduces below 3 vertices. O(n^2) scan per
+    ring — rings here are per-dissolve-group small, and the operator
+    runs inside a grouped Arrow batch, so the quadratic constant never
+    meets full-table n.
+    """
     pts = list(ring)
-    for _ in range(iterations):
-        nxt = []
+    while len(pts) > 3:
         n = len(pts)
+        best_i = 0
+        best_a = None
         for i in range(n):
-            a = pts[i]
-            b = pts[(i + 1) % n]
-            nxt.append((0.75 * a[0] + 0.25 * b[0], 0.75 * a[1] + 0.25 * b[1]))
-            nxt.append((0.25 * a[0] + 0.75 * b[0], 0.25 * a[1] + 0.75 * b[1]))
-        pts = nxt
+            a = _triangle_area(pts[i - 1], pts[i], pts[(i + 1) % n])
+            if best_a is None or a < best_a:
+                best_i, best_a = i, a
+        if best_a is not None and best_a < epsilon:
+            pts.pop(best_i)
+        else:
+            break
+    return pts
+
+
+def smoothen_ring(ring, iterations: int = 1, simplify: bool = True):
+    """Smoothen a dissolved-hexagon ring
+    (smoothen_h3_coordinates, h3ron/src/algorithm/smoothen.rs:17-63).
+
+    The reference exploits equal hexagon edge lengths: one midpoint per
+    edge per pass (a Chaikin variant without vertex duplication), then
+    Visvalingam-Whyatt simplification with
+    ``epsilon = 0.75 * area(triangle(ring[0..3]))`` — three consecutive
+    boundary vertices of a hexagon — to drop near-collinear vertices.
+    Divergence recorded: the reference keeps the original closing
+    coordinate and rotates the ring by 4 before simplifying (an
+    endpoint artifact of its open-linestring VW); we treat the ring as
+    cyclic, which is the documented intent.
+    """
+    pts = list(ring)
+    for _ in range(max(0, iterations)):
+        n = len(pts)
+        if n < 3:
+            break
+        pts = [
+            (
+                0.5 * pts[i][0] + 0.5 * pts[(i + 1) % n][0],
+                0.5 * pts[i][1] + 0.5 * pts[(i + 1) % n][1],
+            )
+            for i in range(n)
+        ]
+    if simplify and len(ring) >= 3:
+        eps = 0.75 * _triangle_area(ring[0], ring[1], ring[2])
+        pts = visvalingam_ring(pts, eps)
     return pts
 
 

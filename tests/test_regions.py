@@ -89,7 +89,30 @@ def test_clusters_scalar():
     assert len(set(lab2.values())) == 2
 
 
-def test_smoothen_doubles_vertices():
+def test_smoothen_midpoint_pass_preserves_count():
     polys = R.cells_to_polygons(h3c.grid_disk(SEED, 1))
     shell = polys[0][0]
-    assert len(R.smoothen_ring(shell, 1)) == 2 * len(shell)
+    # one midpoint per edge, no vertex duplication (smoothen.rs:36-51)
+    assert len(R.smoothen_ring(shell, 1, simplify=False)) == len(shell)
+
+
+def test_smoothen_simplify_drops_near_collinear():
+    polys = R.cells_to_polygons(h3c.grid_disk(SEED, 1))
+    shell = polys[0][0]
+    out = R.smoothen_ring(shell, 1)
+    assert 3 <= len(out) <= len(shell)
+    # smoothed+simplified outline stays inside the bbox of the original
+    lats = [p[0] for p in shell]
+    lngs = [p[1] for p in shell]
+    for la, ln in out:
+        assert min(lats) - 1e-9 <= la <= max(lats) + 1e-9
+        assert min(lngs) - 1e-9 <= ln <= max(lngs) + 1e-9
+
+
+def test_visvalingam_square_unchanged():
+    # a square has no small-area vertices at epsilon below its corner area
+    sq = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+    assert R.visvalingam_ring(sq, 1e-6) == sq
+    # with a midpoint inserted on one edge (zero-area vertex) it gets dropped
+    sq_mid = [(0.0, 0.0), (0.0, 0.5), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+    assert R.visvalingam_ring(sq_mid, 1e-6) == sq
