@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "ann_topk_cosine",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
 ]
 
 

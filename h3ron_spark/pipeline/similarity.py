@@ -109,6 +109,128 @@ def lsh_bucket(vec, dim: int, planes: int = 8, seed: int = 42) -> Column:
     return acc
 
 
+def ivf_centroid_rows(
+    corpus: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_lists`` corpus vectors
+    with the smallest ids. A bounded-size model parameter (like k-means
+    centroids after training) — collecting it to the driver is O(n_lists),
+    independent of corpus size, and lets the assignment step run as a
+    pure JVM column expression with zero shuffle."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+        .filter(F.col("cid") < n_lists)
+        .orderBy("cid")
+        .collect()
+    )
+    return [(r.cid, [float(t) for t in r.v]) for r in rows]
+
+
+def ivf_best_lists(vec, centroids, nprobe: int = 1) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids for ``vec`` (by
+    cosine, ties to the smaller cid), as a single JVM expression —
+    map-side, no shuffle, no Python. Cosines are rounded to 6 dp so
+    tie-breaking is reproducible across engines."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    entries = [
+        F.struct(
+            F.round(cosine(vec, F.array(*[F.lit(t) for t in cv])), 6).alias("sim"),
+            F.lit(-cid).alias("negcid"),
+        )
+        for cid, cv in centroids
+    ]
+    ranked = F.reverse(F.array_sort(F.array(*entries)))
+    return F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: -s["negcid"]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: assign every corpus vector to its nearest
+    coarse-quantizer centroid (its inverted list), probe the ``nprobe``
+    nearest lists per query, exact-cosine rerank inside the probed
+    lists.
+
+    Scale shape: the quantizer is a bounded model (``n_lists`` rows)
+    embedded as literals, so list assignment is one map-side projection
+    over the corpus scan — no shuffle, no Python. Candidate generation
+    is a broadcast equi-join on ``list_id`` (queries are the small
+    side); the only shuffle is the per-query top-k window over
+    candidates, ~``nprobe/n_lists`` of the corpus instead of all of it.
+    """
+    cents = ivf_centroid_rows(corpus, n_lists, id_col, vec_col)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        ivf_best_lists(vec_col, cents, 1)[0].alias("list_id"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(ivf_best_lists(vec_col, cents, nprobe)).alias("list_id"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with LSH-bucket blocking.
+
+    Candidate pairs are generated by a self equi-join on the
+    random-hyperplane bucket (SimHash for vectors), NOT an O(n^2) cross
+    join — the blocking is the documented approximation (same-bucket
+    recall), identical to the reference LSH candidate semantics. Output
+    ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine >= threshold.
+    """
+    side = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(vec_col, dim, planes, seed).alias("bucket"),
+    )
+    a = side.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "bucket"
+    )
+    b = side.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine("v_a", "v_b"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -335,6 +335,98 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, dim=_DIM, k=5, planes=_PLANES)
 
 
+_IVF_LISTS = 16
+_IVF_NPROBE = 2
+
+_COSINE = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_IVF_ORACLE = f"""
+  WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  ), cent AS (
+    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_LISTS}
+  ), sims AS (
+    SELECT e.vec_id, e.v, c.cid,
+           {_COSINE.format(a="e.v", b="c.cv")} AS sim
+    FROM e CROSS JOIN cent c
+  ), assigned AS (
+    SELECT vec_id, v, cid AS list_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid ASC) AS rn
+      FROM sims) WHERE rn = 1
+  ), probes AS (
+    SELECT vec_id AS query_id, v AS qv, cid AS list_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid ASC) AS rn
+      FROM sims WHERE vec_id % 50 = 0) WHERE rn <= {_IVF_NPROBE}
+  ), scored AS (
+    SELECT p.query_id, a.vec_id,
+           {_COSINE.format(a="p.qv", b="a.v")} AS cosine
+    FROM assigned a JOIN probes p USING (list_id)
+    WHERE a.vec_id <> p.query_id
+  )
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (SURVEY training-pipeline scale path next
+    to brute-force and LSH): deterministic coarse quantizer (lowest-id
+    vectors), map-side list assignment as a JVM expression, probe the
+    2 nearest lists per query, exact cosine rerank. The oracle
+    replicates the identical quantizer/probe semantics in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(
+        emb, queries, n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE, k=5
+    )
+
+
+_EMB_DUP_THRESHOLD = 0.25
+
+
+def _emb_dup_oracle() -> str:
+    hps = SIM._hyperplanes(_DIM, _PLANES, 42)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(t) for t in h)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, h in enumerate(hps)
+    )
+    return f"""
+  WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  ), b AS (
+    SELECT vec_id, v, ({bucket_terms}) AS bucket FROM e
+  )
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         {_COSINE.format(a="a.v", b="c.v")} AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE {_COSINE.format(a="a.v", b="c.v")} >= {_EMB_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_emb_dup_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with LSH-bucket blocking (the
+    SURVEY dedup list's embedding variant): same-bucket candidate
+    equi-join, exact cosine filter at the threshold. The oracle embeds
+    the same hyperplane constants and blocking."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(
+        emb, _EMB_DUP_THRESHOLD, dim=_DIM, planes=_PLANES
+    )
+
+
 # =====================================================================
 # Geodesic workloads (rows-only driver check: no SQL oracle can
 # compute the icosahedral math; correctness is pinned by the pytest

@@ -1,0 +1,73 @@
+"""Similarity-search pipeline units: IVF list assignment, probe
+semantics, recall vs the brute-force baseline, and embedding near-dup
+blocking — at sf0.001 (500 vectors, dim 64)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from h3ron_spark.pipeline import similarity as SIM
+from h3ron_spark.testdata import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_DIR, "embeddings")
+
+
+def test_ivf_assignment_is_exhaustive_and_unique(spark, emb):
+    cents = SIM.ivf_centroid_rows(emb, 16)
+    assert [c for c, _ in cents] == list(range(16))
+    assigned = emb.select(
+        "vec_id", SIM.ivf_best_lists("embedding", cents, 1)[0].alias("list_id")
+    )
+    pdf = assigned.toPandas()
+    assert len(pdf) == emb.count()
+    assert pdf["list_id"].between(0, 15).all()
+    # a centroid's own vector always lands in its own list (cosine 1)
+    own = pdf[pdf.vec_id < 16]
+    assert (own.list_id == own.vec_id).all()
+
+
+def test_ivf_probes_are_ordered_prefix(spark, emb):
+    cents = SIM.ivf_centroid_rows(emb, 16)
+    one = emb.select(SIM.ivf_best_lists("embedding", cents, 1).alias("p"))
+    three = emb.select(SIM.ivf_best_lists("embedding", cents, 3).alias("p"))
+    for r1, r3 in zip(one.collect(), three.collect()):
+        assert len(r1.p) == 1 and len(r3.p) == 3
+        assert r3.p[0] == r1.p[0]
+        assert len(set(r3.p)) == 3
+
+
+def test_ivf_topk_subset_of_bruteforce_candidates(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = SIM.ivf_topk(emb, queries, n_lists=16, nprobe=4, k=5).toPandas()
+    exact = SIM.brute_force_topk(emb, queries, k=50).toPandas()
+    assert set(ivf.query_id) == set(exact.query_id)
+    for qid, grp in ivf.groupby("query_id"):
+        assert len(grp) == 5
+        assert grp["rank"].tolist() == [1, 2, 3, 4, 5]
+        # IVF cosines are exact for the candidates it returns: every
+        # returned (vec, cosine) must appear identically in the exact
+        # scoring of the same query
+        ex = exact[exact.query_id == qid].set_index("vec_id")["cosine"]
+        for _, row in grp.iterrows():
+            if row.vec_id in ex.index:
+                assert abs(ex[row.vec_id] - row.cosine) < 1e-9
+
+
+def test_embedding_near_dup_pairs_blocked(spark, emb):
+    pairs = SIM.embedding_near_dup_pairs(emb, 0.2, dim=64, planes=4).toPandas()
+    assert (pairs.id_a < pairs.id_b).all()
+    assert (pairs.cosine >= 0.2).all()
+    # blocking: every returned pair shares its LSH bucket
+    buckets = emb.select(
+        "vec_id", SIM.lsh_bucket("embedding", 64, 4).alias("b")
+    ).toPandas().set_index("vec_id")["b"]
+    for _, r in pairs.iterrows():
+        assert buckets[r.id_a] == buckets[r.id_b]
