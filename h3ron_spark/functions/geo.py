@@ -245,6 +245,33 @@ def h3_grid_disk_distances(cell: pa.Array, k: pa.Array) -> pa.Array:
     return pa.array(out, pa.list_(_CELL_K))
 
 
+@arrow_udf(_CELL_K_SPARK)
+def h3_grid_disk_distances_range(
+    cell: pa.Array, k_min: pa.Array, k_max: pa.Array
+) -> pa.Array:
+    """Ring-window disk: cells with distance in [k_min, k_max]
+    (GridDiskBuilder, h3ron/src/iter/grid_disk.rs:16-100)."""
+    out = []
+    for c, lo, hi in zip(
+        cell.to_pylist(), k_min.to_pylist(), k_max.to_pylist()
+    ):
+        if (
+            c is None
+            or hi is None
+            or hi < 0
+            or not h3c.is_valid_cell(c)
+        ):
+            out.append(None)
+            continue
+        out.append(
+            [
+                {"cell": cc, "k": dd}
+                for cc, dd in h3c.grid_disk_distances(c, hi, max(0, lo or 0))
+            ]
+        )
+    return pa.array(out, pa.list_(_CELL_K))
+
+
 @arrow_udf(T.IntegerType())
 def h3_grid_distance(a: pa.Array, b: pa.Array) -> pa.Array:
     out = []

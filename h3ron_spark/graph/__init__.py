@@ -6,6 +6,14 @@ from h3ron_spark.graph.build import (  # noqa: F401
     graph_from_linestrings,
     graph_nodes,
 )
+from h3ron_spark.graph.path import (  # noqa: F401
+    order_paths,
+    path_cells_col,
+    path_edge_count,
+    path_is_empty,
+    path_length_m,
+    path_linestring_wkt,
+)
 from h3ron_spark.graph.algorithms import (  # noqa: F401
     covered_area,
     differential_shortest_path,

@@ -233,10 +233,13 @@ def are_neighbor_cells(a: int, b: int) -> bool:
     return b in neighbors(a)
 
 
-def grid_disk_distances(h: int, k: int) -> list[tuple[int, int]]:
-    """All cells within grid distance k with their distance (S12;
-    cell.rs:186-218). BFS over geometric neighbors; output sorted by
-    (distance, cell) for determinism."""
+def grid_disk_distances(h: int, k: int, k_min: int = 0) -> list[tuple[int, int]]:
+    """All cells with grid distance in [k_min, k] with their distance
+    (S12; cell.rs:186-218 — the reference's ``grid_disk_distances(
+    k_min, k_max)`` and the ``GridDiskBuilder`` ring-window iterator,
+    iter/grid_disk.rs:16-100, filter at cell.rs:231-242). BFS over
+    geometric neighbors; output sorted by (distance, cell) for
+    determinism."""
     seen = {h: 0}
     frontier = [h]
     for dist in range(1, k + 1):
@@ -247,7 +250,10 @@ def grid_disk_distances(h: int, k: int) -> list[tuple[int, int]]:
                     seen[n] = dist
                     nxt.append(n)
         frontier = nxt
-    return sorted(seen.items(), key=lambda t: (t[1], t[0]))
+    return sorted(
+        ((c, d) for c, d in seen.items() if d >= k_min),
+        key=lambda t: (t[1], t[0]),
+    )
 
 
 def grid_disk(h: int, k: int) -> list[int]:

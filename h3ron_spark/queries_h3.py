@@ -519,12 +519,18 @@ def _event_line_graph(spark: SparkSession, sf_dir: str):
         load(spark, sf_dir, "events")
         .orderBy("event_id")
         .limit(40)
-        .select(derived_lat().alias("lat"), derived_lng().alias("lng"))
+        .select("user_id", "event_id")
     )
     # confine the walk to a ~1 degree box so the traced graph size is
-    # bounded and independent of how far apart raw events land
+    # bounded and independent of the raw coordinate spread; hash the
+    # ids so consecutive events genuinely move across the box (the raw
+    # derived lat/lng of the first event_ids collapse to one point,
+    # which would trace a single cell and an empty edge graph)
     pts = [
-        (37.0 + (r.lat + 80.0) / 160.0, -122.0 + (r.lng + 180.0) / 360.0)
+        (
+            37.0 + ((r.user_id * 7 + r.event_id) * 37 % 97) / 97.0,
+            -122.0 + (r.event_id * 31 % 89) / 89.0,
+        )
         for r in ev.collect()
     ]
     # build the one-row coords table as a pure JVM literal (a
@@ -551,9 +557,62 @@ def geo_route_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h3ron_spark.graph import graph_nodes, shortest_path_many_to_many
 
     g = _event_line_graph(spark, sf_dir)
-    nodes = [r.cell for r in graph_nodes(g).orderBy("cell").limit(12).collect()]
+    nodes = _spread_nodes(g, 12)
     out = shortest_path_many_to_many(g, nodes[:6], nodes[6:12])
     return out.select("origin", "destination", F.round("cost", 4).alias("cost"))
+
+
+def _spread_nodes(g, n: int) -> list[int]:
+    """n graph nodes evenly spread over the cell-id order, so routing
+    endpoint pairs span the graph instead of one adjacent cluster."""
+    from h3ron_spark.graph import graph_nodes
+
+    all_nodes = [r.cell for r in graph_nodes(g).orderBy("cell").collect()]
+    if len(all_nodes) <= n:
+        return all_nodes
+    step = len(all_nodes) // n
+    return [all_nodes[i * step] for i in range(n)]
+
+
+@register("geo_route_path_stats")
+def geo_route_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 path value objects over B5 routes: per-path edge count,
+    exact boundary-segment length, merged centroid linestring, in the
+    reference's deterministic (cost, origin, destination) order
+    (path.rs:69-135, :194-206)."""
+    from h3ron_spark import graph as GR
+
+    g = _event_line_graph(spark, sf_dir)
+    nodes = _spread_nodes(g, 12)
+    sp = GR.shortest_path_many_to_many(g, nodes[:6], nodes[6:12])
+    return GR.order_paths(sp).select(
+        "origin",
+        "destination",
+        F.round("cost", 4).alias("cost"),
+        GR.path_edge_count("path_edges").alias("n_edges"),
+        F.round(GR.path_length_m("path_edges"), 1).alias("length_m"),
+        F.substring(GR.path_linestring_wkt("path_edges"), 1, 10).alias("wkt_prefix"),
+    )
+
+
+@register("geo_ring_window")
+def geo_ring_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 ring-window disks (GridDiskBuilder k_min/k_max,
+    iter/grid_disk.rs:16-100): hollow 2..3 neighborhoods of the
+    distinct res-4 event cells, counted per k."""
+    from h3ron_spark.functions import geo as G
+
+    cells = _event_cells(spark, sf_dir, 4).select("cell").distinct()
+    nk = cells.select(
+        F.explode(
+            G.h3_grid_disk_distances_range("cell", F.lit(2), F.lit(3))
+        ).alias("nk")
+    )
+    return (
+        nk.select(F.col("nk.k").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
 
 
 @register("geo_isochrone")

@@ -208,3 +208,60 @@ def test_sssp_frontier_matches_dijkstra(line_edges, path_cells):
     got_b = {(r.cell, r.weight) for r in broad}
     got_f = {(r.cell, r.weight) for r in front}
     assert got_f == got_b
+
+
+def test_path_value_object_helpers(line_edges, path_cells):
+    """P8 DirectedEdgePath helpers over the routed edge sequence
+    (path.rs:69-135)."""
+    src, dst = path_cells[0], path_cells[-1]
+    sp = GR.shortest_path_many_to_many(line_edges, [src], [dst])
+    out = sp.select(
+        "origin",
+        "destination",
+        "cost",
+        GR.path_edge_count("path_edges").alias("n_edges"),
+        GR.path_is_empty("path_edges").alias("empty"),
+        GR.path_cells_col("path_edges").alias("cells2"),
+        GR.path_linestring_wkt("path_edges").alias("wkt"),
+        GR.path_length_m("path_edges").alias("len_m"),
+        "path_cells",
+    ).collect()[0]
+    assert out.n_edges == len(path_cells) - 1 and not out.empty
+    # cells() reconstruction from edges matches the assembled cells
+    assert out.cells2 == out.path_cells
+    # merged centroid linestring: one point per traversed cell
+    assert out.wkt.startswith("LINESTRING (")
+    assert out.wkt.count(",") == len(path_cells) - 1
+    # exact length: sum of per-edge boundary-segment lengths
+    want = sum(
+        h3c.edge_length_m(h3c.cells_to_directed_edge(a, b))
+        for a, b in zip(path_cells, path_cells[1:])
+    )
+    assert abs(out.len_m - want) < 1e-6 and out.len_m > 0
+
+
+def test_path_helpers_empty_and_segmented(spark):
+    a = h3c.latlng_to_cell(37.0, -122.0, RES)
+    nb = h3c.grid_disk(a, 1)[1:3]
+    e1 = h3c.cells_to_directed_edge(a, nb[0])
+    # a second edge NOT starting at nb[0] -> segmented sequence
+    far = h3c.grid_disk(a, 3)[-1]
+    e2 = h3c.cells_to_directed_edge(far, h3c.grid_disk(far, 1)[1])
+    df = spark.createDataFrame(
+        [([], "empty"), ([e1], "one"), ([e1, e2], "segmented")],
+        "path_edges array<long>, tag string",
+    )
+    rows = {
+        r.tag: r
+        for r in df.select(
+            "tag",
+            GR.path_is_empty("path_edges").alias("empty"),
+            GR.path_linestring_wkt("path_edges").alias("wkt"),
+            GR.path_length_m("path_edges").alias("len_m"),
+        ).collect()
+    }
+    assert rows["empty"].empty and rows["empty"].wkt is None
+    assert rows["empty"].len_m == 0.0
+    assert not rows["one"].empty and rows["one"].wkt.count(",") == 1
+    # segmented sequences yield NULL where the reference errors
+    assert rows["segmented"].wkt is None
