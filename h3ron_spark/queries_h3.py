@@ -427,6 +427,102 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_N = 1000
+
+_STREAM_ORACLE = f"""
+  WITH src AS (
+    SELECT user_id % 16 AS entity,
+           ((1::BIGINT << 59) | (2::BIGINT << 52)
+            | ((25 + user_id % 12)::BIGINT << 45)
+            | ((event_id % 7)::BIGINT << 42)
+            | (((event_id // 7) % 7)::BIGINT << 39)
+            | ((1::BIGINT << 39) - 1)) AS cell,
+           event_id AS ts_s
+    FROM events WHERE event_id < {_STREAM_N}
+  )
+  SELECT entity, prev AS from_cell, cell AS to_cell, ts_s
+  FROM (
+    SELECT entity, cell, ts_s,
+           lag(cell) OVER (PARTITION BY entity ORDER BY ts_s) AS prev
+    FROM src
+  ) WHERE prev IS NOT NULL AND prev <> cell
+"""
+
+
+@register("stream_cell_transitions", oracle=_STREAM_ORACLE)
+def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState)
+    driven end-to-end: per-entity H3 cell transitions with the last
+    cell carried in the state store across micro-batches. The source
+    is split into two time-ordered files and streamed one file per
+    trigger, so the batch boundary crosses every entity's timeline —
+    the oracle is the equivalent lag() window over the same rows,
+    which only matches if cross-batch state works."""
+    import shutil
+    import tempfile
+
+    from h3ron_spark import streaming as ST
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < _STREAM_N)
+    b = 25 + F.col("user_id") % 12
+    d1 = F.col("event_id") % 7
+    d2 = F.expr("event_id div 7") % 7
+    src = ev.select(
+        (F.col("user_id") % 16).alias("entity"),
+        B.h3_build_cell(b, [d1, d2], 2).alias("cell"),
+        F.col("event_id").cast("timestamp").alias("ts"),
+    )
+    workdir = tempfile.mkdtemp(prefix="h3ron_stream_")
+    # the state-store partition count is frozen from
+    # spark.sql.shuffle.partitions at the checkpoint's first batch; a
+    # default of 200 means 200 mostly-empty stateful tasks each paying
+    # a Python-worker round per micro-batch — pin it to the actual
+    # parallelism for this fresh checkpoint, then restore
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_conf, None)
+    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    try:
+        half = _STREAM_N // 2
+        for i, part in enumerate(
+            (
+                src.filter(F.col("ts").cast("long") < half),
+                src.filter(F.col("ts").cast("long") >= half),
+            )
+        ):
+            part.coalesce(1).write.parquet(f"{workdir}/in/b{i}.parquet")
+        stream = (
+            spark.readStream.schema("entity long, cell long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{workdir}/in/*")
+        )
+        global _STREAM_SEQ
+        _STREAM_SEQ += 1
+        sink = f"h3ron_transitions_{_STREAM_SEQ}"
+        q = (
+            ST.cell_transitions(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if old_parts is not None:
+            spark.conf.set(shuffle_conf, old_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.table(sink).select(
+        "entity",
+        "from_cell",
+        "to_cell",
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+
+
+_STREAM_SEQ = 0
+
+
 # =====================================================================
 # Geodesic workloads (rows-only driver check: no SQL oracle can
 # compute the icosahedral math; correctness is pinned by the pytest

@@ -62,3 +62,9 @@ def windowed_cell_counts(
             "n_events",
         )
     )
+
+
+from h3ron_spark.streaming.stateful import (  # noqa: E402,F401
+    TRANSITIONS_SCHEMA,
+    cell_transitions,
+)

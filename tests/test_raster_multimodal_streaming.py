@@ -175,3 +175,53 @@ def test_streaming_index_and_window(spark, tmp_path):
             assert h3c.get_resolution(r.cell) == 2
     finally:
         q.stop()
+
+
+def test_streaming_cell_transitions_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-entity transition extraction with
+    state carried across micro-batches (maxFilesPerTrigger=1 forces
+    one batch per file, so the cross-batch transition for entity 1
+    only appears if the state store works)."""
+    from h3ron_spark import streaming as ST
+
+    cells = h3c.grid_disk(h3c.latlng_to_cell(37.76, -122.44, 7), 2)
+    c0, c1, c2, c3 = cells[0], cells[1], cells[2], cells[3]
+    indir = tmp_path / "in"
+    indir.mkdir()
+    base = 1_700_000_000
+    batch1 = [(1, c0, base + 1), (1, c0, base + 2), (1, c1, base + 3),
+              (2, c2, base + 1)]
+    batch2 = [(1, c2, base + 10), (2, c2, base + 11), (2, c3, base + 12)]
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(
+            [(e, c, float(t)) for e, c, t in rows],
+            "entity long, cell long, epoch double",
+        ).withColumn("ts", F.col("epoch").cast("timestamp")).drop(
+            "epoch"
+        ).coalesce(1).write.parquet(str(indir / f"b{i}.parquet"))
+
+    src = (
+        spark.readStream.schema("entity long, cell long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(indir) + "/*")
+    )
+    out = ST.cell_transitions(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("transitions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.entity, r.from_cell, r.to_cell)
+        for r in spark.sql("select * from transitions").collect()
+    }
+    want = {
+        (1, c0, c1),  # within batch 1
+        (1, c1, c2),  # ACROSS batches: needs state
+        (2, c2, c3),  # within batch 2
+    }
+    assert got == want
