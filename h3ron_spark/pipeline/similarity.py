@@ -132,20 +132,43 @@ def ivf_centroid_rows(
 def ivf_best_lists(vec, centroids, nprobe: int = 1) -> Column:
     """Array of the ``nprobe`` nearest centroid ids for ``vec`` (by
     cosine, ties to the smaller cid), as a single JVM expression —
-    map-side, no shuffle, no Python. Cosines are rounded to 6 dp so
-    tie-breaking is reproducible across engines."""
+    map-side, no shuffle, no Python.
+
+    Shape matters for plan cost: one literal array-of-centroid-structs
+    traversed by ONE transform lambda, not N independent cosine
+    subtrees (N trees each embedding three aggregates made
+    analysis+codegen the dominant cost). Centroid norms are
+    precomputed in Python — a sequential float64 sum + sqrt, bit-equal
+    to what the JVM aggregate would produce — and the vector's own
+    norm is computed once and shared across all centroids. Cosines
+    are rounded to 6 dp so tie-breaking is reproducible across
+    engines."""
     vec = F.col(vec) if isinstance(vec, str) else vec
-    entries = [
-        F.struct(
-            F.round(cosine(vec, F.array(*[F.lit(t) for t in cv])), 6).alias("sim"),
-            F.lit(-cid).alias("negcid"),
-        )
-        for cid, cv in centroids
-    ]
-    ranked = F.reverse(F.array_sort(F.array(*entries)))
-    return F.transform(
-        F.slice(ranked, 1, nprobe), lambda s: -s["negcid"]
+    cents_arr = F.array(
+        *[
+            F.struct(
+                F.lit(-cid).alias("negcid"),
+                F.lit(math.sqrt(sum(t * t for t in cv))).alias("norm"),
+                F.array(*[F.lit(t) for t in cv]).alias("v"),
+            )
+            for cid, cv in centroids
+        ]
     )
+    vnorm = l2_norm(vec)
+
+    def score(c):
+        d = F.aggregate(
+            F.zip_with(vec, c["v"], lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            F.round(d / (vnorm * c["norm"]), 6).alias("sim"),
+            c["negcid"].alias("negcid"),
+        )
+
+    ranked = F.reverse(F.array_sort(F.transform(cents_arr, score)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: -s["negcid"])
 
 
 def ivf_topk(

@@ -10,6 +10,10 @@ from __future__ import annotations
 
 import os
 
+# NB: top-level on purpose — arrow_udf resolves the ``pa.Array`` type
+# hints against this module's globals; a function-local import makes
+# the decorator raise UNSUPPORTED_SIGNATURE (see warm_python_workers).
+import pyarrow as pa
 from pyspark.sql import SparkSession
 
 
@@ -55,7 +59,6 @@ def warm_python_workers(spark: SparkSession) -> None:
     locally it is a fixed ~3 s session-setup cost that would otherwise
     land on whichever query runs first."""
     try:
-        import pyarrow as pa
         from pyspark.sql import functions as F
         from pyspark.sql.functions import arrow_udf
         from pyspark.sql.types import LongType
@@ -75,5 +78,10 @@ def warm_python_workers(spark: SparkSession) -> None:
             .select(_touch(F.col("id")))
             .write.format("noop").mode("overwrite").save()
         )
-    except Exception:
-        pass  # warm-up is best-effort; never block session creation
+    except Exception as e:  # best-effort; never block session creation
+        import sys
+
+        print(
+            f"h3ron_spark: python-worker warm-up skipped: {e!r}",
+            file=sys.stderr,
+        )
