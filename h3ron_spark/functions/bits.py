@@ -119,6 +119,92 @@ def h3_get_index_digit(cell, res) -> Column:
     return (t.cast("double") / p2).cast("int")
 
 
+def h3_direction_to_parent(cell, target_res=None) -> Column:
+    """Direction digit of ``cell`` relative to its parent at
+    ``target_res`` (default: the immediate parent) —
+    ``direction_to_parent_resolution``, h3ron/src/direction.rs:62-103.
+    The digit at resolution target_res+1 is the step taken from that
+    parent."""
+    res = h3_get_resolution(cell)
+    if target_res is None:
+        child_res = res
+    else:
+        child_res = _lit_or_col(target_res) + 1
+    return F.when(child_res <= res, h3_get_index_digit(cell, child_res))
+
+
+def h3_directions_over_resolutions(cell) -> Column:
+    """array<int> of the direction digits from resolution 1 down to
+    res(cell) — ``iter_directions_over_resolutions``,
+    h3ron/src/direction.rs:105-139. Pure JVM: sequence + transform of
+    the digit extraction, no UDF."""
+    c = _c(cell)
+
+    def digit(r):
+        nbits = (F.lit(3) * (F.lit(MAX_RES) - r)).cast("double")
+        p2 = F.pow(F.lit(2.0), nbits)
+        mask = (p2 * F.lit(7.0)).cast("long")
+        return (c.bitwiseAND(mask).cast("double") / p2).cast("int")
+
+    return F.transform(
+        F.sequence(F.lit(1), h3_get_resolution(c)), digit
+    )
+
+
+# Public H3 4.1 average-hexagon tables (pentagons excluded), the same
+# compiled-in constants libh3's getHexagonAreaAvg*/getHexagonEdgeLengthAvg*
+# return (reference surface: h3ron/src/cell.rs:283-326 area_avg_*,
+# h3ron/src/directed_edge.rs:51-77 edge_length_avg_* and
+# cell_centroid_distance_avg_m).
+_AVG_HEX_AREA_KM2 = (
+    4357449.416078381, 609788.441794133, 86801.780398997,
+    12393.434655088, 1770.347654491, 252.903858182,
+    36.129062164, 5.161293360, 0.737327598,
+    0.105332513, 0.015047502, 0.002149643,
+    0.000307092, 0.000043870, 0.000006267, 0.000000895,
+)
+_AVG_EDGE_LEN_KM = (
+    1281.256011, 483.0568391, 182.5129565, 68.97922179,
+    26.07175968, 9.854090990, 3.724532667, 1.406475763,
+    0.531414010, 0.200786148, 0.075863783, 0.028663897,
+    0.010830188, 0.004092010, 0.001546100, 0.000584169,
+)
+_SQRT_3 = 1.7320508075688772
+
+
+def _res_lookup(res, table) -> Column:
+    return F.element_at(
+        F.array(*[F.lit(v) for v in table]), _lit_or_col(res).cast("int") + 1
+    )
+
+
+def h3_hexagon_area_avg_km2(res) -> Column:
+    """Average hexagon area at a resolution, km^2 (S18 area_avg_km2) —
+    16-entry literal lookup, JVM-side."""
+    return _res_lookup(res, _AVG_HEX_AREA_KM2)
+
+
+def h3_hexagon_area_avg_m2(res) -> Column:
+    return _res_lookup(res, _AVG_HEX_AREA_KM2) * F.lit(1_000_000.0)
+
+
+def h3_edge_length_avg_km(res) -> Column:
+    """Average hexagon edge length at a resolution, km (S23
+    edge_length_avg_km, directed_edge.rs:51-61)."""
+    return _res_lookup(res, _AVG_EDGE_LEN_KM)
+
+
+def h3_edge_length_avg_m(res) -> Column:
+    return _res_lookup(res, _AVG_EDGE_LEN_KM) * F.lit(1000.0)
+
+
+def h3_cell_centroid_distance_avg_m(res) -> Column:
+    """Average distance between neighbor cell centroids at a
+    resolution: edge_length_avg_m * sqrt(3) (twice the height of the
+    equilateral half-triangle; directed_edge.rs:71-77, :286-301)."""
+    return h3_edge_length_avg_m(res) * F.lit(_SQRT_3)
+
+
 # ---------------------------------------------------------------- hierarchy
 
 def h3_to_parent(cell, parent_res) -> Column:

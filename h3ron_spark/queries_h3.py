@@ -427,6 +427,57 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIRECTIONS_ORACLE = """
+  WITH base AS (
+    SELECT DISTINCT 25 + (user_id % 12) AS b,
+           event_id % 7 AS d1,
+           (event_id // 7) % 7 AS d2,
+           (event_id // 49) % 7 AS d3
+    FROM events
+  ), cells AS (
+    SELECT DISTINCT
+           ((1::BIGINT << 59) | (3::BIGINT << 52) | (b::BIGINT << 45)
+            | (d1::BIGINT << 42) | (d2::BIGINT << 39) | (d3::BIGINT << 36)
+            | ((1::BIGINT << 36) - 1)) AS cell
+    FROM base
+  )
+  SELECT cell,
+         concat_ws(',', (cell >> 42) & 7, (cell >> 39) & 7,
+                   (cell >> 36) & 7) AS directions,
+         ((cell >> 36) & 7)::INT AS dir_to_parent,
+         round(12393.434655088, 6) AS area_avg_km2,
+         round(68.97922179, 6) AS edge_avg_km
+  FROM cells
+"""
+
+
+@register("h3_direction_lookup", oracle=_DIRECTIONS_ORACLE)
+def h3_direction_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26 direction digits over resolutions + S18/S23 average-area and
+    edge-length lookups — all pure JVM bit math / literal lookups; the
+    oracle replicates the bit extraction directly."""
+    ev = load(spark, sf_dir, "events")
+    b = 25 + F.col("user_id") % 12
+    d1 = F.col("event_id") % 7
+    d2 = F.expr("event_id div 7") % 7
+    d3 = F.expr("event_id div 49") % 7
+    cells = ev.select(B.h3_build_cell(b, [d1, d2, d3], 3).alias("cell")).distinct()
+    res = B.h3_get_resolution("cell")
+    return cells.select(
+        "cell",
+        F.concat_ws(
+            ",",
+            F.transform(
+                B.h3_directions_over_resolutions("cell"),
+                lambda d: d.cast("string"),
+            ),
+        ).alias("directions"),
+        B.h3_direction_to_parent("cell").alias("dir_to_parent"),
+        F.round(B.h3_hexagon_area_avg_km2(res), 6).alias("area_avg_km2"),
+        F.round(B.h3_edge_length_avg_km(res), 6).alias("edge_avg_km"),
+    )
+
+
 _STREAM_N = 1000
 
 _STREAM_ORACLE = f"""

@@ -127,3 +127,36 @@ def test_edge_bits(spark):
     for d in (0, 7):
         e = (origin & ~(15 << 59)) | (2 << 59) | (d << 56)
         assert not one_value(spark, B.h3_is_valid_directed_edge(F.lit(e)))
+
+
+def test_direction_digits_and_avg_lookups(spark):
+    import h3ron_spark.h3core as h3c
+
+    cell = h3c.latlng_to_cell(37.76, -122.44, 6)
+    df = spark.range(1).select(F.lit(cell).alias("cell"))
+    row = df.select(
+        B.h3_directions_over_resolutions("cell").alias("dirs"),
+        B.h3_direction_to_parent("cell").alias("d_par"),
+        B.h3_direction_to_parent("cell", 2).alias("d_par3"),
+        B.h3_hexagon_area_avg_km2(B.h3_get_resolution("cell")).alias("a_km2"),
+        B.h3_edge_length_avg_m(B.h3_get_resolution("cell")).alias("e_m"),
+        B.h3_cell_centroid_distance_avg_m(
+            B.h3_get_resolution("cell")
+        ).alias("cd_m"),
+    ).collect()[0]
+    # digits match direct bit extraction per resolution
+    want = [(cell >> (3 * (15 - r))) & 7 for r in range(1, 7)]
+    assert row.dirs == want
+    assert row.d_par == want[-1]
+    assert row.d_par3 == want[2]
+    # public H3 4.1 table values
+    assert abs(row.a_km2 - 36.129062164) < 1e-9
+    assert abs(row.e_m - 3724.532667) < 1e-6
+    assert abs(row.cd_m - 3724.532667 * 1.7320508075688772) < 1e-6
+    # direction_to_parent at a res >= cell res is NULL
+    assert (
+        df.select(B.h3_direction_to_parent("cell", 6).alias("x"))
+        .collect()[0]
+        .x
+        is None
+    )
