@@ -189,6 +189,18 @@ def get_num_cells(res: int) -> int:
 # ----------------------------------------------------------- traversal
 
 
+def _neighbor_from_face(h, res, face, coord, direction):
+    """Shared step kernel: one direction from a pre-decomposed cell."""
+    n = ijk_normalize(*ijk_add(coord, UNIT_VECS[direction]))
+    out = ix.face_ijk_to_h3(face, n, res)
+    if out == 0 or not is_valid_cell(out):
+        # stepped off the face: index the stepped point geometrically
+        x, y = ijk_to_hex2d(*n)
+        lat, lng = hex2d_to_geo(face, x, y, res)
+        out = ix.latlng_to_cell(lat, lng, res)
+    return None if out == h else out
+
+
 def neighbor_in_direction(h: int, direction: int) -> int | None:
     """Neighbor cell in digit-space direction 1..6 (geometric step in
     the canonical face frame; equals libh3's h3NeighborRotations
@@ -199,21 +211,21 @@ def neighbor_in_direction(h: int, direction: int) -> int | None:
         return None
     res = ix.get_resolution(h)
     face, coord = ix.h3_to_face_ijk(h)
-    n = ijk_normalize(*ijk_add(coord, UNIT_VECS[direction]))
-    out = ix.face_ijk_to_h3(face, n, res)
-    if out == 0 or not is_valid_cell(out):
-        # stepped off the face: index the stepped point geometrically
-        x, y = ijk_to_hex2d(*n)
-        lat, lng = hex2d_to_geo(face, x, y, res)
-        out = ix.latlng_to_cell(lat, lng, res)
-    return out if out != h else None
+    return _neighbor_from_face(h, res, face, coord, direction)
 
 
 def neighbors(h: int) -> list[int]:
-    """All neighboring cells: 6, or 5 for pentagons (deduped)."""
+    """All neighboring cells: 6, or 5 for pentagons (deduped).
+    The (face, ijk) decompose is hoisted out of the direction loop —
+    it is identical for all six steps."""
+    res = ix.get_resolution(h)
+    pent = is_pentagon(h)
+    face, coord = ix.h3_to_face_ijk(h)
     out = []
     for d in range(1, 7):
-        n = neighbor_in_direction(h, d)
+        if pent and d == 1:
+            continue
+        n = _neighbor_from_face(h, res, face, coord, d)
         if n is not None and n not in out:
             out.append(n)
     return out

@@ -53,13 +53,12 @@ def ijk_scale(a, f: int):
     return a[0] * f, a[1] * f, a[2] * f
 
 
+_UNIT_VEC_DIGIT = {v: d for d, v in enumerate(UNIT_VECS)}
+
+
 def ijk_to_digit(ijk) -> int:
     """Unit ijk vector -> direction digit, 7 (INVALID) if not a unit."""
-    n = ijk_normalize(*ijk)
-    try:
-        return UNIT_VECS.index(n)
-    except ValueError:
-        return 7
+    return _UNIT_VEC_DIGIT.get(ijk_normalize(*ijk), 7)
 
 
 def ijk_rotate60_ccw(i: int, j: int, k: int) -> tuple[int, int, int]:
