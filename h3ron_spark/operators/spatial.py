@@ -97,15 +97,37 @@ def cells_in_rect(
         B.h3_to_parent(cell_col, pres) == probe.probe_cell,
         "left_semi",
     )
-    # materialize the centroid ONCE: repeated references to the UDF
-    # expression would each get their own python-eval node
-    with_ll = coarse.withColumn("_ll", G.h3_cell_to_latlng(cell_col))
-    return with_ll.filter(
-        (F.col("_ll.lat") >= min_lat)
-        & (F.col("_ll.lat") <= max_lat)
-        & (F.col("_ll.lng") >= min_lng)
-        & (F.col("_ll.lng") <= max_lng)
-    ).drop("_ll")
+    return coarse.filter(
+        _centroid_in_rect(cell_col, min_lat, min_lng, max_lat, max_lng)
+    )
+
+
+def _centroid_in_rect(
+    cell_col, min_lat, min_lng, max_lat, max_lng
+) -> Column:
+    """Exact refine for X4. Defined per call and marked
+    non-deterministic so Catalyst cannot push the (expensive, Python)
+    predicate below the coarse probe semi-join — pushed down it would
+    decode EVERY row of the fact table instead of the few candidates
+    the broadcast join leaves (and re-evaluate any UDF the cell column
+    was derived from)."""
+    lo_la, hi_la = float(min_lat), float(max_lat)
+    lo_ln, hi_ln = float(min_lng), float(max_lng)
+
+    @arrow_udf(BooleanType())
+    def kernel(cell: pa.Array) -> pa.Array:
+        import h3ron_spark.h3core as h3c
+
+        out = []
+        for c in cell.to_pylist():
+            if c is None or not h3c.is_valid_cell(c):
+                out.append(None)
+                continue
+            la, ln = h3c.cell_to_latlng(c)
+            out.append(lo_la <= la <= hi_la and lo_ln <= ln <= hi_ln)
+        return pa.array(out, pa.bool_())
+
+    return kernel.asNondeterministic()(cell_col)
 
 
 def cells_in_polygon(
@@ -150,7 +172,9 @@ def _centroid_in_polygon(cell_col, ring, holes=()) -> Column:
             out.append(point_in_polygon(la, ln, ring_t, holes_t))
         return pa.array(out, pa.bool_())
 
-    return kernel(cell_col)
+    # non-deterministic marker = pushdown barrier: refine only the
+    # candidates left by the probe join (see _centroid_in_rect)
+    return kernel.asNondeterministic()(cell_col)
 
 
 def cells_within_distance(
@@ -187,11 +211,28 @@ def cells_within_distance(
         B.h3_to_parent(cell_col, pres) == probe.probe_cell,
         "left_semi",
     )
-    with_ll = coarse.withColumn("_ll", G.h3_cell_to_latlng(cell_col))
-    return with_ll.filter(
-        G.h3_great_circle_distance_km(
-            F.col("_ll.lat"), F.col("_ll.lng"),
-            F.lit(float(lat)), F.lit(float(lng))
-        )
-        <= distance_km
-    ).drop("_ll")
+    return coarse.filter(
+        _centroid_within_distance(cell_col, lat, lng, distance_km)
+    )
+
+
+def _centroid_within_distance(cell_col, lat, lng, distance_km) -> Column:
+    qla, qln, lim = float(lat), float(lng), float(distance_km)
+
+    @arrow_udf(BooleanType())
+    def kernel(cell: pa.Array) -> pa.Array:
+        import h3ron_spark.h3core as h3c
+
+        out = []
+        for c in cell.to_pylist():
+            if c is None or not h3c.is_valid_cell(c):
+                out.append(None)
+                continue
+            la, ln = h3c.cell_to_latlng(c)
+            out.append(
+                h3c.great_circle_distance_km(la, ln, qla, qln) <= lim
+            )
+        return pa.array(out, pa.bool_())
+
+    # pushdown barrier, same rationale as _centroid_in_rect
+    return kernel.asNondeterministic()(cell_col)

@@ -590,12 +590,17 @@ def _event_cells(spark: SparkSession, sf_dir: str, res: int = 5) -> DataFrame:
     # CPU-per-row, not bytes — spread it across all cores.
     par = spark.sparkContext.defaultParallelism
     ev = load(spark, sf_dir, "events").repartition(par)
+    # no isNotNull guard: the derived coords are in-domain by
+    # construction (lat in [-80,80), lng in [-180,180)) so the encode
+    # never yields NULL — and a deterministic null-filter on the UDF
+    # column gets pushed below the repartition, running the encode a
+    # second time on the unrepartitioned (serial) scan.
     return ev.select(
         "event_id",
         G.h3_latlng_to_cell(
             derived_lat(), derived_lng(), F.lit(res)
         ).alias("cell"),
-    ).filter(F.col("cell").isNotNull())
+    )
 
 
 @register("geo_cell_rollup")
