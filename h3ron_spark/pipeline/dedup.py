@@ -79,11 +79,27 @@ def lsh_band_keys(sig: Column, bands: int = LSH_BANDS) -> Column:
     return F.array(*keys)
 
 
+def doc_shingles_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document distinct shingle sets: (id, sh array<string>).
+
+    Materializing (persisting) this once lets the signature stage AND
+    the Jaccard refine share one tokenize/shingle pass instead of
+    re-deriving shingles from raw text per consumer (or per candidate
+    pair)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, n)).alias("sh"),
+    )
+
+
 def minhash_signature_df(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perms: int = MINHASH_PERMS,
+    doc_sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures as a frame op: explode shingles, hash each
     shingle ONCE per permutation, min-aggregate per document.
@@ -97,11 +113,17 @@ def minhash_signature_df(
     the 16-hash work on duplicated shingles, and explode directly on
     the shingles expression stays in one Generate codegen stage —
     projecting the array through an ``array_distinct`` boundary first
-    measured ~4x slower end-to-end.) Returns (id, m0..m{P-1}).
+    measured ~4x slower end-to-end; a *persisted* ``doc_sh`` input
+    avoids the recompute entirely and needs no dropDuplicates
+    shuffle since its arrays are already distinct). Returns
+    (id, m0..m{P-1}).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("_s")
-    ).dropDuplicates(["id", "_s"])
+    if doc_sh is not None:
+        sh = doc_sh.select("id", F.explode("sh").alias("_s"))
+    else:
+        sh = df.select(
+            F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("_s")
+        ).dropDuplicates(["id", "_s"])
     hashed = sh.select(
         "id",
         *[_shingle_hash(F.col("_s"), k).alias(f"_h{k}") for k in range(num_perms)],
@@ -203,13 +225,15 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates refined by exact shingle Jaccard >= threshold.
 
-    The banded signature table (id, band — a few longs per doc) is
-    persisted so the LSH self-join reads it twice instead of running
-    the whole shingle->hash->min pipeline once per join side; the
-    Jaccard refine re-derives shingles only for the candidate pairs,
-    which the banding has already cut to a tiny fraction of the
-    corpus."""
-    sigs = minhash_signature_df(df, text_col, id_col).select(
+    The tokenize/shingle pass runs ONCE per document (persisted
+    ``doc_shingles_df``); the signature stage explodes that cached
+    array (no dropDuplicates shuffle — arrays are pre-distinct) and
+    the Jaccard refine joins the same cached arrays into the
+    candidate pairs instead of re-splitting raw text per pair. The
+    banded signature table is persisted too so the LSH self-join
+    reads it twice without re-running the hash/min pipeline."""
+    doc_sh = doc_shingles_df(df, text_col, id_col).persist()
+    sigs = minhash_signature_df(df, doc_sh=doc_sh).select(
         "id", F.explode(_band_keys_from_sig()).alias("band")
     ).persist()
     a = sigs.alias("a")
@@ -219,11 +243,14 @@ def minhash_dedup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    sh_a = doc_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = doc_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cands.join(docs.withColumnsRenamed({"id": "id_a", "txt": "txt_a"}), "id_a")
-        .join(docs.withColumnsRenamed({"id": "id_b", "txt": "txt_b"}), "id_b")
-        .withColumn("jaccard", jaccard_similarity(F.col("txt_a"), F.col("txt_b")))
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
