@@ -207,7 +207,16 @@ def shortest_path_many_to_many(
                 ],
             )
 
-    out = origins.select("cell").distinct().mapInPandas(run, _SP_SCHEMA)
+    # re-spread after distinct: the origins frame is typically tiny in
+    # bytes (AQE/local_df would leave it on one partition) but each row
+    # costs a full Dijkstra — fan the kernel out across all cores
+    par = spark.sparkContext.defaultParallelism
+    out = (
+        origins.select("cell")
+        .distinct()
+        .repartition(par)
+        .mapInPandas(run, _SP_SCHEMA)
+    )
     return out.orderBy("cost", "origin", "destination")
 
 
@@ -250,7 +259,13 @@ def within_weight_threshold(
                 )
             yield pd.DataFrame(rows, columns=["origin", "cell", "weight"])
 
-    out = origins.select("cell").distinct().mapInPandas(run, schema)
+    par = spark.sparkContext.defaultParallelism
+    out = (
+        origins.select("cell")
+        .distinct()
+        .repartition(par)
+        .mapInPandas(run, schema)
+    )
     if aggregate:
         return out.groupBy("cell").agg(
             getattr(F, aggregate)("weight").alias("weight")

@@ -110,6 +110,10 @@ def graph_from_linestrings(
         F.get("_cells", F.col("_pos") + 1).alias("destination"),
         "_w",
     ).filter(F.col("destination").isNotNull())
+    if bidirectional:
+        # the bidirectional union reads pairs twice — persist so the
+        # (Python) trace kernel isn't re-evaluated per branch
+        pairs = pairs.persist()
     return edge_graph_from_cell_pairs(
         pairs, "origin", "destination", "_w", bidirectional=bidirectional
     )

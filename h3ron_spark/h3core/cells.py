@@ -232,8 +232,15 @@ def neighbors(h: int) -> list[int]:
 
 
 def direction_for_neighbor(origin: int, dest: int) -> int | None:
+    # one (face, ijk) decompose shared by all six probes — the
+    # decompose dominates the per-direction step cost
+    res = ix.get_resolution(origin)
+    pent = is_pentagon(origin)
+    face, coord = ix.h3_to_face_ijk(origin)
     for d in range(1, 7):
-        if neighbor_in_direction(origin, d) == dest:
+        if pent and d == 1:
+            continue
+        if _neighbor_from_face(origin, res, face, coord, d) == dest:
             return d
     return None
 
@@ -390,6 +397,8 @@ def _path_local(a: int, b: int) -> list[int] | None:
     dj = lb[1] - la[1]
     n = max(abs(di), abs(dj), abs(di - dj))
     out = []
+    prev_ij = None
+    pent = False
     for s in range(n + 1):
         t = s / n if n else 0.0
         ri, rj = _cube_round(la[0] + di * t, la[1] + dj * t)
@@ -397,12 +406,24 @@ def _path_local(a: int, b: int) -> list[int] | None:
         if cell is None:
             return None
         if not out or out[-1] != cell:
+            if out:
+                # arithmetic adjacency check in the shared local frame:
+                # a unit cube step => neighbors, no geometric probe
+                # needed. Pentagon distortion can break the frame
+                # metric, so any pentagon in the path falls back to
+                # the full geometric verification below.
+                pi, pj = prev_ij
+                if max(abs(ri - pi), abs(rj - pj), abs((ri - rj) - (pi - pj))) != 1:
+                    return None
             out.append(cell)
+            prev_ij = (ri, rj)
+            pent = pent or is_pentagon(cell)
     if out[0] != a or out[-1] != b:
         return None
-    for x, y in zip(out, out[1:]):
-        if not are_neighbor_cells(x, y):
-            return None
+    if pent:
+        for x, y in zip(out, out[1:]):
+            if not are_neighbor_cells(x, y):
+                return None
     return out
 
 

@@ -30,6 +30,7 @@ def compact_dataframe(
     df: DataFrame,
     cell_col: str = "cell",
     exploded: bool = True,
+    partition_res: int | None = None,
 ) -> DataFrame:
     """Compact the cell column per group of all other columns.
 
@@ -37,10 +38,24 @@ def compact_dataframe(
     non-cell column; each group's unique cells are compacted through
     the resolution hierarchy; ``exploded`` re-explodes to one row per
     compacted cell (else keeps an array column).
+
+    ``partition_res`` (scale path, no-keys frames): without it the
+    keyless case collect_sets EVERY cell into one array in one task —
+    correct, but single-threaded and memory-bound at 100 TB. With it,
+    compaction runs distributed in two phases: (1) group by the
+    res-``partition_res`` ancestor and compact each subtree in
+    parallel (exact for every merge at res > partition_res — siblings
+    at any finer res share that ancestor, so no merge crosses a group
+    boundary); (2) the coarse remainder (res <= partition_res, at most
+    one cell per group) is compacted in one tiny final pass to finish
+    merges above the partition root. Identical results to the
+    single-array path.
     """
     keys = [c for c in df.columns if c != cell_col]
     if keys:
         agg = df.groupBy(*keys).agg(F.collect_set(cell_col).alias("_cells"))
+    elif partition_res is not None:
+        return _compact_two_phase(df, cell_col, exploded, partition_res)
     else:
         agg = df.agg(F.collect_set(cell_col).alias("_cells"))
     out = agg.withColumn("_compacted", G.h3_compact_cells("_cells")).drop("_cells")
@@ -49,6 +64,45 @@ def compact_dataframe(
     else:
         out = out.withColumnRenamed("_compacted", cell_col)
     return out
+
+
+def _compact_two_phase(
+    df: DataFrame, cell_col: str, exploded: bool, partition_res: int
+) -> DataFrame:
+    """Distributed keyless compact (see compact_dataframe). One
+    shuffle keyed on the coarse ancestor; the per-group kernel work
+    parallelizes across the cluster; the phase-2 input is bounded by
+    the number of res<=partition_res cells (tiny)."""
+    from h3ron_spark.functions import bits as B
+
+    # cells coarser than the partition root can't group under an
+    # ancestor — route them straight to phase 2
+    res = B.h3_get_resolution(cell_col)
+    fine = df.filter(res > partition_res)
+    coarse_in = df.filter(res <= partition_res).select(cell_col)
+
+    phase1 = (
+        fine.groupBy(B.h3_to_parent(cell_col, partition_res).alias("_root"))
+        .agg(F.collect_set(cell_col).alias("_cells"))
+        .withColumn("_compacted", G.h3_compact_cells("_cells"))
+        .select(F.explode("_compacted").alias(cell_col))
+    )
+    # phase 2: finish merges at/above the partition root. Inputs:
+    # phase-1 outputs that reached partition_res + pre-existing coarse
+    # cells. Everything finer than partition_res is final.
+    final_fine = phase1.filter(B.h3_get_resolution(cell_col) > partition_res)
+    boundary = phase1.filter(
+        B.h3_get_resolution(cell_col) <= partition_res
+    ).unionByName(coarse_in)
+    phase2 = (
+        boundary.agg(F.collect_set(cell_col).alias("_cells"))
+        .withColumn("_compacted", G.h3_compact_cells("_cells"))
+        .select(F.explode("_compacted").alias(cell_col))
+    )
+    out = final_fine.unionByName(phase2)
+    if exploded:
+        return out
+    return out.agg(F.collect_set(cell_col).alias(cell_col))
 
 
 def uncompact_dataframe(
@@ -66,7 +120,14 @@ def uncompact_dataframe(
     ``subset_parent``: optional parent cell — only children under it
     are produced (h3_uncompact_dataframe_subset).
     """
-    distinct = df.select(cell_col).distinct()
+    # re-spread after distinct: AQE coalesces the (tiny-in-bytes)
+    # distinct shuffle to few partitions, which would serialize the
+    # children-explode kernel — its cost is CPU per row (up to 7^k
+    # children each), not bytes
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    distinct = df.select(cell_col).distinct().repartition(n_part)
     mapping = distinct.withColumn(
         "_children", G.h3_change_resolution(cell_col, F.lit(target_res))
     ).filter(F.col("_children").isNotNull())

@@ -38,11 +38,34 @@ from h3ron_spark.functions import bits as B
 from h3ron_spark.functions import geo as G
 
 
-def _probe_res(data_res: int) -> int:
+_PROBE_BUDGET = 4096
+
+
+def _probe_res(data_res: int, ring=None) -> int:
     """Coarse resolution for the polyfill probe: ~3 levels up keeps the
     probe set small (each level divides count by ~7) while staying
-    selective."""
-    return max(0, data_res - 3)
+    selective. When the query ring is given, the res is additionally
+    capped so the estimated probe-cell count (bbox area / avg hexagon
+    area) stays under _PROBE_BUDGET — a continent-sized AOI must not
+    produce a multi-second driver polyfill or an oversized broadcast;
+    it coarsens instead (the exact refine keeps the result identical).
+    """
+    res = max(0, data_res - 3)
+    if ring is None:
+        return res
+    import math
+
+    from h3ron_spark.h3core import average_hexagon_area_km2
+
+    lats = [p[0] for p in ring]
+    lngs = [p[1] for p in ring]
+    mid = math.radians((max(lats) + min(lats)) / 2.0)
+    km_lat = (max(lats) - min(lats)) * 111.32
+    km_lng = (max(lngs) - min(lngs)) * 111.32 * max(0.05, math.cos(mid))
+    area = max(1.0, km_lat * km_lng)
+    while res > 0 and area / average_hexagon_area_km2(res) > _PROBE_BUDGET:
+        res -= 1
+    return res
 
 
 def polyfill_table(
@@ -90,7 +113,7 @@ def cells_in_rect(
     refine exactly on the centroid. Broadcast semi-join + bit math."""
     spark = df.sparkSession
     ring = _rect_ring(min_lat, min_lng, max_lat, max_lng)
-    pres = _probe_res(data_res)
+    pres = _probe_res(data_res, ring)
     probe = polyfill_table(spark, ring, pres, intersecting=True)
     coarse = df.join(
         F.broadcast(probe),
@@ -102,32 +125,56 @@ def cells_in_rect(
     )
 
 
-def _centroid_in_rect(
-    cell_col, min_lat, min_lng, max_lat, max_lng
-) -> Column:
-    """Exact refine for X4. Defined per call and marked
-    non-deterministic so Catalyst cannot push the (expensive, Python)
-    predicate below the coarse probe semi-join — pushed down it would
-    decode EVERY row of the fact table instead of the few candidates
-    the broadcast join leaves (and re-evaluate any UDF the cell column
-    was derived from)."""
-    lo_la, hi_la = float(min_lat), float(max_lat)
-    lo_ln, hi_ln = float(min_lng), float(max_lng)
+def _refine_udf(point_pred):
+    """Exact-refine kernel factory: ``point_pred(lat_deg, lng_deg) ->
+    bool`` evaluated once per DISTINCT cell per Arrow batch (centroid
+    decode is the dominant cost and candidate batches repeat cells
+    heavily after the coarse probe join), scattered back with numpy.
+    NULL where the cell is null/invalid (finish_mask semantics).
+
+    The returned column is marked non-deterministic so Catalyst cannot
+    push the (expensive, Python) predicate below the coarse probe
+    semi-join — pushed down it would decode EVERY row of the fact
+    table instead of the few candidates the broadcast join leaves (and
+    re-evaluate any UDF the cell column was derived from)."""
 
     @arrow_udf(BooleanType())
     def kernel(cell: pa.Array) -> pa.Array:
+        import numpy as np
+
         import h3ron_spark.h3core as h3c
 
-        out = []
-        for c in cell.to_pylist():
-            if c is None or not h3c.is_valid_cell(c):
-                out.append(None)
+        vals = (
+            cell.fill_null(0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        uniq, inv = np.unique(vals, return_inverse=True)
+        ok_u = np.zeros(len(uniq), dtype=bool)
+        bad_u = np.zeros(len(uniq), dtype=bool)
+        for t, c in enumerate(uniq):
+            c = int(c)
+            if c <= 0 or not h3c.is_valid_cell(c):
+                bad_u[t] = True
                 continue
             la, ln = h3c.cell_to_latlng(c)
-            out.append(lo_la <= la <= hi_la and lo_ln <= ln <= hi_ln)
-        return pa.array(out, pa.bool_())
+            ok_u[t] = point_pred(la, ln)
+        return pa.array(ok_u[inv], pa.bool_(), mask=bad_u[inv])
 
-    return kernel.asNondeterministic()(cell_col)
+    return kernel.asNondeterministic()
+
+
+def _centroid_in_rect(
+    cell_col, min_lat, min_lng, max_lat, max_lng
+) -> Column:
+    """Exact refine for X4 (see _refine_udf for the plan rationale)."""
+    lo_la, hi_la = float(min_lat), float(max_lat)
+    lo_ln, hi_ln = float(min_lng), float(max_lng)
+
+    return _refine_udf(
+        lambda la, ln: lo_la <= la <= hi_la and lo_ln <= ln <= hi_ln
+    )(cell_col)
 
 
 def cells_in_polygon(
@@ -142,7 +189,7 @@ def cells_in_polygon(
     centroid-in-polygon refine (pandas-free: the ray-cast runs inside
     the same Arrow batch as the probe)."""
     spark = df.sparkSession
-    pres = _probe_res(data_res)
+    pres = _probe_res(data_res, ring)
     probe = polyfill_table(spark, ring, pres, holes=holes, intersecting=True)
     coarse = df.join(
         F.broadcast(probe),
@@ -158,23 +205,12 @@ def _centroid_in_polygon(cell_col, ring, holes=()) -> Column:
     ring_t = tuple((float(a), float(b)) for a, b in ring)
     holes_t = tuple(tuple((float(a), float(b)) for a, b in h) for h in holes)
 
-    @arrow_udf(BooleanType())
-    def kernel(cell: pa.Array) -> pa.Array:
-        import h3ron_spark.h3core as h3c
+    def pred(la, ln):
         from h3ron_spark.h3core.regions import point_in_polygon
 
-        out = []
-        for c in cell.to_pylist():
-            if c is None or not h3c.is_valid_cell(c):
-                out.append(None)
-                continue
-            la, ln = h3c.cell_to_latlng(c)
-            out.append(point_in_polygon(la, ln, ring_t, holes_t))
-        return pa.array(out, pa.bool_())
+        return point_in_polygon(la, ln, ring_t, holes_t)
 
-    # non-deterministic marker = pushdown barrier: refine only the
-    # candidates left by the probe join (see _centroid_in_rect)
-    return kernel.asNondeterministic()(cell_col)
+    return _refine_udf(pred)(cell_col)
 
 
 def cells_within_distance(
@@ -219,20 +255,9 @@ def cells_within_distance(
 def _centroid_within_distance(cell_col, lat, lng, distance_km) -> Column:
     qla, qln, lim = float(lat), float(lng), float(distance_km)
 
-    @arrow_udf(BooleanType())
-    def kernel(cell: pa.Array) -> pa.Array:
+    def pred(la, ln):
         import h3ron_spark.h3core as h3c
 
-        out = []
-        for c in cell.to_pylist():
-            if c is None or not h3c.is_valid_cell(c):
-                out.append(None)
-                continue
-            la, ln = h3c.cell_to_latlng(c)
-            out.append(
-                h3c.great_circle_distance_km(la, ln, qla, qln) <= lim
-            )
-        return pa.array(out, pa.bool_())
+        return h3c.great_circle_distance_km(la, ln, qla, qln) <= lim
 
-    # pushdown barrier, same rationale as _centroid_in_rect
-    return kernel.asNondeterministic()(cell_col)
+    return _refine_udf(pred)(cell_col)

@@ -605,27 +605,24 @@ def _event_cells(spark: SparkSession, sf_dir: str, res: int = 5) -> DataFrame:
 
 @register("geo_cell_rollup")
 def geo_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1 index-agg: encode events to res-5 cells (Arrow UDF), roll up
-    to the res-2 parent in bit math, count. The M1 flagship shape."""
-    cells = _event_cells(spark, sf_dir, 5)
-    return (
-        cells.select(B.h3_to_parent("cell", 2).alias("parent2"))
-        .groupBy("parent2")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    """B1 index-agg (BASELINE.md): encode events at res 8 (vectorized
+    Arrow kernel) + groupBy(cell).count(). The M1 flagship shape —
+    partial agg map-side, one shuffle on the cell key."""
+    cells = _event_cells(spark, sf_dir, 8)
+    return cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_events"))
 
 
 @register("geo_disk_explode")
 def geo_disk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B2 disk-explode: k=1 neighborhoods of the distinct event cells,
-    counted per origin-resolution (exercises array explode + memoized
-    disk kernel)."""
+    """B2 disk-explode (BASELINE.md, grid_disk_variants bench): k=3
+    neighborhoods of the distinct res-8 event cells, exploded and
+    counted (array explode + memoized disk kernel)."""
     from h3ron_spark.functions import geo as G
 
     par = spark.sparkContext.defaultParallelism
-    cells = _event_cells(spark, sf_dir, 5).select("cell").distinct().repartition(par)
+    cells = _event_cells(spark, sf_dir, 8).select("cell").distinct().repartition(par)
     disks = cells.select(
-        "cell", F.explode(G.h3_grid_disk("cell", F.lit(1))).alias("n")
+        "cell", F.explode(G.h3_grid_disk("cell", F.lit(3))).alias("n")
     )
     return disks.agg(
         F.count(F.lit(1)).alias("n_neighbor_rows"),
@@ -635,12 +632,18 @@ def geo_disk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("geo_polyfill_filter")
 def geo_polyfill_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4 polyfill-filter: AOI rect predicate over indexed events via
-    the coarse-probe broadcast semi-join + exact refine."""
+    """B4 polyfill-filter (BASELINE.md, spatialindex
+    envelopes_intersect): AOI rect predicate over res-8 indexed events
+    via the budgeted coarse-probe broadcast semi-join + exact
+    distinct-memoized refine."""
     from h3ron_spark.operators.spatial import cells_in_rect
 
-    cells = _event_cells(spark, sf_dir, 5)
-    hits = cells_in_rect(cells, 10.0, 10.0, 25.0, 40.0, 5, "cell")
+    cells = _event_cells(spark, sf_dir, 8)
+    # AOI chosen inside the (lat,lng) band the synthetic coords
+    # populate at EVERY scale factor: lng -150..-120 implies event_id
+    # in [3000,6000), which at sf0.01 (small user_id range) bounds the
+    # derived lat to roughly [-50,-13]
+    hits = cells_in_rect(cells, -45.0, -150.0, -20.0, -120.0, 8, "cell")
     return hits.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("cell").alias("n_cells"),
@@ -649,12 +652,29 @@ def geo_polyfill_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("geo_compact_events")
 def geo_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3 compact: full-hierarchy compaction of the distinct event
-    cells; returns per-resolution counts of the compacted set."""
-    from h3ron_spark.operators.compact import compact_dataframe
+    """B3 compact (BASELINE.md): two synthetic grid disks (the
+    reference's fixture shape, algorithm/tests.rs:6-31) uncompacted to
+    ~3.5M res-10 child cells, then fully re-compacted with the
+    distributed two-phase plan (partition_res=5: shuffle keyed on the
+    res-5 ancestor, per-subtree kernel parallelism). Returns
+    per-resolution counts of the compacted set (74 cells: 59@r5 14@r4
+    1@r3 — the full-subtree merges past res 5 exercise phase 2)."""
+    import h3ron_spark.h3core as h3c
+    from h3ron_spark.operators.compact import (
+        compact_dataframe,
+        uncompact_dataframe,
+    )
+    from h3ron_spark.util import local_df
 
-    cells = _event_cells(spark, sf_dir, 5).select("cell").distinct()
-    comp = compact_dataframe(cells, "cell")
+    par = spark.sparkContext.defaultParallelism
+    base = [
+        (c,)
+        for c in h3c.grid_disk(h3c.latlng_to_cell(10.0, 20.0, 5), 7)
+        + h3c.grid_disk(h3c.latlng_to_cell(45.0, 45.0, 5), 3)
+    ]
+    src = local_df(spark, base, "cell long").repartition(par)
+    children = uncompact_dataframe(src, 10, "cell")
+    comp = compact_dataframe(children, "cell", partition_res=5)
     return (
         comp.select(B.h3_get_resolution("cell").alias("res"))
         .groupBy("res")
@@ -662,15 +682,16 @@ def geo_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _event_line_graph(spark: SparkSession, sf_dir: str):
-    """Deterministic line graph: a linestring through the first 40
-    event coordinates (ordered by event_id), traced at res 4."""
+def _event_line_graph(spark: SparkSession, sf_dir: str, n_points: int = 40, res: int = 6):
+    """Deterministic line graph: a linestring through the first
+    ``n_points`` event coordinates (ordered by event_id), traced at
+    ``res``."""
     from h3ron_spark.graph import graph_from_linestrings
 
     ev = (
         load(spark, sf_dir, "events")
         .orderBy("event_id")
-        .limit(40)
+        .limit(n_points)
         .select("user_id", "event_id")
     )
     # confine the walk to a ~1 degree box so the traced graph size is
@@ -685,32 +706,41 @@ def _event_line_graph(spark: SparkSession, sf_dir: str):
         )
         for r in ev.collect()
     ]
-    # build the one-row coords table as a pure JVM literal (a
-    # python-list createDataFrame would pay an RDD-serialization round
-    # on every downstream action)
-    coords = F.array(
-        *[
-            F.struct(F.lit(la).alias("lat"), F.lit(ln).alias("lng"))
-            for la, ln in pts
-        ]
-    )
-    # one row -> one partition: a wide stage of empty partitions still
-    # pays a python-worker attach per task for UDF plans
-    df = spark.range(1, numPartitions=1).select(coords.alias("coords"))
+    # chunk the walk into overlapping sub-linestrings (one row each) so
+    # the Python trace kernel parallelizes; the shared endpoint between
+    # consecutive chunks preserves every consecutive-pair edge, and the
+    # graph build's groupBy(edge).min(weight) dedups the overlap. Rows
+    # go through the Arrow LocalRelation path — building them as
+    # nested JVM literals measured ~30 s of analysis+codegen for a
+    # 330-struct expression tree.
+    from h3ron_spark.util import local_df
+
+    chunk = 10
+    chunks = [
+        pts[i : i + chunk + 1] for i in range(0, max(len(pts) - 1, 1), chunk)
+    ]
+    rows = [
+        ([{"lat": la, "lng": ln} for la, ln in ch],) for ch in chunks
+    ]
+    df = local_df(
+        spark, rows, "coords array<struct<lat: double, lng: double>>"
+    ).repartition(len(rows))
     # several downstream actions (adjacency collect, node listing)
     # reuse the edges — materialize once
-    return graph_from_linestrings(df, 6).localCheckpoint(eager=True)
+    return graph_from_linestrings(df, res).localCheckpoint(eager=True)
 
 
 @register("geo_route_line")
 def geo_route_line(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B5 route: many-to-many shortest paths on the traced event
-    linestring graph (broadcast adjacency + per-origin Dijkstra)."""
+    """B5 route (BASELINE.md, route_germany shape): many-to-many
+    shortest paths — 100 origins x 10 destinations on a ~10k-edge
+    traced linestring graph (broadcast adjacency + one Dijkstra per
+    origin fanned out via mapInPandas)."""
     from h3ron_spark.graph import graph_nodes, shortest_path_many_to_many
 
-    g = _event_line_graph(spark, sf_dir)
-    nodes = _spread_nodes(g, 12)
-    out = shortest_path_many_to_many(g, nodes[:6], nodes[6:12])
+    g = _event_line_graph(spark, sf_dir, n_points=300, res=7)
+    nodes = _spread_nodes(g, 110)
+    out = shortest_path_many_to_many(g, nodes[:100], nodes[100:110])
     return out.select("origin", "destination", F.round("cost", 4).alias("cost"))
 
 
@@ -796,19 +826,34 @@ def geo_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("geo_raster_cells")
 def geo_raster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B6 raster: synthetic deterministic raster -> cells per value
-    (centroid-parity mode), counts by value."""
+    """B6 raster (BASELINE.md, convert_dataset_r shape): 2000x2000
+    synthetic band, ~10% nonzero in contiguous blocks (the sparse-
+    raster layout the reference's nodata box-pruning targets), pixel
+    centers encoded at res 11 (vectorized kernel), grouped by value
+    and compacted (R4: groupBy(value) + D4). Returns per-value counts
+    of raw vs compacted cells."""
     import numpy as np
 
+    from h3ron_spark.operators.compact import compact_dataframe
     from h3ron_spark.raster import Transform, raster_to_cells
 
-    arr = np.zeros((64, 64), dtype=np.int64)
-    yy, xx = np.mgrid[0:64, 0:64]
-    arr[(yy // 8 + xx // 8) % 3 == 0] = 1
-    arr[(yy // 8 + xx // 8) % 3 == 1] = 2
-    t = Transform.from_gdal((-122.6, 0.004, 0.0, 37.95, 0.0, -0.004))
-    cells = raster_to_cells(spark, arr, t, 7, nodata=0)
-    return cells.groupBy("value").agg(F.count(F.lit(1)).alias("n_cells"))
+    n = 2000
+    yy, xx = np.mgrid[0:n, 0:n]
+    block = (yy // 50) * 40 + (xx // 50)  # 40x40 grid of 50px blocks
+    arr = np.where(block % 10 == 0, 1 + (block // 10) % 4, 0).astype(
+        np.int64
+    )  # 10% nonzero, values 1..4
+    # ~33 m pixels: ~2.5 pixel centers per res-11 hexagon (~2150 m^2),
+    # so block interiors cover complete sibling sets and the
+    # compaction is real
+    t = Transform.from_gdal((-122.6, 0.0003, 0.0, 37.95, 0.0, -0.0003))
+    cells = raster_to_cells(spark, arr, t, 11, nodata=0, mode="pixel_center")
+    comp = compact_dataframe(cells, "cell")
+    return (
+        comp.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n_compacted"))
+        .orderBy("value")
+    )
 
 
 @register("mm_fake_features")

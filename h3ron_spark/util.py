@@ -17,8 +17,19 @@ def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     LocalRelation once — ~100x faster for the broadcast-probe /
     origin-list tables this engine builds constantly.
 
-    ``schema`` is a DDL string of flat columns (e.g. "cell long").
+    ``schema`` is a DDL string of columns (e.g. "cell long"); nested
+    types are fine — the column split ignores commas inside <...>.
     """
-    names = [f.split()[0] for f in schema.split(",")]
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(schema[start:i])
+            start = i + 1
+    fields.append(schema[start:])
+    names = [f.split()[0] for f in fields]
     pdf = pd.DataFrame(list(rows), columns=names)
     return spark.createDataFrame(pdf, schema=schema)

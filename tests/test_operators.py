@@ -53,6 +53,32 @@ def test_compact_matches_scalar_kernel(spark, disk_df):
     assert got == want
 
 
+def test_compact_two_phase_matches_single_array(spark):
+    """The distributed (partition_res) compact must equal the
+    single-array path exactly, including hierarchy-overlapping input
+    (a coarse cell coexisting with a partial child set) and a full
+    subtree that merges past the partition root."""
+    parent4 = h3c.cell_to_parent(SEED, 4)
+    cells = set(h3c.grid_disk(SEED, 10))  # res-8 disk
+    cells |= set(h3c.cell_to_children(h3c.cell_to_parent(SEED, 6), 7)[:3])
+    cells.add(h3c.cell_to_parent(SEED, 3))  # coarser than partition root
+    # a complete res-5 subtree under parent4: merges to res 4 in the
+    # single-array path, crossing the partition_res=5 boundary
+    cells |= {
+        g
+        for c5 in h3c.cell_to_children(parent4, 5)
+        for g in h3c.cell_to_children(c5, 6)
+    }
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    want = {r.cell for r in OPS.compact_dataframe(df, "cell").collect()}
+    got = {
+        r.cell
+        for r in OPS.compact_dataframe(df, "cell", partition_res=5).collect()
+    }
+    assert got == want
+    assert set(h3c.compact_cells(sorted(cells))) == want
+
+
 def test_uncompact_subset(spark):
     parent = h3c.cell_to_parent(SEED, 5)
     df = spark.createDataFrame([(h3c.cell_to_parent(SEED, 6), 1)], "cell long, x int")
