@@ -30,6 +30,7 @@ import numpy as np
 from h3ron_spark.h3core import derive
 from h3ron_spark.h3core import index as ix
 from h3ron_spark.h3core.constants import (
+    BASE_CELL_DATA,
     BC_OFFSET,
     EPSILON,
     FACE_AXES_AZ_0,
@@ -38,8 +39,10 @@ from h3ron_spark.h3core.constants import (
     M_AP7_ROT_RADS,
     M_SIN60,
     M_SQRT7,
+    MAX_DIM_BY_CII_RES,
     PENTAGON_BASE_CELLS,
     RES0_U_GNOMONIC,
+    UNIT_VECS,
 )
 from h3ron_spark.h3core.coords import geo_to_vec3, rotate_digit_ccw
 
@@ -82,7 +85,15 @@ def _luts() -> dict:
         for p in PENTAGON_BASE_CELLS:
             is_pent[p] = True
 
+        # base cell -> home (face, ijk); direction digit -> unit ijk
+        home = np.zeros((122, 4), dtype=_I64)
+        for b, (hf, hijk, _p, _o) in enumerate(BASE_CELL_DATA):
+            home[b] = (hf, *hijk)
+        uv = np.array(UNIT_VECS + ((0, 0, 0),), dtype=_I64)  # digit 7 pad
+
         _LUTS = {
+            "home": home,
+            "unit_vecs": uv,
             "face_v3": face_v3,
             "fc_lat": fc[:, 0].copy(),
             "fc_lng": fc[:, 1].copy(),
@@ -206,6 +217,18 @@ def _encode_res(lat_r, lng_r, res: int):
     y = np.where(small, 0.0, rr * np.sin(theta))
 
     i, j, k = _hex2d_to_ijk(x, y)
+    return _ijk_to_h3(face, i, j, k, res)
+
+
+def _ijk_to_h3(face, i, j, k, res: int):
+    """Vectorized ``face_ijk_to_h3`` (index.py:170-208) for the
+    hexagon fast path. ``face``/``i``/``j``/``k``: int64 arrays of one
+    (face, ijk) grid position per row at resolution ``res``. Returns
+    (h int64 array, fallback bool array) — flagged rows (pentagon
+    base cell, off-cube aggregation, non-unit digit) must be redone
+    with the scalar kernel."""
+    L = _luts()
+    n = i.shape[0]
 
     bad = np.zeros(n, dtype=bool)
     digits = np.empty((res, n), dtype=_I64) if res else None
@@ -243,7 +266,7 @@ def _encode_res(lat_r, lng_r, res: int):
     for rv in range(1, res + 1):
         base_h &= ~(7 << (3 * (15 - rv)))
     h = np.full(n, base_h, dtype=_U64)
-    h |= bc.astype(_U64) << _U64(BC_OFFSET)
+    h |= np.clip(bc, 0, 127).astype(_U64) << _U64(BC_OFFSET)
     for rv in range(1, res + 1):
         h |= digits[rv - 1].astype(_U64) << _U64(3 * (15 - rv))
     return h.astype(_I64), fallback

@@ -107,6 +107,46 @@ def test_grid_disk_distances_consistent():
     assert byk == {0: 1, 1: 6, 2: 12}
 
 
+def test_grid_disk_fast_matches_bfs():
+    """The single-decompose offset fast path must agree with the BFS
+    everywhere it claims validity — probe random cells globally (face
+    interiors + edges) and the full neighborhoods of every res-2
+    pentagon (fallback territory: the fast path must *decline*, not
+    mis-answer)."""
+    from h3ron_spark.h3core.cells import _grid_disk_fast
+
+    rng = random.Random(7)
+
+    def bfs(h, k):
+        seen = {h: 0}
+        frontier = [h]
+        for dist in range(1, k + 1):
+            nxt = []
+            for c in frontier:
+                for n in h3c.neighbors(c):
+                    if n not in seen:
+                        seen[n] = dist
+                        nxt.append(n)
+            frontier = nxt
+        return seen
+
+    probes = []
+    for _ in range(150):
+        lat = math.degrees(math.asin(rng.uniform(-1, 1)))
+        lng = rng.uniform(-180, 180)
+        probes.append(h3c.latlng_to_cell(lat, lng, rng.choice([1, 2, 5, 8])))
+    pents = [c for c in h3c.res0_cells() if h3c.is_pentagon(c)]
+    for p in pents[:6]:
+        p2 = h3c.cell_to_center_child(p, 2)
+        probes.append(p2)
+        probes.extend(h3c.neighbors(p2))
+    for h in probes:
+        for k in (1, 2, 3):
+            fast = _grid_disk_fast(h, k)
+            if fast is not None:
+                assert dict(fast) == bfs(h, k), (hex(h), k)
+
+
 def test_grid_path_endpoints_and_adjacency():
     target = h3c.grid_disk(SF_CELL_9, 3)[-1]
     path = h3c.grid_path_cells(SF_CELL_9, target)
