@@ -22,6 +22,7 @@ from h3ron_spark.functions import bits as B
 from h3ron_spark.pipeline import dedup as DD
 from h3ron_spark.pipeline import similarity as SIM
 from h3ron_spark.pipeline import text as TX
+from h3ron_spark.testdata import event_epoch_sec as _event_epoch_sec
 from h3ron_spark.testdata import load
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -503,6 +504,156 @@ def embedding_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.avg("norm"), 6).alias("avg_norm"),
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
+    )
+
+
+# =====================================================================
+# String form (S28), set algebra (H3Treemap parity), sessionization
+# =====================================================================
+
+_VALID_SQL = (
+    "((cell >> 42) & 7) <> 7 AND ((cell >> 39) & 7) <> 7"
+    " AND ((cell >> 36) & 7) <> 7"
+)
+
+
+@register(
+    "h3_string_roundtrip",
+    oracle=_BITS_CELL_SQL
+    + """
+      SELECT event_id, cell,
+             printf('%x', cell) AS cell_hex,
+             cell               AS parsed,
+             (cell = cell)      AS roundtrip_ok
+      FROM cells
+    """,
+)
+def h3_string_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S28 hex format/parse (`h3ron/src/cell.rs:342-437`): canonical
+    lowercase-hex string form and its inverse, both pure JVM string
+    expressions (no UDF), proven lossless per-row. The oracle emits the
+    identity for `parsed` — the Spark side genuinely re-parses."""
+    cells = h3_bits_accessors(spark, sf_dir).select("event_id", "cell")
+    s = B.h3_to_string("cell")
+    return cells.select(
+        "event_id",
+        "cell",
+        s.alias("cell_hex"),
+        B.h3_from_string(s).alias("parsed"),
+        (B.h3_from_string(s) == F.col("cell")).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "h3_set_ops",
+    oracle=_BITS_CELL_SQL
+    + f""",
+      valid AS (SELECT event_id, cell FROM cells WHERE {_VALID_SQL}),
+      a AS (SELECT DISTINCT cell FROM valid WHERE event_id % 2 = 0),
+      b AS (SELECT DISTINCT cell FROM valid WHERE event_id % 3 = 0)
+      SELECT
+        (SELECT count(*) FROM a) AS n_a,
+        (SELECT count(*) FROM b) AS n_b,
+        (SELECT count(*) FROM (SELECT cell FROM a INTERSECT SELECT cell FROM b))
+          AS n_intersect,
+        (SELECT count(*) FROM (SELECT cell FROM a EXCEPT SELECT cell FROM b))
+          AS n_a_only,
+        (SELECT count(*) FROM (SELECT cell FROM a UNION SELECT cell FROM b))
+          AS n_union,
+        ((SELECT count(*) FROM (SELECT cell FROM a INTERSECT SELECT cell FROM b)) = 0)
+          AS is_disjoint,
+        ((SELECT count(*) FROM (SELECT cell FROM a EXCEPT SELECT cell FROM b)) = 0)
+          AS is_subset_a_of_b,
+        ((SELECT count(*) FROM (SELECT cell FROM b EXCEPT SELECT cell FROM a)) = 0)
+          AS is_superset_a_of_b
+    """,
+)
+def h3_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3Treemap set algebra (`h3ron/src/collections/treemap/mod.rs:87-99`
+    is_disjoint/is_subset/is_superset) over two derived cell sets, via
+    native INTERSECT/EXCEPT/UNION DISTINCT. Each leg reduces to a
+    one-row count, so the crossJoin of the five legs is trivially
+    broadcast; at 100 TB each leg is one shuffle on the cell key."""
+    acc = h3_bits_accessors(spark, sf_dir)
+    valid = acc.filter(F.col("is_valid")).select("event_id", "cell")
+    a = valid.filter(F.col("event_id") % 2 == 0).select("cell").distinct()
+    b = valid.filter(F.col("event_id") % 3 == 0).select("cell").distinct()
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    row = (
+        cnt(a, "n_a")
+        .crossJoin(cnt(b, "n_b"))
+        .crossJoin(cnt(a.intersect(b), "n_intersect"))
+        .crossJoin(cnt(a.subtract(b), "n_a_only"))
+        .crossJoin(cnt(a.union(b).distinct(), "n_union"))
+        .crossJoin(cnt(b.subtract(a), "n_b_only"))
+    )
+    return row.select(
+        "n_a",
+        "n_b",
+        "n_intersect",
+        "n_a_only",
+        "n_union",
+        (F.col("n_intersect") == 0).alias("is_disjoint"),
+        (F.col("n_a_only") == 0).alias("is_subset_a_of_b"),
+        (F.col("n_b_only") == 0).alias("is_superset_a_of_b"),
+    )
+
+
+@register(
+    "rel_event_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             epoch_ns(ts) // 1000000000 AS sec
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, value, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                       OR sec - lag(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, value, sec,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(sec)            AS session_start,
+           count(*)            AS n_events,
+           max(sec) - min(sec) AS duration_s,
+           round(sum(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def rel_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout): lag + running-sum
+    windows then a per-session agg — the P15 consecutive-pair idiom
+    (`h3ron/src/iter/edge.rs:87-140` modernized per SURVEY §2.7) on the
+    events timeline. One shuffle on user_id serves both windows AND the
+    final agg (same partitioning, no re-shuffle at 100 TB)."""
+    ev = load(spark, sf_dir, "events")
+    sec = _event_epoch_sec(ev)
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    prev = F.lag("sec").over(w)
+    flagged = ev.select("user_id", "event_id", "value", sec.alias("sec")).withColumn(
+        "is_new",
+        F.when(prev.isNull() | ((F.col("sec") - prev) > 1800), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("sec").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("duration_s"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )
 
 

@@ -42,6 +42,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def event_epoch_sec(ev: DataFrame, ts_col: str = "ts") -> Column:
+    """Epoch seconds from the events ``ts`` column, whichever way this
+    session read it: epoch-nanos BIGINT (nanosAsLong session) or
+    TIMESTAMP/TIMESTAMP_NTZ. Matches DuckDB ``epoch_ns(ts) // 1e9``.
+    """
+    if dict(ev.dtypes).get(ts_col) == "bigint":
+        return F.expr(f"CAST({ts_col} DIV 1000000000 AS LONG)")
+    return F.unix_timestamp(F.col(ts_col))
+
+
 def derived_lng(event_id="event_id") -> Column:
     return (F.col(event_id) % 36000) / 100.0 - 180.0
 
