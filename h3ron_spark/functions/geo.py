@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql.functions import arrow_udf
 from pyspark.sql import types as T
@@ -166,37 +167,123 @@ def h3_cell_to_boundary_wkt(cell: pa.Array) -> pa.Array:
 # ------------------------------------------------------------------ hierarchy
 
 
+def _np_col(arr: pa.Array):
+    """(int64 values with nulls as 0, bool validity) from an Arrow col."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    valid = np.asarray(arr.is_valid())
+    vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    return vals, valid
+
+
+def _np_list_col(arr: pa.Array):
+    """(flat int64 values, per-row lengths, row validity) from a
+    list<int64> column; inner nulls are dropped (scalar-loop parity)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    import pyarrow.compute as pc
+
+    row_valid = np.asarray(arr.is_valid())
+    flat = arr.flatten()  # values of non-null rows, in row order
+    lengths = np.asarray(
+        pc.fill_null(pc.list_value_length(arr), 0).to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=np.int64,
+    )
+    inner_valid = np.asarray(flat.is_valid())
+    flat_np = flat.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    if not inner_valid.all():
+        # drop inner nulls and shrink the owning rows' lengths
+        row_of = np.repeat(np.arange(len(lengths)), lengths)
+        drop_per_row = np.bincount(
+            row_of[~inner_valid], minlength=len(lengths)
+        )
+        lengths = lengths - drop_per_row
+        flat_np = flat_np[inner_valid]
+    return flat_np, lengths, row_valid
+
+
+def _ragged_scatter(values, offsets, rows_idx, flat, counts):
+    """Write per-row variable-length runs into the flat output."""
+    if flat.size == 0:
+        return
+    starts = np.repeat(offsets[rows_idx], counts)
+    inner = np.arange(flat.size, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    values[starts + inner] = flat
+
+
+def _list_result(values: np.ndarray, counts: np.ndarray, row_valid) -> pa.Array:
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    mask = None
+    if row_valid is not None and not row_valid.all():
+        mask = pa.array(~row_valid)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), pa.array(values, _I64), mask=mask
+    )
+
+
 @arrow_udf(_ARR_I64_SPARK)
 def h3_cell_to_children(cell: pa.Array, child_res: pa.Array) -> pa.Array:
-    out = []
-    for c, r in zip(cell.to_pylist(), child_res.to_pylist()):
-        if c is None or r is None or not h3c.is_valid_cell(c):
-            out.append(None)
-            continue
-        try:
-            out.append(h3c.cell_to_children(c, r))
-        except Exception:
-            out.append(None)
-    return pa.array(out, _ARR_I64)
+    """S7 (cell.rs:115-130): numpy digit-enumeration batch kernel;
+    pentagon subtrees take the scalar path inside the batch kernel."""
+    from h3ron_spark.h3core import vectorized as V
+
+    c, cv = _np_col(cell)
+    r, rv = _np_col(child_res)
+    ok = cv & rv & (r >= 0) & (r <= 15) & V.is_valid_cell_np(c)
+    counts = np.zeros(len(c), dtype=np.int64)
+    pieces_rows: list = []
+    pieces_flat: list = []
+    pieces_counts: list = []
+    for tv in np.unique(r[ok]) if len(c) else ():
+        rows = np.nonzero(ok & (r == tv))[0]
+        flat, cnts = V.cell_to_children_batch(c[rows], int(tv))
+        counts[rows] = cnts
+        pieces_rows.append(rows)
+        pieces_flat.append(flat)
+        pieces_counts.append(cnts)
+    offsets = np.zeros(len(c) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    values = np.empty(int(offsets[-1]), dtype=np.int64)
+    for rows, flat, cnts in zip(pieces_rows, pieces_flat, pieces_counts):
+        _ragged_scatter(values, offsets, rows, flat, cnts)
+    return _list_result(values, counts, ok)
 
 
 @arrow_udf(_ARR_I64_SPARK)
 def h3_change_resolution(cell: pa.Array, target_res: pa.Array) -> pa.Array:
     """D2: coarser -> [parent]; same -> [cell]; finer -> children.
-    Mirrors h3ron/src/iter/resolution.rs:9-142 semantics."""
-    out = []
-    for c, r in zip(cell.to_pylist(), target_res.to_pylist()):
-        if c is None or r is None or not h3c.is_valid_cell(c) or not 0 <= r <= 15:
-            out.append(None)
-            continue
-        cur = h3c.get_resolution(c)
-        if r == cur:
-            out.append([c])
-        elif r < cur:
-            out.append([h3c.cell_to_parent(c, r)])
-        else:
-            out.append(h3c.cell_to_children(c, r))
-    return pa.array(out, _ARR_I64)
+    Mirrors h3ron/src/iter/resolution.rs:9-142 semantics. The parent
+    leg is one vectorized bit-math pass; children use the batch
+    digit-enumeration kernel."""
+    from h3ron_spark.h3core import vectorized as V
+
+    c, cv = _np_col(cell)
+    r, rv = _np_col(target_res)
+    ok = cv & rv & (r >= 0) & (r <= 15) & V.is_valid_cell_np(c)
+    res = (c >> np.int64(52)) & np.int64(15)
+    up = ok & (r <= res)  # parent or self: one cell out
+    down = ok & (r > res)
+    counts = np.zeros(len(c), dtype=np.int64)
+    counts[up] = 1
+    pieces = []
+    for tv in np.unique(r[down]) if len(c) else ():
+        rows = np.nonzero(down & (r == tv))[0]
+        flat, cnts = V.cell_to_children_batch(c[rows], int(tv))
+        counts[rows] = cnts
+        pieces.append((rows, flat, cnts))
+    offsets = np.zeros(len(c) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    values = np.empty(int(offsets[-1]), dtype=np.int64)
+    up_rows = np.nonzero(up)[0]
+    values[offsets[up_rows]] = V.cell_to_parent_np(c[up_rows], r[up_rows])
+    for rows, flat, cnts in pieces:
+        _ragged_scatter(values, offsets, rows, flat, cnts)
+    return _list_result(values, counts, ok)
 
 
 # ------------------------------------------------------------------ traversal
@@ -516,35 +603,51 @@ def h3_local_ij_to_cell(origin: pa.Array, i: pa.Array, j: pa.Array) -> pa.Array:
 
 @arrow_udf(_ARR_I64_SPARK)
 def h3_compact_cells(cells: pa.Array) -> pa.Array:
-    """D3: compact one array of same-res cells (h3ron-polars
-    .../chunkedarray/compact.rs:7-21). Frame-level compaction lives in
-    operators.compact (groupBy + this kernel)."""
-    out = []
-    for arr in cells.to_pylist():
-        if arr is None:
-            out.append(None)
-            continue
-        try:
-            out.append(h3c.compact_cells([c for c in arr if c is not None]))
-        except Exception:
-            out.append(None)
-    return pa.array(out, _ARR_I64)
+    """D3: compact one array of cells per row (h3ron-polars
+    .../chunkedarray/compact.rs:7-21) via the numpy hierarchy kernel.
+    Frame-level compaction lives in operators.compact (groupBy +
+    this kernel)."""
+    from h3ron_spark.h3core import vectorized as V
+
+    flat, lengths, row_valid = _np_list_col(cells)
+    bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    outs = [
+        V.compact_cells_np(flat[bounds[i] : bounds[i + 1]])
+        if row_valid[i]
+        else np.empty(0, dtype=np.int64)
+        for i in range(len(lengths))
+    ]
+    counts = np.array([o.size for o in outs], dtype=np.int64)
+    values = (
+        np.concatenate(outs) if outs else np.empty(0, dtype=np.int64)
+    )
+    return _list_result(values, counts, row_valid)
 
 
 @arrow_udf(_ARR_I64_SPARK)
 def h3_uncompact_cells(cells: pa.Array, res: pa.Array) -> pa.Array:
-    out = []
-    for arr, r in zip(cells.to_pylist(), res.to_pylist()):
-        if arr is None or r is None:
-            out.append(None)
+    from h3ron_spark.h3core import vectorized as V
+
+    flat, lengths, row_valid = _np_list_col(cells)
+    r, rv = _np_col(res)
+    row_valid = row_valid & rv & (r >= 0) & (r <= 15)
+    bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    outs = []
+    for i in range(len(lengths)):
+        if not row_valid[i]:
+            outs.append(np.empty(0, dtype=np.int64))
             continue
-        try:
-            out.append(
-                h3c.uncompact_cells([c for c in arr if c is not None], r)
-            )
-        except Exception:
-            out.append(None)
-    return pa.array(out, _ARR_I64)
+        kids, _ = V.cell_to_children_batch(
+            flat[bounds[i] : bounds[i + 1]], int(r[i])
+        )
+        outs.append(kids)
+    counts = np.array([o.size for o in outs], dtype=np.int64)
+    values = (
+        np.concatenate(outs) if outs else np.empty(0, dtype=np.int64)
+    )
+    return _list_result(values, counts, row_valid)
 
 
 # ------------------------------------------------------- geometry dispatch

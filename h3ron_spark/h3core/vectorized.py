@@ -335,3 +335,165 @@ def cell_to_latlng_batch(cells):
             la[t] = a * r2d
             ln[t] = b * r2d
     return la[inv], ln[inv]
+
+
+# ----------------------------------------------- hierarchy batch kernels
+
+_PENT_BASES_NP = np.array(PENTAGON_BASE_CELLS, dtype=_I64)
+_RES_MASK = _I64(15 << 52)
+_LOW45 = _I64((1 << 45) - 1)
+_COMBO_CACHE: dict = {}
+# rows x 7^k children matrices are materialized per chunk; bound the
+# footprint so a huge res span can't allocate GBs at once
+_CHILD_CHUNK_CELLS = 1 << 25
+
+
+def _child_combos(k: int) -> np.ndarray:
+    """All 7^k child digit paths below a non-pentagon cell, packed as
+    base-8 (3 bits per level, first descended digit most significant).
+    Ascending order == the scalar recursion's enumeration order
+    (cells.cell_to_children)."""
+    got = _COMBO_CACHE.get(k)
+    if got is None:
+        n = 7**k
+        idx = np.arange(n, dtype=_I64)
+        out = np.zeros(n, dtype=_I64)
+        for level in range(k):  # level 0 = first descended digit
+            stride = _I64(7 ** (k - 1 - level))
+            out |= ((idx // stride) % 7) << _I64(3 * (k - 1 - level))
+        _COMBO_CACHE[k] = got = out
+    return got
+
+
+def _is_pentagon_np(cells: np.ndarray, res: np.ndarray) -> np.ndarray:
+    """Pentagon cells: pentagon base + the all-zero center-digit chain
+    (trailing digits past res are the 7-sentinel)."""
+    trailing = (_I64(1) << (3 * (15 - res)).astype(_I64)) - _I64(1)
+    return np.isin((cells >> _I64(45)) & _I64(127), _PENT_BASES_NP) & (
+        (cells & _LOW45) == trailing
+    )
+
+
+def cell_to_children_batch(
+    cells: np.ndarray, target_res: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch S7: flattened children of every cell at ``target_res``
+    plus per-input counts (scalar parity: cells.cell_to_children,
+    h3ron/src/cell.rs:115-130 semantics). Input order and the per-cell
+    enumeration order match the scalar kernel exactly. Cells finer
+    than the target (or with out-of-range res) contribute 0 children.
+    Pentagon subtrees (deleted K-subsequence) route through the scalar
+    kernel; everything else is pure int64 bit math."""
+    from h3ron_spark.h3core import cells as cells_mod
+
+    cells = np.asarray(cells, dtype=_I64)
+    n = cells.shape[0]
+    res = ((cells >> _I64(52)) & _I64(15)).astype(_I64)
+    k = _I64(target_res) - res
+    ok = (k >= 0) & (res >= 0) & (target_res <= 15)
+    pent = ok & _is_pentagon_np(cells, res) & (k > 0)
+    fast = ok & ~pent
+
+    counts = np.zeros(n, dtype=_I64)
+    counts[fast] = np.power(_I64(7), k[fast])
+    pent_rows = np.nonzero(pent)[0]
+    pent_children = [
+        cells_mod.cell_to_children(int(cells[i]), target_res) for i in pent_rows
+    ]
+    counts[pent_rows] = [len(ch) for ch in pent_children]
+
+    offsets = np.zeros(n + 1, dtype=_I64)
+    np.cumsum(counts, out=offsets[1:])
+    out = np.empty(int(offsets[-1]), dtype=_I64)
+
+    shift = _I64(3 * (15 - target_res))
+    for kv in np.unique(k[fast]) if n else ():
+        rows = np.nonzero(fast & (k == kv))[0]
+        kv = int(kv)
+        width = 7**kv
+        base = (cells[rows] & ~_RES_MASK) | _I64(target_res << 52)
+        if kv > 0:
+            base = base & ~_I64(((1 << (3 * kv)) - 1) << (3 * (15 - target_res)))
+            combos = _child_combos(kv) << shift
+        step = max(1, _CHILD_CHUNK_CELLS // width)
+        for s in range(0, len(rows), step):
+            r = rows[s : s + step]
+            b = base[s : s + step]
+            kids = b[:, None] | combos[None, :] if kv > 0 else b[:, None]
+            pos = offsets[r][:, None] + np.arange(width, dtype=_I64)[None, :]
+            out[pos] = kids
+    for i, ch in zip(pent_rows, pent_children):
+        out[int(offsets[i]) : int(offsets[i]) + len(ch)] = ch
+    return out, counts
+
+
+def compact_cells_np(cells: np.ndarray) -> np.ndarray:
+    """Batch D3: minimal covering set through the resolution hierarchy
+    (scalar parity: cells.compact_cells, h3ron/src/lib.rs:62-76 /
+    CompactedCellVec semantics; output sorted ascending = the scalar
+    kernel's sorted() contract). Pure int64 bit math: per resolution,
+    parents whose full sibling set (6 for pentagons) is present
+    swallow their children."""
+    cells = np.unique(np.asarray(cells, dtype=_I64))
+    if cells.size == 0:
+        return cells
+    res = (cells >> _I64(52)) & _I64(15)
+    for r in range(int(res.max()), 0, -1):
+        cur_mask = res == r
+        if not cur_mask.any():
+            continue
+        cur = cells[cur_mask]
+        shift = _I64(3 * (15 - r))
+        parents = ((cur | (_I64(7) << shift)) & ~_RES_MASK) | _I64((r - 1) << 52)
+        uniq, inv, counts = np.unique(
+            parents, return_inverse=True, return_counts=True
+        )
+        need = np.where(
+            _is_pentagon_np(uniq, np.full(uniq.shape, r - 1, dtype=_I64)),
+            _I64(6),
+            _I64(7),
+        )
+        collapse = counts == need
+        if not collapse.any():
+            continue
+        keep = np.ones(cells.size, dtype=bool)
+        keep[np.nonzero(cur_mask)[0][collapse[inv]]] = False
+        cells = np.unique(np.concatenate([cells[keep], uniq[collapse]]))
+        res = (cells >> _I64(52)) & _I64(15)
+    return cells
+
+
+def is_valid_cell_np(cells: np.ndarray) -> np.ndarray:
+    """Batch S5 validity (scalar parity: index.is_valid_cell): cell
+    mode, zero reserved bits, known base, digits 0..6 up to res with
+    the 7-sentinel past it, pentagon deleted-K leading-digit rule."""
+    c = np.asarray(cells, dtype=_I64)
+    res = (c >> _I64(52)) & _I64(15)
+    base = (c >> _I64(45)) & _I64(127)
+    ok = (
+        (c > 0)
+        & (((c >> _I64(59)) & _I64(15)) == 1)
+        & (((c >> _I64(56)) & _I64(7)) == 0)
+        & (base < 122)
+    )
+    pent = np.isin(base, _PENT_BASES_NP)
+    lead_zero = np.ones(c.shape, dtype=bool)
+    for d in range(1, 16):
+        dig = (c >> _I64(3 * (15 - d))) & _I64(7)
+        in_range = d <= res
+        ok &= np.where(in_range, dig != 7, dig == 7)
+        ok &= ~(pent & in_range & lead_zero & (dig == 1))
+        lead_zero &= dig == 0
+    return ok
+
+
+def cell_to_parent_np(cells: np.ndarray, parent_res: np.ndarray) -> np.ndarray:
+    """Batch S6 (scalar parity: cells.cell_to_parent): digits past the
+    parent res become the 7-sentinel. Caller guarantees
+    parent_res <= res(cell)."""
+    c = np.asarray(cells, dtype=_I64)
+    res = (c >> _I64(52)) & _I64(15)
+    pr = np.asarray(parent_res, dtype=_I64)
+    span = (res - pr).astype(_I64)
+    mask = ((_I64(1) << (3 * span)) - _I64(1)) << (3 * (15 - res)).astype(_I64)
+    return ((c | mask) & ~_RES_MASK) | (pr << _I64(52))

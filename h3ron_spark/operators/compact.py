@@ -81,11 +81,38 @@ def _compact_two_phase(
     fine = df.filter(res > partition_res)
     coarse_in = df.filter(res <= partition_res).select(cell_col)
 
+    # explicit repartition on the res-partition_res ancestor (NOT a
+    # groupBy+collect_set): hash co-location of each subtree is the
+    # only requirement, and per-PARTITION numpy compaction over the
+    # union of complete subtrees is exact (sibling merges never cross
+    # a subtree root below partition_res). An explicit repartition
+    # also pins the parallelism: AQE would coalesce this shuffle to a
+    # couple of partitions by byte size (3.5M cells ~ 28 MB) and
+    # serialize what is a CPU-bound kernel.
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+
+    def _compact_partition(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from h3ron_spark.h3core.vectorized import compact_cells_np
+
+        chunks = [
+            b.column(0).to_numpy(zero_copy_only=False) for b in batches
+        ]
+        if not chunks:
+            return
+        out = compact_cells_np(np.concatenate(chunks).astype(np.int64))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out, pa.int64())], [cell_col]
+        )
+
     phase1 = (
-        fine.groupBy(B.h3_to_parent(cell_col, partition_res).alias("_root"))
-        .agg(F.collect_set(cell_col).alias("_cells"))
-        .withColumn("_compacted", G.h3_compact_cells("_cells"))
-        .select(F.explode("_compacted").alias(cell_col))
+        fine.repartition(n_part, B.h3_to_parent(cell_col, partition_res))
+        .select(F.col(cell_col))
+        .mapInArrow(_compact_partition, f"{cell_col} long")
     )
     # phase 2: finish merges at/above the partition root. Inputs:
     # phase-1 outputs that reached partition_res + pre-existing coarse

@@ -32,12 +32,44 @@ def shingles(text, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", t)))
 
 
-def _shingle_hash(s: Column, seed: int) -> Column:
-    """Deterministic 63-bit hash of a shingle, identical in DuckDB:
-    first 15 hex chars of md5(seed || ' ' || shingle) parsed base-16."""
-    return F.conv(F.substring(F.md5(F.concat_ws(" ", F.lit(str(seed)), s)), 1, 15), 16, 10).cast(
-        "long"
+def _mix_consts(seed: int) -> tuple[int, int, int]:
+    """Per-seed odd multipliers + xor constant for the permutation mix.
+
+    Deterministic from the seed so the Spark expressions and the DuckDB
+    oracle SQL (queries_h3._hash_sql) derive identical values."""
+    import random
+
+    rng = random.Random(0xD1CE ^ (seed * 0x9E3779B9))
+    return (
+        rng.getrandbits(29) | 1,
+        rng.getrandbits(29) | 1,
+        rng.getrandbits(60),
     )
+
+
+def shingle_base_hash(s: Column) -> Column:
+    """Seed-independent 60-bit base hash of a shingle, identical in
+    DuckDB: first 15 hex chars of md5(shingle) parsed base-16. Computed
+    ONCE per shingle; the per-permutation values are integer mixes of
+    it (16x fewer md5 evaluations than hashing per permutation)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _mix_hash(h: Column, seed: int) -> Column:
+    """Universal-hash-style permutation of the base hash. Overflow-free
+    in both engines: 32-bit halves x 29-bit odd multipliers stay under
+    2^62, then xor — bit-identical in Spark and DuckDB (no wrap, no
+    ANSI overflow error)."""
+    a, b, c = _mix_consts(seed)
+    lo = h.bitwiseAND(F.lit(0xFFFFFFFF))
+    hi = F.shiftrightunsigned(h, 32)
+    return (lo * F.lit(a)).bitwiseXOR(hi * F.lit(b)).bitwiseXOR(F.lit(c))
+
+
+def _shingle_hash(s: Column, seed: int) -> Column:
+    """Deterministic 62-bit permutation hash of a shingle (base md5
+    hash + per-seed integer mix), identical in DuckDB."""
+    return _mix_hash(shingle_base_hash(s), seed)
 
 
 def minhash_signature(text, num_perms: int = MINHASH_PERMS) -> Column:
@@ -125,8 +157,10 @@ def minhash_signature_df(
             F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("_s")
         ).dropDuplicates(["id", "_s"])
     hashed = sh.select(
+        "id", shingle_base_hash(F.col("_s")).alias("_hb")
+    ).select(
         "id",
-        *[_shingle_hash(F.col("_s"), k).alias(f"_h{k}") for k in range(num_perms)],
+        *[_mix_hash(F.col("_hb"), k).alias(f"_h{k}") for k in range(num_perms)],
     )
     return hashed.groupBy("id").agg(
         *[F.min(f"_h{k}").alias(f"m{k}") for k in range(num_perms)]

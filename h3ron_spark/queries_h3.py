@@ -147,8 +147,12 @@ _SHINGLES = f"""
 
 
 def _hash_sql(expr: str, seed: int) -> str:
+    """Exact twin of dedup._shingle_hash: one md5 base hash + the
+    per-seed overflow-free integer mix (same _mix_consts)."""
+    a, b, c = DD._mix_consts(seed)
+    base = f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
     return (
-        f"(('0x' || substr(md5('{seed}' || ' ' || {expr}), 1, 15))::BIGINT)"
+        f"xor(xor(({base} & 4294967295) * {a}, ({base} >> 32) * {b}), {c})"
     )
 
 
