@@ -289,47 +289,89 @@ def h3_change_resolution(cell: pa.Array, target_res: pa.Array) -> pa.Array:
 # ------------------------------------------------------------------ traversal
 
 
-@lru_cache(maxsize=_CACHE)
-def _disk(cell, k):
-    if cell is None or k is None or k < 0 or not h3c.is_valid_cell(cell):
-        return None
-    return h3c.grid_disk(cell, k)
+def _grid_window_batch(c, ok, kmin, kmax):
+    """Shared disk/ring/window batch: per row the (distance, cell)-
+    sorted cells with grid distance in [kmin, kmax]. Distinct-cell
+    dedup per (kmin, kmax) group recovers the memoization the scalar
+    lru_cache provided (batches repeat cells after joins/groupBys).
+    Returns (flat cells, flat distances, per-row counts)."""
+    from h3ron_spark.h3core import vectorized as V
+
+    n = len(c)
+    counts = np.zeros(n, dtype=np.int64)
+    chunks = []
+    pairs = (
+        np.unique(np.stack([kmin[ok], kmax[ok]], axis=1), axis=0)
+        if ok.any()
+        else ()
+    )
+    for lo, hi in pairs:
+        rows = np.nonzero(ok & (kmin == lo) & (kmax == hi))[0]
+        u, inv = np.unique(c[rows], return_inverse=True)
+        fc, fd, cnt = V.grid_disk_distances_batch(u, int(hi), int(lo))
+        starts = np.zeros(len(u) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=starts[1:])
+        rcnt = cnt[inv]
+        counts[rows] = rcnt
+        total = int(rcnt.sum())
+        gidx = np.repeat(starts[:-1][inv], rcnt) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(rcnt) - rcnt, rcnt)
+        )
+        chunks.append((rows, fc[gidx], fd[gidx], rcnt))
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    out_c = np.empty(int(offsets[-1]), dtype=np.int64)
+    out_d = np.empty(int(offsets[-1]), dtype=np.int64)
+    for rows, fc, fd, rcnt in chunks:
+        _ragged_scatter(out_c, offsets, rows, fc, rcnt)
+        _ragged_scatter(out_d, offsets, rows, fd, rcnt)
+    return out_c, out_d, counts
+
+
+def _cell_k_result(out_c, out_d, counts, ok) -> pa.Array:
+    values = pa.StructArray.from_arrays(
+        [pa.array(out_c, _I64), pa.array(out_d.astype(np.int32), _I32)],
+        ["cell", "k"],
+    )
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    mask = None if ok.all() else pa.array(~ok)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), values, mask=mask
+    )
+
+
+def _disk_ok(cell: pa.Array, k: pa.Array):
+    from h3ron_spark.h3core import vectorized as V
+
+    c, cv = _np_col(cell)
+    kk, kv = _np_col(k)
+    return c, kk, cv & kv & (kk >= 0) & V.is_valid_cell_np(c)
 
 
 @arrow_udf(_ARR_I64_SPARK)
 def h3_grid_disk(cell: pa.Array, k: pa.Array) -> pa.Array:
-    return pa.array(
-        [_disk(c, kk) for c, kk in zip(cell.to_pylist(), k.to_pylist())],
-        _ARR_I64,
-    )
-
-
-@lru_cache(maxsize=_CACHE)
-def _ring(cell, k):
-    if cell is None or k is None or k < 0 or not h3c.is_valid_cell(cell):
-        return None
-    return h3c.grid_ring(cell, k)
+    """S10 k-ring (cell.rs:141-155) via the batch offset-disk kernel."""
+    c, kk, ok = _disk_ok(cell, k)
+    out_c, _, counts = _grid_window_batch(c, ok, np.zeros_like(kk), kk)
+    return _list_result(out_c, counts, ok)
 
 
 @arrow_udf(_ARR_I64_SPARK)
 def h3_grid_ring(cell: pa.Array, k: pa.Array) -> pa.Array:
-    return pa.array(
-        [_ring(c, kk) for c, kk in zip(cell.to_pylist(), k.to_pylist())],
-        _ARR_I64,
-    )
+    """S11 hollow ring (cell.rs:157-168)."""
+    c, kk, ok = _disk_ok(cell, k)
+    out_c, _, counts = _grid_window_batch(c, ok, kk, kk)
+    return _list_result(out_c, counts, ok)
 
 
 @arrow_udf(_CELL_K_SPARK)
 def h3_grid_disk_distances(cell: pa.Array, k: pa.Array) -> pa.Array:
-    out = []
-    for c, kk in zip(cell.to_pylist(), k.to_pylist()):
-        if c is None or kk is None or kk < 0 or not h3c.is_valid_cell(c):
-            out.append(None)
-            continue
-        out.append(
-            [{"cell": cc, "k": dd} for cc, dd in h3c.grid_disk_distances(c, kk)]
-        )
-    return pa.array(out, pa.list_(_CELL_K))
+    """S12 disk with per-cell distance (cell.rs:186-218)."""
+    c, kk, ok = _disk_ok(cell, k)
+    out_c, out_d, counts = _grid_window_batch(c, ok, np.zeros_like(kk), kk)
+    return _cell_k_result(out_c, out_d, counts, ok)
 
 
 @arrow_udf(_CELL_K_SPARK)
@@ -337,26 +379,18 @@ def h3_grid_disk_distances_range(
     cell: pa.Array, k_min: pa.Array, k_max: pa.Array
 ) -> pa.Array:
     """Ring-window disk: cells with distance in [k_min, k_max]
-    (GridDiskBuilder, h3ron/src/iter/grid_disk.rs:16-100)."""
-    out = []
-    for c, lo, hi in zip(
-        cell.to_pylist(), k_min.to_pylist(), k_max.to_pylist()
-    ):
-        if (
-            c is None
-            or hi is None
-            or hi < 0
-            or not h3c.is_valid_cell(c)
-        ):
-            out.append(None)
-            continue
-        out.append(
-            [
-                {"cell": cc, "k": dd}
-                for cc, dd in h3c.grid_disk_distances(c, hi, max(0, lo or 0))
-            ]
-        )
-    return pa.array(out, pa.list_(_CELL_K))
+    (GridDiskBuilder, h3ron/src/iter/grid_disk.rs:16-100). A null or
+    negative k_min clamps to 0 (builder default); a null/negative
+    k_max nulls the row."""
+    from h3ron_spark.h3core import vectorized as V
+
+    c, cv = _np_col(cell)
+    hi, hv = _np_col(k_max)
+    lo, _ = _np_col(k_min)  # null lo -> 0 via fill_null
+    lo = np.maximum(lo, 0)
+    ok = cv & hv & (hi >= 0) & V.is_valid_cell_np(c)
+    out_c, out_d, counts = _grid_window_batch(c, ok, lo, hi)
+    return _cell_k_result(out_c, out_d, counts, ok)
 
 
 @arrow_udf(T.IntegerType())

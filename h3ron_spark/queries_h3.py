@@ -788,7 +788,10 @@ def geo_ring_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct res-4 event cells, counted per k."""
     from h3ron_spark.functions import geo as G
 
-    cells = _event_cells(spark, sf_dir, 4).select("cell").distinct()
+    par = spark.sparkContext.defaultParallelism
+    # re-spread: AQE coalesces the byte-small distinct shuffle to ~1
+    # partition, which would serialize the CPU-bound disk kernel
+    cells = _event_cells(spark, sf_dir, 4).select("cell").distinct().repartition(par)
     nk = cells.select(
         F.explode(
             G.h3_grid_disk_distances_range("cell", F.lit(2), F.lit(3))
@@ -823,7 +826,8 @@ def geo_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped by the res-1 parent (aligned dissolve, G7)."""
     from h3ron_spark.operators.dissolve import cells_to_polygons_df
 
-    cells = _event_cells(spark, sf_dir, 4).select("cell").distinct()
+    par = spark.sparkContext.defaultParallelism
+    cells = _event_cells(spark, sf_dir, 4).select("cell").distinct().repartition(par)
     out = cells_to_polygons_df(cells, "cell", align_res=1)
     return out.select("align_cell", "n_cells")
 
