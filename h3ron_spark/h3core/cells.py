@@ -441,7 +441,17 @@ def _path_local(a: int, b: int) -> list[int] | None:
     frame with cube rounding (public gridPathCells approach). Fails
     (None) when the local frame doesn't hold — far cells, face
     crossings with distortion — detected by an endpoint/adjacency
-    check."""
+    check.
+
+    Vectorized: ONE origin decompose + one batch ``_ijk_to_h3`` over
+    every lerp step (the scalar loop re-decomposed the origin and ran
+    full grid math per step, ~2 ms/cell); steps the batch kernel flags
+    (off-face/pentagon frames) are redone with the scalar
+    local_ij_to_cell, preserving exact scalar-path results."""
+    import numpy as np
+
+    from h3ron_spark.h3core import vectorized as V
+
     la = _local_axial(a, a)
     lb = _local_axial(a, b)
     if la is None or lb is None:
@@ -449,35 +459,42 @@ def _path_local(a: int, b: int) -> list[int] | None:
     di = lb[0] - la[0]
     dj = lb[1] - la[1]
     n = max(abs(di), abs(dj), abs(di - dj))
-    out = []
-    prev_ij = None
-    pent = False
-    for s in range(n + 1):
-        t = s / n if n else 0.0
-        ri, rj = _cube_round(la[0] + di * t, la[1] + dj * t)
-        cell = local_ij_to_cell(a, ri, rj)
-        if cell is None:
+    if n == 0:
+        return None  # b != a but same rounded frame position
+    t = np.arange(n + 1, dtype=np.float64) / n
+    ri, rj = V.cube_round_np(la[0] + di * t, la[1] + dj * t)
+    ii, jj, kk = V._norm3(ri, rj, np.zeros_like(ri))
+    res = ix.get_resolution(a)
+    oface, _ = ix.h3_to_face_ijk(a)
+    h, fb = V._ijk_to_h3(np.full(n + 1, oface, dtype=np.int64), ii, jj, kk, res)
+    for idx in np.nonzero(fb)[0]:
+        c = local_ij_to_cell(a, int(ri[idx]), int(rj[idx]))
+        if c is None:
             return None
-        if not out or out[-1] != cell:
-            if out:
-                # arithmetic adjacency check in the shared local frame:
-                # a unit cube step => neighbors, no geometric probe
-                # needed. Pentagon distortion can break the frame
-                # metric, so any pentagon in the path falls back to
-                # the full geometric verification below.
-                pi, pj = prev_ij
-                if max(abs(ri - pi), abs(rj - pj), abs((ri - rj) - (pi - pj))) != 1:
-                    return None
-            out.append(cell)
-            prev_ij = (ri, rj)
-            pent = pent or is_pentagon(cell)
-    if out[0] != a or out[-1] != b:
+        h[idx] = c
+    keep = np.ones(n + 1, dtype=bool)
+    keep[1:] = h[1:] != h[:-1]
+    out = h[keep]
+    if int(out[0]) != a or int(out[-1]) != b:
         return None
-    if pent:
-        for x, y in zip(out, out[1:]):
-            if not are_neighbor_cells(x, y):
+    if out.size > 1:
+        # arithmetic adjacency check in the shared local frame: a unit
+        # cube step => neighbors, no geometric probe needed
+        rik = ri[keep]
+        rjk = rj[keep]
+        step = np.maximum(
+            np.maximum(np.abs(np.diff(rik)), np.abs(np.diff(rjk))),
+            np.abs(np.diff(rik - rjk)),
+        )
+        if (step != 1).any():
+            return None
+    # pentagon distortion can break the frame metric: any pentagon in
+    # the path falls back to full geometric verification
+    if V._is_pentagon_np(out, (out >> np.int64(52)) & np.int64(15)).any():
+        for x, y in zip(out[:-1], out[1:]):
+            if not are_neighbor_cells(int(x), int(y)):
                 return None
-    return out
+    return [int(c) for c in out]
 
 
 def _geo_midpoint_cell(a: int, b: int, res: int) -> int | None:

@@ -608,3 +608,24 @@ def grid_disk_distances_batch(
         out_c[s : s + len(items)] = [c for c, _ in items]
         out_d[s : s + len(items)] = [d for _, d in items]
     return out_c, out_d, counts
+
+
+def cube_round_np(fi: np.ndarray, fj: np.ndarray):
+    """Vectorized cells._cube_round: round fractional local-axial
+    (i, j) to the nearest hex in cube space (x=i, z=-j, y=j-i)."""
+    x = fi
+    z = -fj
+    y = -x - z
+    rx = np.round(x)
+    ry = np.round(y)
+    rz = np.round(z)
+    dx = np.abs(rx - x)
+    dy = np.abs(ry - y)
+    dz = np.abs(rz - z)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_y = ~fix_x & (dy > dz)
+    fix_z = ~fix_x & ~fix_y
+    rx = np.where(fix_x, -ry - rz, rx)
+    ry = np.where(fix_y, -rx - rz, ry)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(_I64), (-rz).astype(_I64)
