@@ -60,13 +60,24 @@ def brute_force_topk(
     For large |Q| use :func:`lsh_topk`.
     """
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine("q_vec", "c_vec"), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
@@ -98,10 +109,16 @@ def lsh_bucket(vec, dim: int, planes: int = 8, seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id (int in [0, 2^planes))."""
     vec = F.col(vec) if isinstance(vec, str) else vec
     hps = _hyperplanes(dim, planes, seed)
+    # ONE nested array literal for all hyperplanes: per-element F.lit
+    # made planes x dim Literal nodes and Catalyst analysis (not
+    # execution) dominated the plan cost
+    H = F.lit([list(h) for h in hps])
     acc = F.lit(0)
-    for i, h in enumerate(hps):
+    for i in range(planes):
         proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(t) for t in h]), lambda x, y: x.cast("double") * y),
+            F.zip_with(
+                vec, F.element_at(H, i + 1), lambda x, y: x.cast("double") * y
+            ),
             F.lit(0.0),
             lambda a, x: a + x,
         )
@@ -144,30 +161,29 @@ def ivf_best_lists(vec, centroids, nprobe: int = 1) -> Column:
     are rounded to 6 dp so tie-breaking is reproducible across
     engines."""
     vec = F.col(vec) if isinstance(vec, str) else vec
-    cents_arr = F.array(
-        *[
-            F.struct(
-                F.lit(-cid).alias("negcid"),
-                F.lit(math.sqrt(sum(t * t for t in cv))).alias("norm"),
-                F.array(*[F.lit(t) for t in cv]).alias("v"),
-            )
-            for cid, cv in centroids
-        ]
+    # three plain nested literals (vectors / norms / negated ids)
+    # instead of an array of per-element-lit structs: collapses
+    # n_lists x dim Literal nodes to three, which removes the Catalyst
+    # analysis cost that dominated this expression
+    cent_vecs = F.lit([[float(t) for t in cv] for _, cv in centroids])
+    cent_norms = F.lit(
+        [math.sqrt(sum(t * t for t in cv)) for _, cv in centroids]
     )
+    cent_negids = F.lit([-cid for cid, _ in centroids])
     vnorm = l2_norm(vec)
 
-    def score(c):
+    def score(cv, i):
         d = F.aggregate(
-            F.zip_with(vec, c["v"], lambda x, y: x.cast("double") * y),
+            F.zip_with(vec, cv, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         return F.struct(
-            F.round(d / (vnorm * c["norm"]), 6).alias("sim"),
-            c["negcid"].alias("negcid"),
+            F.round(d / (vnorm * F.get(cent_norms, i)), 6).alias("sim"),
+            F.get(cent_negids, i).alias("negcid"),
         )
 
-    ranked = F.reverse(F.array_sort(F.transform(cents_arr, score)))
+    ranked = F.reverse(F.array_sort(F.transform(cent_vecs, score)))
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: -s["negcid"])
 
 
@@ -194,20 +210,31 @@ def ivf_topk(
     candidates, ~``nprobe/n_lists`` of the corpus instead of all of it.
     """
     cents = ivf_centroid_rows(corpus, n_lists, id_col, vec_col)
+    # norms once per VECTOR before the join — the per-pair cosine then
+    # costs one dot, not dot + two norm aggregates (at corpus scale the
+    # candidate set is ~nprobe/n_lists of corpus x queries; recomputing
+    # norms per pair would multiply that work)
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
         ivf_best_lists(vec_col, cents, 1)[0].alias("list_id"),
     )
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
         F.explode(ivf_best_lists(vec_col, cents, nprobe)).alias("list_id"),
     )
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine("q_vec", "c_vec"), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
@@ -237,18 +264,28 @@ def embedding_near_dup_pairs(
     side = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
         lsh_bucket(vec_col, dim, planes, seed).alias("bucket"),
     )
     a = side.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "bucket"
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"),
+        "bucket",
     )
     b = side.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "bucket"
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine("v_a", "v_b"), 6))
+        .withColumn(
+            "cosine",
+            F.round(dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -270,17 +307,24 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
         lsh_bucket(vec_col, dim, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
         lsh_bucket(vec_col, dim, planes).alias("bucket"),
     )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine("q_vec", "c_vec"), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

@@ -386,7 +386,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors), map-side list assignment as a JVM expression, probe the
     2 nearest lists per query, exact cosine rerank. The oracle
     replicates the identical quantizer/probe semantics in SQL."""
-    emb = load(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    # re-spread: the corpus parquet is one small file -> one input
+    # partition, and the broadcast candidate join inherits it, which
+    # would run every per-pair dot product on a single core
+    emb = load(spark, sf_dir, "embeddings").repartition(par)
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
