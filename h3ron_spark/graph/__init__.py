@@ -5,6 +5,8 @@ from h3ron_spark.graph.build import (  # noqa: F401
     edge_graph_from_cell_pairs,
     graph_from_linestrings,
     graph_nodes,
+    load_graph,
+    save_graph,
 )
 from h3ron_spark.graph.path import (  # noqa: F401
     order_paths,

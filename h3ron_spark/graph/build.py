@@ -119,6 +119,25 @@ def graph_from_linestrings(
     )
 
 
+def save_graph(edges: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Persist a graph (P14; the reference serializes the prepared
+    graph with bincode+LZ4, io/serde_util.rs:29-60 — here a graph IS a
+    plain edges DataFrame, so persistence is a Parquet table: columnar
+    compression replaces the custom format, and predicate
+    pushdown/partition pruning come free on re-read). Bucketing by
+    origin would additionally pre-co-locate the adjacency build at
+    cluster scale; plain Parquet keeps the artifact engine-neutral."""
+    out = edges
+    if partitions is not None:
+        out = out.repartition(partitions, "origin")
+    out.write.mode("overwrite").parquet(path)
+
+
+def load_graph(spark, path: str) -> DataFrame:
+    """Re-open a persisted graph (P14 counterpart of save_graph)."""
+    return spark.read.parquet(path)
+
+
 def graph_nodes(edges: DataFrame) -> DataFrame:
     """(cell, node_type) with the reference's NodeType algebra
     (node.rs:6-48): Origin=1, Destination=2, both=3 via bit_or."""

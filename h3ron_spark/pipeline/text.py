@@ -102,3 +102,20 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", fingerprint(text_col))
         .withColumn("lang_guess", lang_guess(text_col))
     )
+
+
+# GPT-2-style pre-tokenizer shape, reduced to a class both Spark (Java
+# regex) and DuckDB (RE2) evaluate identically: alnum runs, single
+# non-alnum-non-space marks, no lookarounds.
+BPE_ISH_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text) -> Column:
+    """Subword-ish tokenization (BPE pre-tokenizer shape): alnum runs
+    split from punctuation marks. array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_REGEX), F.lit(0))
+
+
+def bpe_ish_token_count(text) -> Column:
+    return F.size(bpe_ish_tokens(text))

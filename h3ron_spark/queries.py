@@ -507,6 +507,36 @@ def embedding_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "text_token_counts",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split_regex(trim(text), '\s+'))) AS total_ws_tokens,
+           sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+             AS total_bpe_tokens,
+           round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))), 4)
+             AS avg_bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (training-pipeline ops): whitespace
+    tokens and the BPE-pre-tokenizer-shaped regex split, aggregated
+    per source. Both are single-pass JVM regex expressions — the scan
+    never leaves codegen, and the 4-group agg is map-side partial."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).alias("total_ws_tokens"),
+        F.sum(TX.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
+        F.round(F.avg(TX.bpe_ish_token_count("text")), 4).alias(
+            "avg_bpe_tokens"
+        ),
+    )
+
+
 # =====================================================================
 # String form (S28), set algebra (H3Treemap parity), sessionization
 # =====================================================================

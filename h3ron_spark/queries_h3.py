@@ -582,6 +582,94 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SEQ = 0
 
 
+_STREAM_WIN_ORACLE = f"""
+  WITH src AS (
+    SELECT ((1::BIGINT << 59) | (2::BIGINT << 52)
+            | ((25 + user_id % 12)::BIGINT << 45)
+            | ((event_id % 7)::BIGINT << 42)
+            | (((event_id // 7) % 7)::BIGINT << 39)
+            | ((1::BIGINT << 39) - 1)) AS cell,
+           event_id AS ts_s
+    FROM events WHERE event_id < {{n}}
+  )
+  SELECT (ts_s // 60) * 60 AS window_start_s,
+         ((cell | (7::BIGINT << 39)) & {~(15 << 52)}) | (1::BIGINT << 52)
+           AS cell,
+         count(*) AS n_events
+  FROM src
+  GROUP BY 1, 2
+""".format(n=4000)
+
+
+@register("stream_windowed_counts", oracle=_STREAM_WIN_ORACLE)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed streaming rollup (SURVEY §1.8 extension:
+    readStream -> watermark + window agg + bit-math parent rollup)
+    driven end-to-end over a two-file time-split source, so windows
+    span micro-batch boundaries. Complete output mode emits every
+    window; the oracle is the equivalent batch GROUP BY over the same
+    rows (time_bucket x res-1 parent)."""
+    import shutil
+    import tempfile
+
+    from h3ron_spark import streaming as ST
+
+    n = 4000
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < n)
+    b = 25 + F.col("user_id") % 12
+    d1 = F.col("event_id") % 7
+    d2 = F.expr("event_id div 7") % 7
+    src = ev.select(
+        B.h3_build_cell(b, [d1, d2], 2).alias("cell"),
+        F.col("event_id").cast("timestamp").alias("ts"),
+    )
+    workdir = tempfile.mkdtemp(prefix="h3ron_streamwin_")
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_conf, None)
+    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    try:
+        half = n // 2
+        for i, part in enumerate(
+            (
+                src.filter(F.col("ts").cast("long") < half),
+                src.filter(F.col("ts").cast("long") >= half),
+            )
+        ):
+            part.coalesce(1).write.parquet(f"{workdir}/in/b{i}.parquet")
+        stream = (
+            spark.readStream.schema("cell long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{workdir}/in/*")
+        )
+        global _STREAM_SEQ
+        _STREAM_SEQ += 1
+        sink = f"h3ron_wincounts_{_STREAM_SEQ}"
+        q = (
+            ST.windowed_cell_counts(
+                stream,
+                window_duration="1 minute",
+                watermark="2 minutes",
+                parent_res=1,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if old_parts is not None:
+            spark.conf.set(shuffle_conf, old_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.table(sink).select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "cell",
+        "n_events",
+    )
+
+
 # =====================================================================
 # Geodesic workloads (rows-only driver check: no SQL oracle can
 # compute the icosahedral math; correctness is pinned by the pytest

@@ -160,3 +160,33 @@ def test_direction_digits_and_avg_lookups(spark):
         .x
         is None
     )
+
+
+def test_bpe_ish_tokens_match_duckdb(spark):
+    """Training-pipeline token counting: the BPE-pre-tokenizer regex
+    must split identically in Spark (Java regex) and DuckDB (RE2)."""
+    import duckdb
+
+    from h3ron_spark.pipeline import text as TX
+
+    samples = [
+        ("Hello, world! it's 42 deg.",),
+        ("  multi   space\ttab\nnewline  ",),
+        ("no-punct",),
+        ("1+1=2; x_y",),
+    ]
+    df = spark.createDataFrame(samples, "text string")
+    got = [
+        (r.t, r.n)
+        for r in df.select(
+            TX.bpe_ish_tokens("text").alias("t"),
+            TX.bpe_ish_token_count("text").alias("n"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    for (text,), (toks, n) in zip(samples, got):
+        exp = con.execute(
+            r"SELECT regexp_extract_all(?, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')",
+            [text],
+        ).fetchone()[0]
+        assert toks == exp and n == len(exp)

@@ -265,3 +265,25 @@ def test_path_helpers_empty_and_segmented(spark):
     assert not rows["one"].empty and rows["one"].wkt.count(",") == 1
     # segmented sequences yield NULL where the reference errors
     assert rows["segmented"].wkt is None
+
+
+def test_save_load_graph_roundtrip(spark, tmp_path):
+    """P14: graph persistence as Parquet (serde_util.rs:29-60 parity:
+    a persisted+reloaded graph is edge-for-edge identical)."""
+    a = h3c.latlng_to_cell(10.0, 20.0, RES)
+    nb = h3c.grid_disk(a, 1)
+    pairs = spark.createDataFrame(
+        [(a, nb[1], 1.0), (nb[1], nb[2], 2.0), (a, nb[1], 0.5)],
+        "origin long, destination long, w double",
+    )
+    g = GR.edge_graph_from_cell_pairs(
+        pairs, "origin", "destination", "w", bidirectional=False
+    )
+    path = str(tmp_path / "graph.parquet")
+    GR.save_graph(g, path, partitions=2)
+    g2 = GR.load_graph(spark, path)
+    got = sorted((r.origin, r.destination, r.weight) for r in g2.collect())
+    exp = sorted((r.origin, r.destination, r.weight) for r in g.collect())
+    assert got == exp
+    # min-weight duplicate rule survived the roundtrip
+    assert [w for o, d, w in got if (o, d) == (a, nb[1])] == [0.5]
