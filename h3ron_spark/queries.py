@@ -512,8 +512,9 @@ def embedding_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=r"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(string_split_regex(trim(text), '\s+'))) AS total_ws_tokens,
-           sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+           sum(len(string_split_regex(trim(text), '\s+')))::BIGINT
+             AS total_ws_tokens,
+           sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))::BIGINT
              AS total_bpe_tokens,
            round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))), 4)
              AS avg_bpe_tokens
@@ -648,8 +649,9 @@ def h3_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
     ), sessions AS (
       SELECT user_id, event_id, value, sec,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             (sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                ROWS UNBOUNDED PRECEDING))::BIGINT
+               AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
