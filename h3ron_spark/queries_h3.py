@@ -995,3 +995,145 @@ def geo_wkt_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.size(G.h3_geometry_to_cells("wkt", F.lit(8))).alias("n_cells"),
     )
+
+
+# =====================================================================
+# Coverage queries for remaining SURVEY ids (X5, G8/D9, D8, P10-P12,
+# S25) — small deterministic inputs, rows-only driver checks
+# =====================================================================
+
+
+@register("geo_within_distance")
+def geo_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 envelopes_within_distance: distance predicate over the
+    res-6 event cells via coarse disk probe + exact haversine refine
+    (spatialindex.rs bench AOI shape)."""
+    from h3ron_spark.operators.spatial import cells_within_distance
+
+    cells = _event_cells(spark, sf_dir, 6)
+    hits = cells_within_distance(cells, -35.0, -135.0, 500.0, 6, "cell")
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("cell").alias("n_cells"),
+    )
+
+
+@register("geo_cell_clusters")
+def geo_cell_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8/D9 connected components: two disjoint disks + a far single
+    cell -> 3 clusters; returns per-cluster sizes under the
+    deterministic min-cell label."""
+    import h3ron_spark.h3core as h3c
+    from h3ron_spark.operators.clusters import cell_clusters
+    from h3ron_spark.util import local_df
+
+    cells = (
+        h3c.grid_disk(h3c.latlng_to_cell(10.0, 20.0, 6), 4)
+        + h3c.grid_disk(h3c.latlng_to_cell(11.0, 21.0, 6), 2)
+        + [h3c.latlng_to_cell(-45.0, 100.0, 6)]
+    )
+    df = local_df(spark, [(c,) for c in cells], "cell long")
+    return (
+        cell_clusters(df, "cell")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .orderBy("cluster")
+    )
+
+
+@register("geo_bounding_rect")
+def geo_bounding_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 bbox aggregate over the res-5 event cells (centroid min/max,
+    rounded 6 dp)."""
+    from h3ron_spark.operators.frame import bounding_rect
+
+    cells = _event_cells(spark, sf_dir, 5)
+    box = bounding_rect(cells, "cell")
+    return box.select(*[F.round(c, 6).alias(c) for c in box.columns])
+
+
+@register("geo_nearest_nodes")
+def geo_nearest_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 nearest graph nodes: probe cells at increasing k against
+    the event line graph's node set; all nodes at the smallest found k
+    per probe (nearest_graph_nodes.rs:7-67)."""
+    from h3ron_spark.graph import graph_nodes, nearest_graph_nodes
+    from h3ron_spark.util import local_df
+
+    g = _event_line_graph(spark, sf_dir)
+    nodes = graph_nodes(g)
+    probes = nodes.orderBy("cell").limit(5).select("cell")
+    from h3ron_spark.functions import geo as G
+
+    shifted = probes.select(
+        F.explode(G.h3_grid_ring("cell", F.lit(2))).alias("cell")
+    ).orderBy("cell").limit(5)
+    out = nearest_graph_nodes(shifted, nodes.select("cell"), 4, "cell")
+    return out.orderBy("cell", "node")
+
+
+@register("geo_differential_route")
+def geo_differential_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 differential routing: before/after costs with the first
+    intermediate cell of the first route excluded; NULL cost_after =
+    unreachable (differential_shortest_path.rs:32-139)."""
+    from h3ron_spark.graph import differential_shortest_path
+
+    g = _event_line_graph(spark, sf_dir)
+    nodes = _spread_nodes(g, 6)
+    origins, dests = nodes[:3], nodes[3:6]
+    # deterministic disturbance: the lowest-id node not an endpoint
+    endpoint_set = set(origins) | set(dests)
+    all_nodes = _spread_nodes(g, 50)
+    excl = [c for c in all_nodes if c not in endpoint_set][:2]
+    out = differential_shortest_path(g, origins, dests, excl)
+    return out.select(
+        "origin",
+        "destination",
+        F.round("cost_before", 4).alias("cost_before"),
+        F.round("cost_after", 4).alias("cost_after"),
+    ).orderBy("origin", "destination")
+
+
+@register("geo_covered_area")
+def geo_covered_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 covered area: dissolved outline of the line graph's node
+    coverage at res-3 (covered_area.rs:13-52); returns ring vertex
+    counts per outline component."""
+    from h3ron_spark.graph import covered_area
+
+    g = _event_line_graph(spark, sf_dir)
+    out = covered_area(g, 3)
+    return out.select(
+        "align_cell" if "align_cell" in out.columns else out.columns[0],
+        "n_cells",
+    ).orderBy(out.columns[0])
+
+
+@register("h3_localij_roundtrip")
+def h3_localij_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25 local IJ roundtrip: cell -> (i, j) in a fixed origin's
+    frame -> cell, proven lossless per row over a k=6 disk
+    (localij.rs:106-128 test idiom at frame scale)."""
+    import h3ron_spark.h3core as h3c
+    from h3ron_spark.functions import geo as G
+    from h3ron_spark.util import local_df
+
+    origin = h3c.latlng_to_cell(37.0, -122.0, 7)
+    cells = h3c.grid_disk(origin, 6)
+    df = local_df(spark, [(c,) for c in cells], "cell long")
+    ij = df.select(
+        "cell",
+        F.lit(origin).alias("origin"),
+        G.h3_cell_to_local_ij(F.lit(origin), F.col("cell")).alias("ij"),
+    )
+    back = ij.select(
+        "cell",
+        G.h3_local_ij_to_cell(
+            F.col("origin"), F.col("ij.i"), F.col("ij.j")
+        ).alias("back"),
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum((F.col("back") == F.col("cell")).cast("int")).alias("n_roundtrip_ok"),
+    )
