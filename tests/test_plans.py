@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the scale properties SURVEY §4 promises
+(predicate pushdown, column pruning, partial aggregation, broadcast
+joins, no Python in bit-math paths) must be visible in the plans
+Catalyst actually produces — these tests pin them so a refactor that
+silently loses one fails CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from h3ron_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = Q.queries()[name](spark, SF)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_pricing_summary_pushdown_pruning_partial_agg(spark):
+    plan = plan_of(spark, "rel_pricing_summary")
+    # filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: comment/tax/etc never read
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_comment" not in read and "l_tax" not in read
+    # map-side partial aggregation before the exchange
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_top_revenue_broadcasts_the_dimension(spark):
+    plan = plan_of(spark, "rel_top_revenue_orders")
+    assert "BroadcastHashJoin" in plan
+    # the customer mktsegment filter is pushed to its scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_bit_math_rollup_stays_jvm_side(spark):
+    """h3_parent_rollup (S6+D6+agg) must compile to pure codegen —
+    no Python evaluation node anywhere in the plan."""
+    plan = plan_of(spark, "h3_parent_rollup")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine
+
+
+def test_text_stats_stay_jvm_side(spark):
+    plan = plan_of(spark, "text_token_counts")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_polyfill_filter_is_broadcast_semi_join(spark):
+    """X4: the AOI probe must reach the fact side as a broadcast
+    (semi) join, never a shuffle of the events table."""
+    plan = plan_of(spark, "geo_polyfill_filter")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_uncompact_mapping_join_broadcasts(spark):
+    plan = plan_of(spark, "h3_uncompact_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_compact_two_phase_partitions_on_subtree_root(spark):
+    """The distributed compact must hash-partition on the res-5
+    ancestor (bit-math expression) feeding the Arrow kernel."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.operators.compact import compact_dataframe
+    from h3ron_spark.util import local_df
+
+    import h3ron_spark.h3core as h3c
+
+    cells = h3c.uncompact_cells(
+        h3c.grid_disk(h3c.latlng_to_cell(10.0, 20.0, 5), 1), 7
+    )
+    df = local_df(spark, [(c,) for c in cells], "cell long")
+    out = compact_dataframe(df, "cell", partition_res=5)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(jmode)
+    assert "hashpartitioning" in plan
+    assert "MapInArrow" in plan
