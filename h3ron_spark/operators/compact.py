@@ -39,23 +39,24 @@ def compact_dataframe(
     the resolution hierarchy; ``exploded`` re-explodes to one row per
     compacted cell (else keeps an array column).
 
-    ``partition_res`` (scale path, no-keys frames): without it the
-    keyless case collect_sets EVERY cell into one array in one task —
-    correct, but single-threaded and memory-bound at 100 TB. With it,
-    compaction runs distributed in two phases: (1) group by the
-    res-``partition_res`` ancestor and compact each subtree in
+    ``partition_res`` (scale path): without it every group (or, with
+    no keys, the whole frame) collect_sets into ONE array in one task
+    — correct, but single-threaded per group and memory-bound at
+    100 TB (a single hot group can hold billions of cells). With it,
+    compaction runs distributed in two phases: (1) group by (keys +
+    res-``partition_res`` ancestor) and compact each subtree in
     parallel (exact for every merge at res > partition_res — siblings
     at any finer res share that ancestor, so no merge crosses a group
     boundary); (2) the coarse remainder (res <= partition_res, at most
-    one cell per group) is compacted in one tiny final pass to finish
-    merges above the partition root. Identical results to the
-    single-array path.
+    one cell per subtree per group) is compacted per key group in a
+    final bounded pass to finish merges above the partition roots.
+    Identical results to the single-array path.
     """
     keys = [c for c in df.columns if c != cell_col]
+    if partition_res is not None:
+        return _compact_two_phase(df, cell_col, exploded, partition_res, keys)
     if keys:
         agg = df.groupBy(*keys).agg(F.collect_set(cell_col).alias("_cells"))
-    elif partition_res is not None:
-        return _compact_two_phase(df, cell_col, exploded, partition_res)
     else:
         agg = df.agg(F.collect_set(cell_col).alias("_cells"))
     out = agg.withColumn("_compacted", G.h3_compact_cells("_cells")).drop("_cells")
@@ -67,13 +68,24 @@ def compact_dataframe(
 
 
 def _compact_two_phase(
-    df: DataFrame, cell_col: str, exploded: bool, partition_res: int
+    df: DataFrame,
+    cell_col: str,
+    exploded: bool,
+    partition_res: int,
+    keys: list[str],
 ) -> DataFrame:
-    """Distributed keyless compact (see compact_dataframe). One
-    shuffle keyed on the coarse ancestor; the per-group kernel work
-    parallelizes across the cluster; the phase-2 input is bounded by
-    the number of res<=partition_res cells (tiny)."""
+    """Distributed compact (see compact_dataframe). One shuffle keyed
+    on (keys + coarse ancestor); per-subtree kernel work parallelizes
+    across the cluster with group size bounded by the subtree width
+    (<= 7^(input_res - partition_res) cells), so hot key groups can't
+    OOM a task; the phase-2 input per key group is bounded by the
+    number of res<=partition_res cells."""
     from h3ron_spark.functions import bits as B
+
+    if keys:
+        return _compact_two_phase_keyed(
+            df, cell_col, exploded, partition_res, keys
+        )
 
     # cells coarser than the partition root can't group under an
     # ancestor — route them straight to phase 2
@@ -130,6 +142,48 @@ def _compact_two_phase(
     if exploded:
         return out
     return out.agg(F.collect_set(cell_col).alias(cell_col))
+
+
+def _compact_two_phase_keyed(
+    df: DataFrame,
+    cell_col: str,
+    exploded: bool,
+    partition_res: int,
+    keys: list[str],
+) -> DataFrame:
+    """Keyed two-phase compact: phase 1 groups by (keys, subtree
+    root) — bounded arrays, full parallelism even for one hot key —
+    phase 2 finishes the coarse merges per key group."""
+    from h3ron_spark.functions import bits as B
+
+    res = B.h3_get_resolution(cell_col)
+    fine = df.filter(res > partition_res)
+    coarse_in = df.filter(res <= partition_res).select(*keys, cell_col)
+
+    phase1 = (
+        fine.groupBy(
+            *keys, B.h3_to_parent(cell_col, partition_res).alias("_root")
+        )
+        .agg(F.collect_set(cell_col).alias("_cells"))
+        .withColumn("_compacted", G.h3_compact_cells("_cells"))
+        .select(*keys, F.explode("_compacted").alias(cell_col))
+    )
+    out_res = B.h3_get_resolution(cell_col)
+    final_fine = phase1.filter(out_res > partition_res)
+    boundary = phase1.filter(out_res <= partition_res).unionByName(coarse_in)
+    phase2 = (
+        boundary.groupBy(*keys)
+        .agg(F.collect_set(cell_col).alias("_cells"))
+        .withColumn("_compacted", G.h3_compact_cells("_cells"))
+        .select(*keys, F.explode("_compacted").alias(cell_col))
+    )
+    out = final_fine.unionByName(phase2)
+    if exploded:
+        return out
+    # match the plain path's sorted-array contract
+    return out.groupBy(*keys).agg(
+        F.array_sort(F.collect_set(cell_col)).alias(cell_col)
+    )
 
 
 def uncompact_dataframe(

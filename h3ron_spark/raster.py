@@ -158,6 +158,7 @@ def raster_to_cells(
     nodata=None,
     compact: bool = False,
     mode: str = "centroid",
+    compact_partition_res: int | None = None,
 ) -> DataFrame:
     """R4 pipeline: pixels -> cells(, value), optionally compacted per
     value (array.rs:246-370; groupBy(value) + D4 compaction replaces
@@ -216,4 +217,11 @@ def raster_to_cells(
         return cells
     from h3ron_spark.operators.compact import compact_dataframe
 
-    return compact_dataframe(cells, "cell")
+    # compact_partition_res opts into the keyed two-phase scale path:
+    # group size bounded by the subtree under that ancestor res, so
+    # one dominant raster value can't funnel the whole band into a
+    # single compaction task. Default (None) single-phases per value —
+    # faster while per-value cell counts fit one task comfortably.
+    return compact_dataframe(
+        cells, "cell", partition_res=compact_partition_res
+    )

@@ -240,3 +240,44 @@ def test_neighbors_within_distance(spark):
     rim = cells[-1]
     rim_rows = out.filter(F.col("cell") == rim).collect()
     assert any(r.neighbor_value == -1.0 for r in rim_rows)
+
+
+def test_keyed_two_phase_compact_matches_plain(spark):
+    """D4 scale path: (keys, subtree-root) two-phase compaction must
+    produce exactly the plain per-group result — including groups that
+    collapse past the partition root and mixed-res inputs."""
+    import h3ron_spark.h3core as h3c
+    from h3ron_spark.operators.compact import compact_dataframe
+    from h3ron_spark.util import local_df
+
+    rows = []
+    # value 'a': a full res-5 disk uncompacted to res 7 (collapses all
+    # the way back past the res-6 partition boundary)
+    for c in h3c.uncompact_cells(
+        h3c.grid_disk(h3c.latlng_to_cell(10.0, 20.0, 5), 2), 7
+    ):
+        rows.append(("a", c))
+    # value 'b': partial children (no full collapse) + coarse cells
+    kids = h3c.cell_to_children(h3c.latlng_to_cell(45.0, 45.0, 5), 7)
+    rows.extend(("b", c) for c in kids[:-3])
+    rows.append(("b", h3c.latlng_to_cell(-20.0, 100.0, 4)))
+    df = local_df(spark, rows, "value string, cell long")
+
+    plain = compact_dataframe(df, "cell")
+    two = compact_dataframe(df, "cell", partition_res=6)
+    a = sorted((r.value, r.cell) for r in plain.collect())
+    b = sorted((r.value, r.cell) for r in two.collect())
+    assert a == b and len(a) > 0
+
+    # array (non-exploded) variant agrees too
+    pa_ = {
+        r.value: r.cell
+        for r in compact_dataframe(df, "cell", exploded=False).collect()
+    }
+    tw = {
+        r.value: r.cell
+        for r in compact_dataframe(
+            df, "cell", exploded=False, partition_res=6
+        ).collect()
+    }
+    assert pa_ == tw
