@@ -437,17 +437,29 @@ def compact_cells_np(cells: np.ndarray) -> np.ndarray:
     cells = np.unique(np.asarray(cells, dtype=_I64))
     if cells.size == 0:
         return cells
+    # int64 order groups by the res field (bits 52-55 sit above base
+    # cell + digits), so the sorted array splits into contiguous
+    # per-res runs — bucket ONCE and never re-sort the full set. For
+    # same-res sorted cells the parent map (digit->7, res-1) is
+    # monotone, so sibling counting is a run-length pass, and new
+    # parents merge into the (small) next-coarser bucket only.
     res = (cells >> _I64(52)) & _I64(15)
-    for r in range(int(res.max()), 0, -1):
-        cur_mask = res == r
-        if not cur_mask.any():
+    bounds = np.searchsorted(res, np.arange(17, dtype=_I64))
+    by_res: list[np.ndarray] = [
+        cells[bounds[r] : bounds[r + 1]] for r in range(16)
+    ]
+    for r in range(15, 0, -1):
+        cur = by_res[r]
+        if cur.size == 0:
             continue
-        cur = cells[cur_mask]
         shift = _I64(3 * (15 - r))
         parents = ((cur | (_I64(7) << shift)) & ~_RES_MASK) | _I64((r - 1) << 52)
-        uniq, inv, counts = np.unique(
-            parents, return_inverse=True, return_counts=True
-        )
+        newrun = np.empty(parents.size, dtype=bool)
+        newrun[0] = True
+        np.not_equal(parents[1:], parents[:-1], out=newrun[1:])
+        run_ids = np.cumsum(newrun) - 1
+        counts = np.bincount(run_ids)
+        uniq = parents[newrun]
         need = np.where(
             _is_pentagon_np(uniq, np.full(uniq.shape, r - 1, dtype=_I64)),
             _I64(6),
@@ -456,11 +468,16 @@ def compact_cells_np(cells: np.ndarray) -> np.ndarray:
         collapse = counts == need
         if not collapse.any():
             continue
-        keep = np.ones(cells.size, dtype=bool)
-        keep[np.nonzero(cur_mask)[0][collapse[inv]]] = False
-        cells = np.unique(np.concatenate([cells[keep], uniq[collapse]]))
-        res = (cells >> _I64(52)) & _I64(15)
-    return cells
+        by_res[r] = cur[~collapse[run_ids]]
+        newp = uniq[collapse]
+        by_res[r - 1] = (
+            np.unique(np.concatenate([by_res[r - 1], newp]))
+            if by_res[r - 1].size
+            else newp
+        )
+    # per-res blocks are each sorted; res-ascending concatenation is
+    # the scalar kernel's global ascending order
+    return np.concatenate(by_res)
 
 
 def is_valid_cell_np(cells: np.ndarray) -> np.ndarray:
