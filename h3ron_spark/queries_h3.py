@@ -1137,3 +1137,24 @@ def h3_localij_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.sum((F.col("back") == F.col("cell")).cast("int")).alias("n_roundtrip_ok"),
     )
+
+
+@register("geo_graph_downsample")
+def geo_graph_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 downsample_graph (h3edge.rs:215-260): the res-6 event line
+    graph re-expressed at res 4 with min-weight aggregation of
+    cross-boundary duplicates; per-graph edge/weight summary."""
+    from h3ron_spark.graph import downsample_graph
+
+    g = _event_line_graph(spark, sf_dir)
+    d = downsample_graph(g, 4, weight_agg="min")
+    return (
+        g.select(F.lit("r6").alias("graph"), "weight")
+        .unionByName(d.select(F.lit("r4").alias("graph"), "weight"))
+        .groupBy("graph")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(F.sum("weight"), 4).alias("total_weight"),
+        )
+        .orderBy("graph")
+    )
