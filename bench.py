@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "rel_pricing_summary",
     "rel_top_revenue_orders",
     "rel_nation_order_stats",
+    "rel_event_sessions",
     "h3_bits_accessors",
     "h3_parent_rollup",
     "h3_compact_dataframe",
@@ -38,6 +39,7 @@ BENCH_QUERIES = [
     "geo_raster_cells",     # B6 raster
     "text_document_stats",
     "text_quality_by_source",
+    "text_token_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_topk_cosine",

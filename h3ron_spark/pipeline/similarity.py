@@ -196,6 +196,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign every corpus vector to its nearest
     coarse-quantizer centroid (its inverted list), probe the ``nprobe``
@@ -209,7 +210,7 @@ def ivf_topk(
     side); the only shuffle is the per-query top-k window over
     candidates, ~``nprobe/n_lists`` of the corpus instead of all of it.
     """
-    cents = ivf_centroid_rows(corpus, n_lists, id_col, vec_col)
+    cents = centroids or ivf_centroid_rows(corpus, n_lists, id_col, vec_col)
     # norms once per VECTOR before the join — the per-pair cosine then
     # costs one dot, not dot + two norm aggregates (at corpus scale the
     # candidate set is ~nprobe/n_lists of corpus x queries; recomputing

