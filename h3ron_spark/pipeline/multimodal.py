@@ -107,6 +107,45 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize each image/video asset to (width, height) via mapInPandas
+    — same stub contract as extract_features: the Arrow batch plumbing
+    and output schema are real; the pixel resample is a deterministic
+    fake (byte stream truncated/padded to w*h) unless a codec-backed
+    resampler replaces it. Audio rows pass through untouched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "no media codecs in this environment; pass fake=True "
+                    "for the deterministic test resampler"
+                )
+            rows = []
+            for aid, kind, payload, meta in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                meta = dict(meta) if meta is not None else {}
+                if kind != "audio" and payload is not None:
+                    buf = bytes(payload)
+                    out = (buf * (target // max(1, len(buf)) + 1))[:target]
+                    payload = out
+                    meta["width"] = width
+                    meta["height"] = height
+                rows.append((int(aid), kind, payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "payload", "meta"]
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame,
     every_n: int = 10,

@@ -1184,3 +1184,51 @@ def geo_graph_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("graph")
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT kind,
+           count(*)            AS n_sampled,
+           sum(frame_index)::BIGINT AS sum_idx
+    FROM (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'video'
+                  WHEN doc_id % 3 = 1 THEN 'image'
+                  ELSE 'audio' END AS kind,
+             unnest(range(0, (n_chars % 50) + 1, 7)) AS frame_index
+      FROM documents
+    )
+    GROUP BY kind
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan (training-pipeline op): a media
+    table synthesized from documents (payload = text bytes, n_frames
+    derived from n_chars), every-7th-frame sampling as pure SQL
+    sequence+explode — the oracle replicates the identical schedule.
+    The decode of each sampled frame would plug into extract_features;
+    sampling itself never touches the payload bytes."""
+    from h3ron_spark.pipeline.multimodal import sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            ((F.col("n_chars") % 50) + 1).cast("int").alias("n_frames"),
+            F.lit("synthetic").alias("codec"),
+        ).alias("meta"),
+    )
+    sampled = sample_frames(media, every_n=7)
+    return sampled.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("frame_index").cast("long").alias("sum_idx"),
+    )

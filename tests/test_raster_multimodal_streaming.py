@@ -225,3 +225,24 @@ def test_streaming_cell_transitions_stateful(spark, tmp_path):
         (2, c2, c3),  # within batch 2
     }
     assert got == want
+
+
+def test_resize_media_fake(spark):
+    """Resize plumbing: image/video payloads resampled to w*h bytes
+    with meta updated; audio untouched."""
+    from h3ron_spark.pipeline.multimodal import resize_media, synthetic_media
+
+    media = synthetic_media(spark, 12)
+    out = resize_media(media, 8, 4, fake=True).collect()
+    assert len(out) == 12
+    for r in out:
+        if r.kind == "audio":
+            continue
+        assert len(r.payload) == 32
+        assert r.meta.width == 8 and r.meta.height == 4
+    # fake=False raises at execution (stub contract)
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        resize_media(media, 8, 4, fake=False).collect()
