@@ -89,3 +89,35 @@ def test_compact_two_phase_partitions_on_subtree_root(spark):
     plan = out._jdf.queryExecution().explainString(jmode)
     assert "hashpartitioning" in plan
     assert "MapInArrow" in plan
+
+
+def test_parent_partition_layout_prunes_files(spark, tmp_path):
+    """The cell_parent_r{N} layout (SURVEY §4 convention replacing the
+    X1-X3 indexes) must produce real partition pruning: a region
+    filter appears in the scan's PartitionFilters and non-matching
+    partition directories are never read."""
+    import h3ron_spark.h3core as h3c
+    from h3ron_spark.operators.layout import (
+        parent_col_name,
+        read_cells_in_region,
+        write_partitioned_cells,
+    )
+    from h3ron_spark.util import local_df
+
+    # two geographically distant res-7 disks -> disjoint res-3 parents
+    a = h3c.grid_disk(h3c.latlng_to_cell(10.0, 20.0, 7), 3)
+    b = h3c.grid_disk(h3c.latlng_to_cell(-40.0, 150.0, 7), 3)
+    df = local_df(spark, [(c,) for c in a + b], "cell long")
+    path = str(tmp_path / "cells")
+    write_partitioned_cells(df, path, parent_res=3)
+
+    region = {h3c.cell_to_parent(c, 3) for c in a}
+    got = read_cells_in_region(spark, path, 3, region)
+    assert sorted(r.cell for r in got.collect()) == sorted(a)
+
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(jmode)
+    pc = parent_col_name(3)
+    assert "PartitionFilters" in plan and pc in plan.split("PartitionFilters")[1].splitlines()[0]
