@@ -218,6 +218,14 @@ def _ragged_scatter(values, offsets, rows_idx, flat, counts):
 def _list_result(values: np.ndarray, counts: np.ndarray, row_valid) -> pa.Array:
     offsets = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
+    if offsets[-1] > np.iinfo(np.int32).max:
+        # ListArray offsets are int32; silently wrapping would corrupt
+        # the ragged layout. A batch this large must be split upstream
+        # (smaller spark.sql.execution.arrow.maxRecordsPerBatch).
+        raise OverflowError(
+            f"list result of {int(offsets[-1])} elements exceeds int32 "
+            "offset range; reduce the Arrow batch size"
+        )
     mask = None
     if row_valid is not None and not row_valid.all():
         mask = pa.array(~row_valid)
@@ -234,7 +242,11 @@ def h3_cell_to_children(cell: pa.Array, child_res: pa.Array) -> pa.Array:
 
     c, cv = _np_col(cell)
     r, rv = _np_col(child_res)
-    ok = cv & rv & (r >= 0) & (r <= 15) & V.is_valid_cell_np(c)
+    # NULL contract: NULL/invalid cell -> NULL row; a valid cell with
+    # an out-of-range child_res -> empty list (scalar
+    # cells.cell_to_children parity: res outside [0,15] yields []).
+    base = cv & rv & V.is_valid_cell_np(c)
+    ok = base & (r >= 0) & (r <= 15)
     counts = np.zeros(len(c), dtype=np.int64)
     pieces_rows: list = []
     pieces_flat: list = []
@@ -251,7 +263,7 @@ def h3_cell_to_children(cell: pa.Array, child_res: pa.Array) -> pa.Array:
     values = np.empty(int(offsets[-1]), dtype=np.int64)
     for rows, flat, cnts in zip(pieces_rows, pieces_flat, pieces_counts):
         _ragged_scatter(values, offsets, rows, flat, cnts)
-    return _list_result(values, counts, ok)
+    return _list_result(values, counts, base)
 
 
 @arrow_udf(_ARR_I64_SPARK)

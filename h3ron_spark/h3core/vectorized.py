@@ -437,6 +437,15 @@ def compact_cells_np(cells: np.ndarray) -> np.ndarray:
     cells = np.unique(np.asarray(cells, dtype=_I64))
     if cells.size == 0:
         return cells
+    # Non-canonical int64s (wrong mode / set reserved bits) break the
+    # res-major sort order the bucketing below relies on; the scalar
+    # set-based compact passes such garbage through untouched, so do
+    # the same: compact the valid subset, re-merge the rest sorted.
+    valid = is_valid_cell_np(cells)
+    if not valid.all():
+        passthrough = cells[~valid]
+        compacted = compact_cells_np(cells[valid])
+        return np.sort(np.concatenate([compacted, passthrough]))
     # int64 order groups by the res field (bits 52-55 sit above base
     # cell + digits), so the sorted array splits into contiguous
     # per-res runs — bucket ONCE and never re-sort the full set. For

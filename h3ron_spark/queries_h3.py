@@ -395,7 +395,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     # quantizer = trained-model artifact: load once per (session, sf)
-    ckey = (id(spark), sf_dir)
+    ckey = (_session_key(spark), sf_dir)
     cents = _IVF_CENT_CACHE.get(ckey)
     if cents is None:
         cents = SIM.ivf_centroid_rows(emb, _IVF_LISTS)
@@ -407,6 +407,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CENT_CACHE: dict = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable per-session cache key. ``id(spark)`` can be reused by a
+    NEW session after the old one is garbage-collected, handing stale
+    centroids / dead checkpointed DataFrames to the new session;
+    applicationId is unique per SparkContext lifetime."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # stopped context: never match a live entry
+        return f"stopped-{id(spark)}"
 
 _EMB_DUP_THRESHOLD = 0.25
 
@@ -802,7 +813,7 @@ def _event_line_graph(spark: SparkSession, sf_dir: str, n_points: int = 40, res:
     queries reuse the checkpointed edges exactly as they would reuse
     the Parquet table.
     """
-    key = (id(spark), sf_dir, n_points, res)
+    key = (_session_key(spark), sf_dir, n_points, res)
     cached = _LINE_GRAPH_CACHE.get(key)
     if cached is not None:
         return cached
