@@ -120,17 +120,26 @@ def h3_get_index_digit(cell, res) -> Column:
 
 
 def h3_direction_to_parent(cell, target_res=None) -> Column:
-    """Direction digit of ``cell`` relative to its parent at
-    ``target_res`` (default: the immediate parent) —
-    ``direction_to_parent_resolution``, h3ron/src/direction.rs:62-103.
-    The digit at resolution target_res+1 is the step taken from that
-    parent."""
+    """``direction_to_parent_resolution`` (h3ron/src/direction.rs:
+    62-117): reads the digit AT ``target_res`` — offset(t) =
+    3*(15-t) — exactly as the reference does (its unit tests pin
+    direction_to_parent_resolution(0x8518607bfffffff, 4) == 3, the
+    res-4 digit). Default target is res-1 (``direction_to_parent``,
+    saturating at 0 like the reference's saturating_sub). Errors map
+    to NULL: target beyond the cell's res (ResMismatch) or a digit of
+    7 (DirectionInvalid — also covers the res-0 base-cell-bits read
+    the reference's can_fail_with_res_0 test pins)."""
     res = h3_get_resolution(cell)
     if target_res is None:
-        child_res = res
+        t = F.greatest(res - F.lit(1), F.lit(0))
+        d = h3_get_index_digit(cell, t)
+    elif isinstance(target_res, int):
+        t = F.lit(target_res)
+        d = h3_get_index_digit(cell, target_res)  # static-shift path
     else:
-        child_res = _lit_or_col(target_res) + 1
-    return F.when(child_res <= res, h3_get_index_digit(cell, child_res))
+        t = _lit_or_col(target_res)
+        d = h3_get_index_digit(cell, t)
+    return F.when((t <= res) & (d != 7), d)
 
 
 def h3_directions_over_resolutions(cell) -> Column:

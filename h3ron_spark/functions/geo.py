@@ -106,28 +106,46 @@ def h3_latlng_to_cell(lat: pa.Array, lng: pa.Array, res: pa.Array) -> pa.Array:
 
 @lru_cache(maxsize=_CACHE)
 def _latlng(cell):
+    """Scalar decode helper for low-volume call sites (edge lengths,
+    driver-side fixtures); the column UDFs below use the numpy batch
+    decode (S2 canonical path, h3core/vectorized.py)."""
     if cell is None or not h3c.is_valid_cell(cell):
         return None
     return h3c.cell_to_latlng(cell)
 
 
+def _decode_batch(cell: pa.Array):
+    """(lat_deg, lng_deg, valid_mask) via the vectorized decode; NULL
+    and invalid rows come back NaN/False."""
+    from h3ron_spark.h3core import vectorized as V
+
+    c, cv = _np_col(cell)
+    la, ln = V.cell_to_latlng_batch(c)
+    ok = cv & ~np.isnan(la)
+    return la, ln, ok
+
+
 @arrow_udf(_LATLNG_SPARK)
 def h3_cell_to_latlng(cell: pa.Array) -> pa.Array:
-    return _latlng_struct([_latlng(c) for c in cell.to_pylist()])
+    la, ln, ok = _decode_batch(cell)
+    mask = None if ok.all() else pa.array(~ok)
+    return pa.StructArray.from_arrays(
+        [pa.array(la, _F64), pa.array(ln, _F64)],
+        names=["lat", "lng"],
+        mask=mask,
+    )
 
 
 @arrow_udf(T.DoubleType())
 def h3_cell_to_lat(cell: pa.Array) -> pa.Array:
-    return pa.array(
-        [(_latlng(c) or (None, None))[0] for c in cell.to_pylist()], _F64
-    )
+    la, _, ok = _decode_batch(cell)
+    return pa.array(la, _F64, mask=~ok)
 
 
 @arrow_udf(T.DoubleType())
 def h3_cell_to_lng(cell: pa.Array) -> pa.Array:
-    return pa.array(
-        [(_latlng(c) or (None, None))[1] for c in cell.to_pylist()], _F64
-    )
+    _, ln, ok = _decode_batch(cell)
+    return pa.array(ln, _F64, mask=~ok)
 
 
 @lru_cache(maxsize=_CACHE)
@@ -137,14 +155,22 @@ def _boundary(cell):
     return h3c.cell_to_boundary(cell)
 
 
+def _boundary_batch(cell: pa.Array):
+    """Per-row boundary lists via the numpy batch kernel (S3 canonical
+    path; pentagons fall back to the scalar kernel inside)."""
+    from h3ron_spark.h3core import vectorized as V
+
+    c, cv = _np_col(cell)
+    rows = V.cell_to_boundary_batch(c)
+    return [r if ok else None for r, ok in zip(rows, cv)]
+
+
 @arrow_udf(_BOUNDARY_SPARK)
 def h3_cell_to_boundary(cell: pa.Array) -> pa.Array:
-    out = []
-    for c in cell.to_pylist():
-        b = _boundary(c)
-        out.append(
-            None if b is None else [{"lat": la, "lng": ln} for la, ln in b]
-        )
+    out = [
+        None if b is None else [{"lat": la, "lng": ln} for la, ln in b]
+        for b in _boundary_batch(cell)
+    ]
     return pa.array(out, pa.list_(_LATLNG))
 
 
@@ -157,10 +183,9 @@ def _ring_wkt(coords):
 
 @arrow_udf(T.StringType())
 def h3_cell_to_boundary_wkt(cell: pa.Array) -> pa.Array:
-    out = []
-    for c in cell.to_pylist():
-        b = _boundary(c)
-        out.append(None if b is None else _ring_wkt(b))
+    out = [
+        None if b is None else _ring_wkt(b) for b in _boundary_batch(cell)
+    ]
     return pa.array(out, _STR)
 
 
@@ -579,15 +604,27 @@ def h3_edge_boundary_wkt(edge: pa.Array) -> pa.Array:
 @arrow_udf(T.DoubleType())
 def h3_cell_centroid_distance_m(a: pa.Array, b: pa.Array) -> pa.Array:
     """Great-circle distance between two cells' centroids
-    (h3ron/src/directed_edge.rs:286-301)."""
-    out = []
-    for x, y in zip(a.to_pylist(), b.to_pylist()):
-        pa_, pb = _latlng(x), _latlng(y)
-        if pa_ is None or pb is None:
-            out.append(None)
-            continue
-        out.append(h3c.great_circle_distance_m(pa_[0], pa_[1], pb[0], pb[1]))
-    return pa.array(out, _F64)
+    (h3ron/src/directed_edge.rs:286-301). Vectorized: numpy decode +
+    haversine over the whole batch."""
+    from h3ron_spark.h3core.constants import EARTH_RADIUS_KM
+
+    la1, ln1, ok1 = _decode_batch(a)
+    la2, ln2, ok2 = _decode_batch(b)
+    ok = ok1 & ok2
+    d2r = np.pi / 180.0
+    la1 = np.where(ok, la1, 0.0)
+    ln1 = np.where(ok, ln1, 0.0)
+    la2 = np.where(ok, la2, 0.0)
+    ln2 = np.where(ok, ln2, 0.0)
+    sl = np.sin((la2 - la1) * (d2r / 2.0))
+    sg = np.sin((ln2 - ln1) * (d2r / 2.0))
+    h = sl * sl + np.cos(la1 * d2r) * np.cos(la2 * d2r) * sg * sg
+    dist = (
+        2.0
+        * np.arcsin(np.sqrt(np.minimum(1.0, h)))
+        * (EARTH_RADIUS_KM * 1000.0)
+    )
+    return pa.array(dist, _F64, mask=~ok)
 
 
 @arrow_udf(T.DoubleType())

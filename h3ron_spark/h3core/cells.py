@@ -245,9 +245,14 @@ def direction_for_neighbor(origin: int, dest: int) -> int | None:
     return None
 
 
-def are_neighbor_cells(a: int, b: int) -> bool:
-    """S15; cell.rs:132-139."""
-    if a == b or ix.get_resolution(a) != ix.get_resolution(b):
+def are_neighbor_cells(a: int, b: int) -> bool | None:
+    """S15; cell.rs:132-139. A resolution mismatch is an error in the
+    reference (libh3 ResMismatch; pinned by cell.rs:608-617
+    test_is_neighbor) -> None under the invalid->NULL contract; the
+    same cell compares Ok(false)."""
+    if ix.get_resolution(a) != ix.get_resolution(b):
+        return None
+    if a == b:
         return False
     return b in neighbors(a)
 
@@ -404,7 +409,16 @@ def local_ij_to_cell(origin: int, i: int, j: int) -> int | None:
 
 def grid_distance(a: int, b: int) -> int | None:
     """Grid distance (S13; cell.rs:220-229). Local-frame cube distance
-    with a BFS fallback near pentagon distortion."""
+    with a BFS fallback near pentagon distortion.
+
+    Far face-crossing pairs: the gnomonic local frame warps distances
+    beyond neighboring faces (the reason libh3's gridDistance errors
+    there — testH3Line.c / h3ron/src/lib.rs:152-160). We detect the
+    warp by computing the distance in BOTH endpoints' frames; if they
+    disagree the pair has no reliable shared frame and the result is
+    None (the reference's error, our NULL contract)."""
+    if ix.get_resolution(a) != ix.get_resolution(b):
+        return None  # ResMismatch in the reference
     la = _local_axial(a, a)
     lb = _local_axial(a, b)
     if la is not None and lb is not None:
@@ -414,6 +428,24 @@ def grid_distance(a: int, b: int) -> int | None:
         # verify via the path endpoint (distortion check)
         if d <= 1:
             return d if (d == 0 or are_neighbor_cells(a, b)) else _bfs_distance(a, b)
+        # cross-check in b's frame; cheap same-base-cell fast path
+        # (identical canonical face => identical frame) skips it
+        if ix.get_base_cell(a) != ix.get_base_cell(b):
+            la2 = _local_axial(b, a)
+            lb2 = _local_axial(b, b)
+            if la2 is None or lb2 is None:
+                return _bfs_distance(a, b)
+            di2 = la2[0] - lb2[0]
+            dj2 = la2[1] - lb2[1]
+            d2 = max(abs(di2), abs(dj2), abs(di2 - dj2))
+            if d2 != d:
+                # frames disagree: the smaller estimate bounds the true
+                # distance from below; resolve exactly with a BFS when
+                # that bound is small, else give up (libh3 errors here)
+                lo = min(d, d2)
+                if lo <= 24:
+                    return _bfs_distance(a, b, cap=lo + 8)
+                return None
         return d
     return _bfs_distance(a, b)
 

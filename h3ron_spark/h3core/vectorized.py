@@ -315,25 +315,365 @@ def latlng_to_cell_batch(lat_deg, lng_deg, res):
     return out
 
 
-def cell_to_latlng_batch(cells):
-    """Batch cell -> (lat_deg, lng_deg) via the scalar kernel with
-    distinct-cell memoization (decode is dominated by repeated cells
-    after groupBys; the full vectorized decode is future work)."""
+# -------------------------------------------------- vectorized decode
+#
+# cell -> (face, ijk) is PURE INTEGER math (h3_to_face_ijk), vectorized
+# bit-exactly; the trailing (face, ijk) -> latlng leg is float and uses
+# numpy transcendentals, which may differ from the scalar libm path by
+# <= 1 ulp. The VECTOR path is the canonical decode (the scalar kernel
+# is the cross-check, compared under tolerance in tests/test_vectorized
+# — the round-1 bit-exact cross-kernel contract is retired). Pentagon
+# base cells (12/122) route through the scalar kernel: they need the
+# leading-5 rotation and an unbounded overage loop.
+
+_DECODE_T: dict | None = None
+
+
+def _decode_tables() -> dict:
+    global _DECODE_T
+    if _DECODE_T is not None:
+        return _DECODE_T
+    from h3ron_spark.h3core import derive
+    from h3ron_spark.h3core.constants import (
+        BASE_CELL_DATA,
+        FACE_AXES_AZ_0,
+        FACE_CENTER_GEO,
+        MAX_DIM_BY_CII_RES,
+        UNIT_SCALE_BY_CII_RES,
+        UNIT_VECS,
+    )
+
+    T: dict = {}
+    T["home_face"] = np.array([d[0] for d in BASE_CELL_DATA], dtype=_I64)
+    hijk = np.array([d[1] for d in BASE_CELL_DATA], dtype=_I64)
+    T["home_i"], T["home_j"], T["home_k"] = hijk[:, 0], hijk[:, 1], hijk[:, 2]
+    T["is_pent"] = np.array([bool(d[2]) for d in BASE_CELL_DATA], dtype=bool)
+    T["unit_i"] = np.array([v[0] for v in UNIT_VECS] + [0], dtype=_I64)
+    T["unit_j"] = np.array([v[1] for v in UNIT_VECS] + [0], dtype=_I64)
+    T["unit_k"] = np.array([v[2] for v in UNIT_VECS] + [0], dtype=_I64)
+    # face-neighbor orientation per (face, dir) with dirs 0=ij 1=ki 2=jk
+    fnf = np.zeros((20, 3), dtype=_I64)
+    fnr = np.zeros((20, 3), dtype=_I64)
+    fnt = np.zeros((20, 3, 3), dtype=_I64)
+    for f in range(20):
+        for d_idx, edge in enumerate(("ij", "ki", "jk")):
+            fo = derive.face_neighbor(f, edge)
+            fnf[f, d_idx] = fo.face
+            fnr[f, d_idx] = fo.ccw_rot60
+            fnt[f, d_idx] = fo.translate
+    T["fn_face"], T["fn_rot"], T["fn_trans"] = fnf, fnr, fnt
+    T["max_dim"] = np.array(MAX_DIM_BY_CII_RES, dtype=_I64)
+    T["unit_scale"] = np.array(UNIT_SCALE_BY_CII_RES, dtype=_I64)
+    T["face_lat"] = np.array([g[0] for g in FACE_CENTER_GEO])
+    T["face_lng"] = np.array([g[1] for g in FACE_CENTER_GEO])
+    T["face_az"] = np.array(FACE_AXES_AZ_0)
+    _DECODE_T = T
+    return T
+
+
+def _ijk_normalize_np(i, j, k):
+    """Vector ijk normalize: each scalar step is a uniform shift of all
+    three axes, so the closed form is x - min(i, j, k)."""
+    m = np.minimum(np.minimum(i, j), k)
+    return i - m, j - m, k - m
+
+
+def _ijk_rotate60_ccw_np(i, j, k):
+    return _ijk_normalize_np(i + k, i + j, j + k)
+
+
+def _lround_np(x):
+    return np.where(
+        x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)
+    ).astype(_I64)
+
+
+def decode_face_ijk_np(cells: np.ndarray):
+    """Vectorized h3_to_face_ijk for hexagon-based cells: returns
+    (face, i, j, k, fallback) where fallback marks pentagon-base rows
+    that must take the scalar path. Caller guarantees valid cells.
+    Integer math only — bit-exact vs index.h3_to_face_ijk."""
+    T = _decode_tables()
+    c = np.asarray(cells, dtype=_I64)
+    n = c.shape[0]
+    res = ((c >> _I64(52)) & _I64(15)).astype(_I64)
+    bc = ((c >> _I64(45)) & _I64(127)).astype(_I64)
+    fallback = T["is_pent"][np.clip(bc, 0, 121)]
+    face = T["home_face"][bc].copy()
+    i = T["home_i"][bc].copy()
+    j = T["home_j"][bc].copy()
+    k = T["home_k"][bc].copy()
+    # scalar rule (_h3_to_face_ijk_with_initialized): overage is
+    # impossible for a non-pentagon when res==0 or the home coord is
+    # the face center; pentagon rows are fallback-routed anyway
+    possible = ~((res == 0) | ((i | j | k) == 0))
+    for r in range(1, 16):
+        m = res >= r
+        if not m.any():
+            break
+        if r % 2 == 1:  # down_ap7
+            ni, nj, nk = 3 * i + j, 3 * j + k, i + 3 * k
+        else:  # down_ap7r
+            ni, nj, nk = 3 * i + k, i + 3 * j, j + 3 * k
+        ni, nj, nk = _ijk_normalize_np(ni, nj, nk)
+        d = (c >> _I64(3 * (15 - r))) & _I64(7)
+        ni = ni + T["unit_i"][d]
+        nj = nj + T["unit_j"][d]
+        nk = nk + T["unit_k"][d]
+        ni, nj, nk = _ijk_normalize_np(ni, nj, nk)
+        i = np.where(m, ni, i)
+        j = np.where(m, nj, j)
+        k = np.where(m, nk, k)
+    # ---- single overage adjustment (hexagons never loop) ----
+    odd = (res % 2) == 1
+    eff_res = res + odd.astype(_I64)
+    # Class III rows work on the aperture-7r substrate
+    si = np.where(odd, 3 * i + k, i)
+    sj = np.where(odd, i + 3 * j, j)
+    sk = np.where(odd, j + 3 * k, k)
+    si, sj, sk = _ijk_normalize_np(si, sj, sk)
+    maxd = T["max_dim"][eff_res]
+    over = possible & ~fallback & ((si + sj + sk) > maxd)
+    if over.any():
+        dir_idx = np.where(sk > 0, np.where(sj > 0, 2, 1), 0)
+        nf = T["fn_face"][face, dir_idx]
+        rot = T["fn_rot"][face, dir_idx]
+        ti = T["fn_trans"][face, dir_idx, 0]
+        tj = T["fn_trans"][face, dir_idx, 1]
+        tk = T["fn_trans"][face, dir_idx, 2]
+        oi, oj, ok_ = si.copy(), sj.copy(), sk.copy()
+        for step in range(5):
+            rm = over & (rot > step)
+            if not rm.any():
+                break
+            ri, rj, rk = _ijk_rotate60_ccw_np(oi, oj, ok_)
+            oi = np.where(rm, ri, oi)
+            oj = np.where(rm, rj, oj)
+            ok_ = np.where(rm, rk, ok_)
+        scale = T["unit_scale"][eff_res]
+        oi, oj, ok_ = _ijk_normalize_np(
+            oi + ti * scale, oj + tj * scale, ok_ + tk * scale
+        )
+        # odd rows return to the cell grid via up_ap7r (C lround)
+        ia = (oi - ok_).astype(np.float64)
+        ja = (oj - ok_).astype(np.float64)
+        ui = _lround_np((2.0 * ia + ja) / 7.0)
+        uj = _lround_np((3.0 * ja - ia) / 7.0)
+        ui, uj, uk = _ijk_normalize_np(ui, uj, np.zeros_like(ui))
+        fi = np.where(odd, ui, oi)
+        fj = np.where(odd, uj, oj)
+        fk = np.where(odd, uk, ok_)
+        face = np.where(over, nf, face)
+        i = np.where(over, fi, i)
+        j = np.where(over, fj, j)
+        k = np.where(over, fk, k)
+    return face, i, j, k, fallback
+
+
+def cell_to_latlng_np(cells: np.ndarray):
+    """Vectorized cell -> (lat_rad, lng_rad). Valid cells only;
+    pentagon-base rows fall back to the scalar kernel."""
+    from h3ron_spark.h3core.constants import (
+        EPSILON,
+        M_2PI,
+        M_AP7_ROT_RADS,
+        M_SQRT3_2,
+        M_SQRT7,
+        RES0_U_GNOMONIC,
+    )
+
+    T = _decode_tables()
+    c = np.asarray(cells, dtype=_I64)
+    res = ((c >> _I64(52)) & _I64(15)).astype(_I64)
+    face, i, j, k, fb = decode_face_ijk_np(c)
+    ia = (i - k).astype(np.float64)
+    ja = (j - k).astype(np.float64)
+    x = ia - 0.5 * ja
+    y = ja * M_SQRT3_2
+    r = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    r = r / np.power(M_SQRT7, res.astype(np.float64))
+    r = r * RES0_U_GNOMONIC
+    r = np.arctan(r)
+    odd = (res % 2) == 1
+    theta = np.where(odd, np.mod(theta + M_AP7_ROT_RADS, M_2PI), theta)
+    theta = np.mod(T["face_az"][face] - np.mod(theta, M_2PI), M_2PI)
+    # geo_az_distance from the face center
+    flat = T["face_lat"][face]
+    flng = T["face_lng"][face]
+    sin_lat = np.clip(
+        np.sin(flat) * np.cos(r)
+        + np.cos(flat) * np.sin(r) * np.cos(theta),
+        -1.0,
+        1.0,
+    )
+    lat2 = np.arcsin(sin_lat)
+    yy = np.sin(theta) * np.sin(r) * np.cos(flat)
+    xx = np.cos(r) - np.sin(flat) * sin_lat
+    lng2 = flng + np.arctan2(yy, xx)
+    lng2 = np.mod(lng2 + math.pi, M_2PI) - math.pi
+    small = r < EPSILON
+    lat = np.where(small, flat, lat2)
+    lng = np.where(small, flng, lng2)
+    if fb.any():
+        dec = ix.cell_to_latlng
+        for t in np.nonzero(fb)[0]:
+            a, b = dec(int(c[t]))
+            lat[t] = a
+            lng[t] = b
+    return lat, lng
+
+
+def _hex2d_to_geo_np(face, x, y, res, substrate):
+    """Vectorized coords.hex2d_to_geo; ``res`` may be an int array."""
+    from h3ron_spark.h3core.constants import (
+        EPSILON,
+        M_2PI,
+        M_AP7_ROT_RADS,
+        M_SQRT7,
+        RES0_U_GNOMONIC,
+    )
+
+    T = _decode_tables()
+    r = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    r = r / np.power(M_SQRT7, res.astype(np.float64))
+    odd = (res % 2) == 1
+    if substrate:
+        r = r / 3.0
+        r = np.where(odd, r / M_SQRT7, r)
+    r = np.arctan(r * RES0_U_GNOMONIC)
+    if not substrate:
+        theta = np.where(odd, np.mod(theta + M_AP7_ROT_RADS, M_2PI), theta)
+    theta = np.mod(T["face_az"][face] - np.mod(theta, M_2PI), M_2PI)
+    flat = T["face_lat"][face]
+    flng = T["face_lng"][face]
+    sin_lat = np.clip(
+        np.sin(flat) * np.cos(r) + np.cos(flat) * np.sin(r) * np.cos(theta),
+        -1.0,
+        1.0,
+    )
+    lat2 = np.arcsin(sin_lat)
+    yy = np.sin(theta) * np.sin(r) * np.cos(flat)
+    xx = np.cos(r) - np.sin(flat) * sin_lat
+    lng2 = flng + np.arctan2(yy, xx)
+    lng2 = np.mod(lng2 + math.pi, M_2PI) - math.pi
+    small = r < EPSILON
+    return np.where(small, flat, lat2), np.where(small, flng, lng2)
+
+
+# substrate vertex offsets (Class II / Class III), libh3 faceijk.c
+_VERTS_CII = ((2, 1, 0), (1, 2, 0), (0, 2, 1), (0, 1, 2), (1, 0, 2), (2, 0, 1))
+_VERTS_CIII = ((5, 4, 0), (1, 5, 0), (0, 5, 4), (0, 1, 5), (4, 0, 5), (5, 0, 1))
+
+
+def cell_to_boundary_np(cells: np.ndarray):
+    """Vectorized S3: (lat_deg[n,6], lng_deg[n,6], fallback). Hexagon
+    cells produce exactly 6 vertices (this kernel's documented
+    divergence: no Class III 7-vertex split points — same contract as
+    the scalar kernel); pentagon-base rows are flagged for the scalar
+    path (5 vertices + dedup)."""
+    T = _decode_tables()
+    c = np.asarray(cells, dtype=_I64)
+    n = c.shape[0]
+    res = ((c >> _I64(52)) & _I64(15)).astype(_I64)
+    face, i, j, k, fb = decode_face_ijk_np(c)
+    odd = (res % 2) == 1
+    # aperture-3x3r substrate: down_ap3 then down_ap3r (+ap7r if odd)
+    i, j, k = _ijk_normalize_np(2 * i + j, 2 * j + k, i + 2 * k)
+    i, j, k = _ijk_normalize_np(2 * i + k, i + 2 * j, j + 2 * k)
+    oi, oj, ok_ = _ijk_normalize_np(3 * i + k, i + 3 * j, j + 3 * k)
+    i = np.where(odd, oi, i)
+    j = np.where(odd, oj, j)
+    k = np.where(odd, ok_, k)
+    adj_res = res + odd.astype(_I64)
+    maxd = T["max_dim"][adj_res] * 3
+    scale = T["unit_scale"][adj_res] * 3
+    lat_out = np.empty((n, 6), dtype=np.float64)
+    lng_out = np.empty((n, 6), dtype=np.float64)
+    vci = np.array(_VERTS_CII, dtype=_I64)
+    vc3 = np.array(_VERTS_CIII, dtype=_I64)
+    for v in range(6):
+        vi = i + np.where(odd, vc3[v, 0], vci[v, 0])
+        vj = j + np.where(odd, vc3[v, 1], vci[v, 1])
+        vk = k + np.where(odd, vc3[v, 2], vci[v, 2])
+        vi, vj, vk = _ijk_normalize_np(vi, vj, vk)
+        vface = face.copy()
+        # substrate overage: NEW_FACE can chain at icosa corners;
+        # bounded masked passes (libh3's loop terminates in <= a few)
+        for _ in range(4):
+            over = (vi + vj + vk) > maxd
+            if not over.any():
+                break
+            dir_idx = np.where(vk > 0, np.where(vj > 0, 2, 1), 0)
+            nf = T["fn_face"][vface, dir_idx]
+            rot = T["fn_rot"][vface, dir_idx]
+            ti = T["fn_trans"][vface, dir_idx, 0]
+            tj = T["fn_trans"][vface, dir_idx, 1]
+            tk = T["fn_trans"][vface, dir_idx, 2]
+            ri, rj, rk = vi.copy(), vj.copy(), vk.copy()
+            for step in range(5):
+                rm = over & (rot > step)
+                if not rm.any():
+                    break
+                qi, qj, qk = _ijk_rotate60_ccw_np(ri, rj, rk)
+                ri = np.where(rm, qi, ri)
+                rj = np.where(rm, qj, rj)
+                rk = np.where(rm, qk, rk)
+            ri, rj, rk = _ijk_normalize_np(
+                ri + ti * scale, rj + tj * scale, rk + tk * scale
+            )
+            vface = np.where(over, nf, vface)
+            vi = np.where(over, ri, vi)
+            vj = np.where(over, rj, vj)
+            vk = np.where(over, rk, vk)
+        from h3ron_spark.h3core.constants import M_SQRT3_2
+
+        ia = (vi - vk).astype(np.float64)
+        ja = (vj - vk).astype(np.float64)
+        x = ia - 0.5 * ja
+        y = ja * M_SQRT3_2
+        la, ln = _hex2d_to_geo_np(vface, x, y, adj_res, substrate=True)
+        lat_out[:, v] = la
+        lng_out[:, v] = ln
+    r2d = 180.0 / math.pi
+    return lat_out * r2d, lng_out * r2d, fb
+
+
+def cell_to_boundary_batch(cells):
+    """Batch S3 over distinct cells: list of [(lat,lng)...] per row
+    (degrees), None for invalid; pentagons via the scalar kernel."""
+    from h3ron_spark.h3core import cells as cells_mod
+
     cells = np.asarray(cells, dtype=_I64)
     uniq, inv = np.unique(cells, return_inverse=True)
-    la = np.empty(len(uniq), dtype=np.float64)
-    ln = np.empty(len(uniq), dtype=np.float64)
-    dec = ix.cell_to_latlng
-    r2d = 180.0 / math.pi
-    for t, c in enumerate(uniq):
-        c = int(c)
-        if c <= 0 or not ix.is_valid_cell(c):
-            la[t] = np.nan
-            ln[t] = np.nan
-        else:
-            a, b = dec(c)
-            la[t] = a * r2d
-            ln[t] = b * r2d
+    valid = is_valid_cell_np(uniq)
+    out: list = [None] * len(uniq)
+    if valid.any():
+        vidx = np.nonzero(valid)[0]
+        la, ln, fb = cell_to_boundary_np(uniq[vidx])
+        for t, g in enumerate(vidx):
+            if fb[t]:
+                out[g] = cells_mod.cell_to_boundary(int(uniq[g]))
+            else:
+                out[g] = list(zip(la[t].tolist(), ln[t].tolist()))
+    return [out[t] for t in inv]
+
+
+def cell_to_latlng_batch(cells):
+    """Batch cell -> (lat_deg, lng_deg): numpy decode (canonical path)
+    over the distinct cells (decode inputs repeat heavily after
+    groupBys), NaN for invalid."""
+    cells = np.asarray(cells, dtype=_I64)
+    uniq, inv = np.unique(cells, return_inverse=True)
+    la = np.full(len(uniq), np.nan)
+    ln = np.full(len(uniq), np.nan)
+    valid = is_valid_cell_np(uniq)
+    if valid.any():
+        lat_r, lng_r = cell_to_latlng_np(uniq[valid])
+        r2d = 180.0 / math.pi
+        la[valid] = lat_r * r2d
+        ln[valid] = lng_r * r2d
     return la[inv], ln[inv]
 
 

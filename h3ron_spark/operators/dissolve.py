@@ -23,18 +23,35 @@ from pyspark.sql.types import StringType
 from h3ron_spark.functions import bits as B
 
 
-def _multipolygon_wkt(parts, smooth_iterations: int) -> str:
+def _open_ring(r):
+    """Drop the closing duplicate (cells_to_polygons returns closed
+    rings); smoothen_ring treats its input as cyclic, so the duplicate
+    would inject a zero-length segment into the midpoint pass."""
+    return list(r[:-1]) if len(r) > 1 and r[0] == r[-1] else list(r)
+
+
+def _smoothed_parts(parts, smooth_iterations: int):
+    """(shell, holes) parts as OPEN rings, smoothed if requested."""
     from h3ron_spark.h3core.regions import smoothen_ring
 
+    out = []
+    for shell, holes in parts:
+        sh = _open_ring(shell)
+        hs = [_open_ring(h) for h in holes]
+        if smooth_iterations > 0:
+            sh = smoothen_ring(sh, smooth_iterations)
+            hs = [smoothen_ring(h, smooth_iterations) for h in hs]
+        out.append((sh, hs))
+    return out
+
+
+def _multipolygon_wkt(parts, smooth_iterations: int) -> str:
     def fmt_ring(r):
         pts = list(r) + [r[0]]
         return "(" + ", ".join(f"{ln:.9f} {la:.9f}" for la, ln in pts) + ")"
 
     polys = []
-    for shell, holes in parts:
-        if smooth_iterations > 0:
-            shell = smoothen_ring(shell, smooth_iterations)
-            holes = [smoothen_ring(h, smooth_iterations) for h in holes]
+    for shell, holes in _smoothed_parts(parts, smooth_iterations):
         rings = [fmt_ring(shell)] + [fmt_ring(h) for h in holes]
         polys.append("(" + ", ".join(rings) + ")")
     return "MULTIPOLYGON (" + ", ".join(polys) + ")" if polys else "MULTIPOLYGON EMPTY"
@@ -86,3 +103,72 @@ def cells_to_polygons_df(
         dissolve_kernel("_cells").alias("geometry_wkt"),
         F.size("_cells").alias("n_cells"),
     )
+
+
+def dissolve_ring_stats_df(
+    df: DataFrame,
+    cell_col: str = "cell",
+    group_cols: list[str] | None = None,
+    smooth_iterations: int = 0,
+) -> DataFrame:
+    """Dissolve and report ring shape statistics per group:
+    (n_polygons, exterior_coords, n_interiors, interior_coords), with
+    coordinate counts in the CLOSED-ring convention (first point
+    repeated — geo-types' LineString counts, matching the reference's
+    donut_linked_polygon assertions at h3ron/src/to_geo.rs:252-263:
+    exterior 19, hole 7). For multi-part output the reported exterior
+    is the largest part's; interior_coords is that part's first hole
+    (0 when there is none).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    group_cols = list(group_cols or [])
+    stats_type = StructType(
+        [
+            StructField("n_polygons", LongType()),
+            StructField("exterior_coords", LongType()),
+            StructField("n_interiors", LongType()),
+            StructField("interior_coords", LongType()),
+        ]
+    )
+
+    @arrow_udf(stats_type)
+    def stats_kernel(cells: pa.Array) -> pa.Array:
+        from h3ron_spark.h3core.regions import cells_to_polygons
+
+        rows = []
+        for arr in cells.to_pylist():
+            if not arr:
+                rows.append(None)
+                continue
+            parts = _smoothed_parts(cells_to_polygons(arr), smooth_iterations)
+            best = max(parts, key=lambda p: len(p[0]), default=([], []))
+            shell, holes = best
+            rows.append(
+                {
+                    "n_polygons": len(parts),
+                    # open rings -> closed-convention count = len + 1
+                    "exterior_coords": len(shell) + 1 if shell else 0,
+                    "n_interiors": len(holes),
+                    "interior_coords": len(holes[0]) + 1 if holes else 0,
+                }
+            )
+        return pa.array(rows, pa.struct(
+            [
+                ("n_polygons", pa.int64()),
+                ("exterior_coords", pa.int64()),
+                ("n_interiors", pa.int64()),
+                ("interior_coords", pa.int64()),
+            ]
+        ))
+
+    if group_cols:
+        agg = df.groupBy(*group_cols).agg(
+            F.collect_set(cell_col).alias("_cells")
+        )
+    else:
+        agg = df.agg(F.collect_set(cell_col).alias("_cells"))
+    return agg.select(
+        *group_cols,
+        stats_kernel("_cells").alias("_s"),
+    ).select(*group_cols, "_s.*")

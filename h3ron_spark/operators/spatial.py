@@ -125,15 +125,16 @@ def cells_in_rect(
     )
 
 
-def _refine_udf(point_pred):
-    """Exact-refine kernel factory: ``point_pred(lat_deg, lng_deg) ->
-    bool`` evaluated once per DISTINCT cell per Arrow batch (centroid
-    decode is the dominant cost and candidate batches repeat cells
-    heavily after the coarse probe join), scattered back with numpy.
-    NULL where the cell is null/invalid (finish_mask semantics).
+def _refine_udf(point_pred_np):
+    """Exact-refine kernel factory: ``point_pred_np(lat_deg[],
+    lng_deg[]) -> bool[]`` is a VECTORIZED predicate evaluated on the
+    distinct cells of each Arrow batch (candidate batches repeat cells
+    heavily after the coarse probe join), with centroids from the
+    numpy batch decode — no per-row Python anywhere. NULL where the
+    cell is null/invalid (finish_mask semantics).
 
     The returned column is marked non-deterministic so Catalyst cannot
-    push the (expensive, Python) predicate below the coarse probe
+    push the (Python-process) predicate below the coarse probe
     semi-join — pushed down it would decode EVERY row of the fact
     table instead of the few candidates the broadcast join leaves (and
     re-evaluate any UDF the cell column was derived from)."""
@@ -142,7 +143,7 @@ def _refine_udf(point_pred):
     def kernel(cell: pa.Array) -> pa.Array:
         import numpy as np
 
-        import h3ron_spark.h3core as h3c
+        from h3ron_spark.h3core import vectorized as V
 
         vals = (
             cell.fill_null(0)
@@ -151,18 +152,33 @@ def _refine_udf(point_pred):
             .astype(np.int64)
         )
         uniq, inv = np.unique(vals, return_inverse=True)
+        la, ln = V.cell_to_latlng_batch(uniq)
+        bad_u = np.isnan(la)
         ok_u = np.zeros(len(uniq), dtype=bool)
-        bad_u = np.zeros(len(uniq), dtype=bool)
-        for t, c in enumerate(uniq):
-            c = int(c)
-            if c <= 0 or not h3c.is_valid_cell(c):
-                bad_u[t] = True
-                continue
-            la, ln = h3c.cell_to_latlng(c)
-            ok_u[t] = point_pred(la, ln)
+        good = ~bad_u
+        if good.any():
+            ok_u[good] = point_pred_np(la[good], ln[good])
         return pa.array(ok_u[inv], pa.bool_(), mask=bad_u[inv])
 
     return kernel.asNondeterministic()
+
+
+def _point_in_ring_np(la, ln, ring):
+    """Vectorized ray-cast (parity: regions.point_in_ring) — one numpy
+    pass per polygon edge, not per point."""
+    import numpy as np
+
+    inside = np.zeros(la.shape, dtype=bool)
+    n = len(ring)
+    for idx in range(n):
+        la1, ln1 = ring[idx]
+        la2, ln2 = ring[(idx + 1) % n]
+        if la1 == la2:
+            continue  # crossing test can never differ across the edge
+        cond = (la1 > la) != (la2 > la)
+        x = ln1 + (la - la1) / (la2 - la1) * (ln2 - ln1)
+        inside ^= cond & (x > ln)
+    return inside
 
 
 def _centroid_in_rect(
@@ -172,9 +188,10 @@ def _centroid_in_rect(
     lo_la, hi_la = float(min_lat), float(max_lat)
     lo_ln, hi_ln = float(min_lng), float(max_lng)
 
-    return _refine_udf(
-        lambda la, ln: lo_la <= la <= hi_la and lo_ln <= ln <= hi_ln
-    )(cell_col)
+    def pred(la, ln):
+        return (la >= lo_la) & (la <= hi_la) & (ln >= lo_ln) & (ln <= hi_ln)
+
+    return _refine_udf(pred)(cell_col)
 
 
 def cells_in_polygon(
@@ -206,9 +223,10 @@ def _centroid_in_polygon(cell_col, ring, holes=()) -> Column:
     holes_t = tuple(tuple((float(a), float(b)) for a, b in h) for h in holes)
 
     def pred(la, ln):
-        from h3ron_spark.h3core.regions import point_in_polygon
-
-        return point_in_polygon(la, ln, ring_t, holes_t)
+        inside = _point_in_ring_np(la, ln, ring_t)
+        for h in holes_t:
+            inside &= ~_point_in_ring_np(la, ln, h)
+        return inside
 
     return _refine_udf(pred)(cell_col)
 
@@ -256,8 +274,15 @@ def _centroid_within_distance(cell_col, lat, lng, distance_km) -> Column:
     qla, qln, lim = float(lat), float(lng), float(distance_km)
 
     def pred(la, ln):
-        import h3ron_spark.h3core as h3c
+        import numpy as np
 
-        return h3c.great_circle_distance_km(la, ln, qla, qln) <= lim
+        from h3ron_spark.h3core.constants import EARTH_RADIUS_KM
+
+        d2r = np.pi / 180.0
+        sl = np.sin((qla - la) * (d2r / 2.0))
+        sg = np.sin((qln - ln) * (d2r / 2.0))
+        h = sl * sl + np.cos(la * d2r) * np.cos(qla * d2r) * sg * sg
+        dist = 2.0 * np.arcsin(np.sqrt(np.minimum(1.0, h))) * EARTH_RADIUS_KM
+        return dist <= lim
 
     return _refine_udf(pred)(cell_col)

@@ -15,8 +15,12 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import arrow_udf
+from pyspark.sql.types import ArrayType, LongType
 
 
 def dot(a, b) -> Column:
@@ -126,6 +130,37 @@ def lsh_bucket(vec, dim: int, planes: int = 8, seed: int = 42) -> Column:
     return acc
 
 
+def planes_for_corpus(
+    n_rows: int, target_bucket_width: int = 8, lo: int = 8, hi: int = 24
+) -> int:
+    """Size hyperplane count so bucket cardinality tracks the corpus:
+    2^planes ≈ n_rows / target_bucket_width, clamped to [lo, hi].
+    At 2k rows -> 8 planes (256 buckets); at 10^9 rows -> 24 planes
+    (16M buckets). Keeping bucket width roughly constant is what makes
+    the candidate join near-linear in corpus size instead of
+    O(n^2 / buckets)."""
+    import math as _m
+
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, int(_m.ceil(_m.log2(max(2, n_rows / target_bucket_width))))))
+
+
+def lsh_band_buckets(
+    vec, dim: int, planes: int = 16, bands: int = 4, seed: int = 42
+) -> Column:
+    """Array of ``bands`` independent hyperplane-LSH bucket ids (one
+    per plane set, seeds ``seed+band``). The banded OR-construction
+    mirrors the MinHash band scheme (dedup.py): a candidate pair only
+    needs to collide in ONE band, so per-band bucket cardinality can be
+    high (2^planes buckets) without losing near-dup recall — the fix
+    for the single-band small-bucket skew (n^2/buckets pair blowup) at
+    corpus scale."""
+    return F.array(
+        *[lsh_bucket(vec, dim, planes, seed + b) for b in range(bands)]
+    )
+
+
 def ivf_centroid_rows(
     corpus: DataFrame,
     n_lists: int,
@@ -187,6 +222,47 @@ def ivf_best_lists(vec, centroids, nprobe: int = 1) -> Column:
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: -s["negcid"])
 
 
+def ivf_best_lists_arrow(centroids, nprobe: int = 1):
+    """Arrow-kernel centroid assignment: one numpy matmul per batch
+    against the (n_lists, dim) centroid matrix shipped in the UDF
+    closure. Replaces the literal-expression tree for large
+    quantizers — Catalyst analysis/codegen cost is O(1) in n_lists and
+    the flop count is BLAS-vectorized, so n_lists in the hundreds+
+    (what a 100 TB corpus needs) is flat. Tie-break parity with
+    ivf_best_lists: cosine rounded to 6 dp, ties to the smaller cid
+    (stable argsort over the cid-ascending centroid matrix)."""
+    cents = np.array([cv for _, cv in centroids], dtype=np.float64)
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    order_c = np.argsort(cids, kind="stable")
+    cents = cents[order_c]
+    cids = cids[order_c]
+    cnorm = np.sqrt((cents * cents).sum(axis=1))
+    take = int(nprobe)
+
+    @arrow_udf(ArrayType(LongType()))
+    def kernel(vec: pa.Array) -> pa.Array:
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        n = len(vec)
+        if n == 0:
+            return pa.array([], pa.list_(pa.int64()))
+        flat = np.asarray(vec.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+        M = flat.reshape(n, cents.shape[1])
+        vnorm = np.sqrt((M * M).sum(axis=1))
+        vnorm[vnorm == 0.0] = 1.0
+        sims = np.round(
+            (M @ cents.T) / (vnorm[:, None] * cnorm[None, :]), 6
+        )
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+        out = cids[top]
+        offsets = np.arange(0, (n + 1) * take, take, dtype=np.int32)
+        return pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(out.ravel(), pa.int64())
+        )
+
+    return kernel
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -211,6 +287,13 @@ def ivf_topk(
     candidates, ~``nprobe/n_lists`` of the corpus instead of all of it.
     """
     cents = centroids or ivf_centroid_rows(corpus, n_lists, id_col, vec_col)
+    # centroid assignment runs as an Arrow kernel (numpy matmul per
+    # batch) — flat in n_lists for both Catalyst analysis and runtime,
+    # unlike the previous literal expression tree (fine at 16 lists,
+    # pathological in the hundreds). Still map-side: no shuffle, no
+    # join, the kernel is a stateless projection over the scan.
+    assign1 = ivf_best_lists_arrow(cents, 1)
+    assignp = ivf_best_lists_arrow(cents, nprobe)
     # norms once per VECTOR before the join — the per-pair cosine then
     # costs one dot, not dot + two norm aggregates (at corpus scale the
     # candidate set is ~nprobe/n_lists of corpus x queries; recomputing
@@ -219,13 +302,13 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(vec_col).alias("c_norm"),
-        ivf_best_lists(vec_col, cents, 1)[0].alias("list_id"),
+        F.element_at(assign1(vec_col), 1).alias("list_id"),
     )
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(vec_col).alias("q_norm"),
-        F.explode(ivf_best_lists(vec_col, cents, nprobe)).alias("list_id"),
+        F.explode(assignp(vec_col)).alias("list_id"),
     )
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
@@ -249,39 +332,59 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,
     dim: int,
-    planes: int = 4,
+    planes: int = 16,
+    bands: int = 4,
     seed: int = 42,
+    bucket_cap: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs with LSH-bucket blocking.
+    """Embedding-cosine near-duplicate pairs with BANDED hyperplane-LSH
+    blocking.
 
-    Candidate pairs are generated by a self equi-join on the
-    random-hyperplane bucket (SimHash for vectors), NOT an O(n^2) cross
-    join — the blocking is the documented approximation (same-bucket
-    recall), identical to the reference LSH candidate semantics. Output
-    ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine >= threshold.
+    Candidates come from a self equi-join on (band, bucket) across
+    ``bands`` independent plane sets — never an O(n^2) cross join. With
+    2^planes buckets per band the join key cardinality scales with the
+    corpus (65k buckets at planes=16), so within-bucket pair counts
+    stay near-linear; ``bucket_cap`` bounds the worst case anyway by
+    keeping only the first ``bucket_cap`` rows per (band, bucket) in id
+    order (deterministic). Pairs colliding in several bands are
+    de-duplicated before output. The blocking is the documented
+    approximation (same-bucket recall), mirroring the reference's
+    MinHash band scheme. Output ``(id_a, id_b, cosine)`` with
+    ``id_a < id_b``, cosine >= threshold.
     """
     side = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(vec_col).alias("_n"),
-        lsh_bucket(vec_col, dim, planes, seed).alias("bucket"),
+        F.posexplode(
+            lsh_band_buckets(vec_col, dim, planes, bands, seed)
+        ).alias("band", "bucket"),
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "bucket").orderBy("_id")
+        side = (
+            side.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     a = side.select(
         F.col("_id").alias("id_a"),
         F.col("_v").alias("v_a"),
         F.col("_n").alias("n_a"),
+        "band",
         "bucket",
     )
     b = side.select(
         F.col("_id").alias("id_b"),
         F.col("_v").alias("v_b"),
         F.col("_n").alias("n_b"),
+        "band",
         "bucket",
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
@@ -289,6 +392,7 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .distinct()
     )
 
 
@@ -297,28 +401,37 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    planes: int = 4,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: equi-join on LSH bucket, then exact cosine +
-    window top-k inside the bucket. The join key is the bucket id, so
-    this scales to large query sets (no nested-loop)."""
+    """Approximate top-k with banded hyperplane LSH: equi-join on
+    (band, bucket) across independent plane sets, de-duplicate the
+    candidate pairs, exact cosine + window top-k. The join key is
+    (band, bucket) with 2^planes buckets per band, so the blocking
+    scales to large corpora and query sets (no nested-loop, no
+    low-cardinality skew key)."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(vec_col).alias("c_norm"),
-        lsh_bucket(vec_col, dim, planes).alias("bucket"),
+        F.posexplode(
+            lsh_band_buckets(vec_col, dim, planes, bands, seed)
+        ).alias("band", "bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(vec_col).alias("q_norm"),
-        lsh_bucket(vec_col, dim, planes).alias("bucket"),
+        F.posexplode(
+            lsh_band_buckets(vec_col, dim, planes, bands, seed)
+        ).alias("band", "bucket"),
     )
     scored = (
-        c.join(q, "bucket")
+        c.join(q, ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
@@ -326,6 +439,8 @@ def lsh_topk(
                 dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
             ),
         )
+        .select("query_id", "vec_id", "cosine")
+        .dropDuplicates(["query_id", "vec_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

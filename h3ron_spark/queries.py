@@ -695,8 +695,9 @@ def queries() -> dict[str, QueryFn]:
 
 
 def _load_extra() -> None:
-    """Import the second registry module exactly once (it registers
-    itself into REGISTRY on import)."""
+    """Import the extra registry modules exactly once (they register
+    themselves into REGISTRY on import)."""
+    import h3ron_spark.queries_golden  # noqa: F401
     import h3ron_spark.queries_h3  # noqa: F401
 
 

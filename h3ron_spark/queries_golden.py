@@ -1,0 +1,577 @@
+"""Golden-vector queries: pinned fixtures whose expected outputs are
+the literal ground-truth values committed in the reference's own unit
+tests (harvested file:line cited per query). Each query exercises the
+real Spark operators over a tiny deterministic input and carries an
+exact DuckDB ``VALUES``-literal oracle, converting the previously
+oracle-less H3 semantic surface (edges, directions, localij, dissolve,
+smoothen, isochrone, clusters, grid traversal) into hash-checked
+signal.
+
+The queries ignore ``sf_dir`` — the fixture IS the pinned input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import h3ron_spark.h3core as h3c
+from h3ron_spark.functions import bits as B
+from h3ron_spark.functions import geo as G
+from h3ron_spark.queries import register
+from h3ron_spark.util import local_df
+
+# The reference's canonical test cell (San Francisco, res 9) — used by
+# nearly every h3ron unit test (h3ron/src/cell.rs:485-707).
+_CELL = 0x89283080DDBFFFF
+# Its 4th directed edge (h3ron/src/directed_edge.rs:351-400).
+_EDGE = 0x149283080DDBFFFF
+# testH3Line.c pair: line not computable across multiple icosa faces
+# (h3ron/src/lib.rs:152-160).
+_LINE_A = 0x85285AA7FFFFFFF
+_LINE_B = 0x851D9B1BFFFFFFF
+
+
+def _one_row(spark: SparkSession) -> DataFrame:
+    return local_df(spark, [(1,)], "one int").coalesce(1)
+
+
+# ---------------------------------------------------------------------
+# S19/S21/S28: directed edges of the canonical cell
+# ---------------------------------------------------------------------
+
+_EDGES_ORACLE = """
+  SELECT * FROM (VALUES
+    ('119283080ddbffff', CAST(9 AS INT)),
+    ('129283080ddbffff', CAST(9 AS INT)),
+    ('139283080ddbffff', CAST(9 AS INT)),
+    ('149283080ddbffff', CAST(9 AS INT)),
+    ('159283080ddbffff', CAST(9 AS INT)),
+    ('169283080ddbffff', CAST(9 AS INT))
+  ) AS t(edge_hex, res)
+  ORDER BY edge_hex
+"""
+
+
+@register("golden_directed_edges", oracle=_EDGES_ORACLE)
+def golden_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19+S28: the six directed edges of 0x89283080ddbffff, formatted
+    as hex strings, with their resolutions — the exact strings committed
+    in h3ron/src/cell.rs:634-654 (can_retrieve_edges)."""
+    df = local_df(spark, [(_CELL,)], "cell long").coalesce(1)
+    return (
+        df.select(F.explode(G.h3_cell_to_directed_edges("cell")).alias("edge"))
+        .select(
+            B.h3_to_string("edge").alias("edge_hex"),
+            B.h3_get_resolution("edge").alias("res"),
+        )
+        .orderBy("edge_hex")
+    )
+
+
+# ---------------------------------------------------------------------
+# S26: direction digits over resolutions
+# ---------------------------------------------------------------------
+
+# h3ron/src/direction.rs:227-240: cell 0x861ea54f7ffffff -> J,I,IK,J,JK,IJ
+# h3ron/src/direction.rs:246-268: edge 0x149283080ddbffff ->
+#   Center,IJ,Center,I,Center,K,IK,IJ,IJ
+# h3ron/src/direction.rs:164-182: cell 0x8518607bfffffff ->
+#   direction()=IJ(6), direction_to_parent()=JK(3),
+#   direction_to_parent_resolution(1)=K(1)
+_DIR_ORACLE = """
+  SELECT * FROM (VALUES
+    ('cell6', CAST(1 AS INT), CAST(2 AS INT)),
+    ('cell6', CAST(2 AS INT), CAST(4 AS INT)),
+    ('cell6', CAST(3 AS INT), CAST(5 AS INT)),
+    ('cell6', CAST(4 AS INT), CAST(2 AS INT)),
+    ('cell6', CAST(5 AS INT), CAST(3 AS INT)),
+    ('cell6', CAST(6 AS INT), CAST(6 AS INT)),
+    ('edge9', CAST(1 AS INT), CAST(0 AS INT)),
+    ('edge9', CAST(2 AS INT), CAST(6 AS INT)),
+    ('edge9', CAST(3 AS INT), CAST(0 AS INT)),
+    ('edge9', CAST(4 AS INT), CAST(4 AS INT)),
+    ('edge9', CAST(5 AS INT), CAST(0 AS INT)),
+    ('edge9', CAST(6 AS INT), CAST(1 AS INT)),
+    ('edge9', CAST(7 AS INT), CAST(5 AS INT)),
+    ('edge9', CAST(8 AS INT), CAST(6 AS INT)),
+    ('edge9', CAST(9 AS INT), CAST(6 AS INT)),
+    ('cell5_dir', CAST(5 AS INT), CAST(6 AS INT)),
+    ('cell5_parent', CAST(4 AS INT), CAST(3 AS INT)),
+    ('cell5_res1', CAST(1 AS INT), CAST(1 AS INT))
+  ) AS t(owner, pos, digit)
+  ORDER BY owner, pos
+"""
+
+
+@register("golden_direction_digits", oracle=_DIR_ORACLE)
+def golden_direction_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26: iter_directions_over_resolutions on the two pinned indexes
+    (h3ron/src/direction.rs:227-268) + the three single-direction
+    lookups on 0x8518607bfffffff (direction.rs:164-182), via the
+    pure-SQL digit accessors."""
+    seq = local_df(
+        spark,
+        [("cell6", 0x861EA54F7FFFFFF, 6), ("edge9", _EDGE, 9)],
+        "owner string, idx long, res int",
+    ).coalesce(1)
+    by_res = (
+        seq.select(
+            "owner",
+            F.explode(F.sequence(F.lit(1), F.col("res"))).alias("pos"),
+            "idx",
+        )
+        .select("owner", "pos", B.h3_get_index_digit("idx", F.col("pos")).alias("digit"))
+    )
+    c5 = local_df(
+        spark, [(0x8518607BFFFFFFF,)], "cell long"
+    ).coalesce(1)
+    singles = c5.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("cell5_dir").alias("owner"),
+                    F.lit(5).alias("pos"),
+                    B.h3_get_index_digit("cell", F.lit(5)).alias("digit"),
+                ),
+                F.struct(
+                    F.lit("cell5_parent").alias("owner"),
+                    F.lit(4).alias("pos"),
+                    B.h3_direction_to_parent("cell").alias("digit"),
+                ),
+                F.struct(
+                    F.lit("cell5_res1").alias("owner"),
+                    F.lit(1).alias("pos"),
+                    B.h3_direction_to_parent("cell", 1).alias("digit"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.owner", "s.pos", "s.digit")
+    return by_res.unionByName(singles).orderBy("owner", "pos")
+
+
+# ---------------------------------------------------------------------
+# S10-S15 + S28 + edge ops: the cell.rs checks, long format
+# ---------------------------------------------------------------------
+
+_CELL_API_ORACLE = """
+  SELECT * FROM (VALUES
+    ('string_roundtrip', CAST(1 AS BIGINT)),
+    ('hex_is_89283080ddbffff', CAST(1 AS BIGINT)),
+    ('is_valid', CAST(1 AS BIGINT)),
+    ('zero_invalid', CAST(0 AS BIGINT)),
+    ('res', CAST(9 AS BIGINT)),
+    ('ring1_count', CAST(6 AS BIGINT)),
+    ('ring1_all_valid', CAST(1 AS BIGINT)),
+    ('ring0_is_self', CAST(1 AS BIGINT)),
+    ('disk_k2_count', CAST(12 AS BIGINT)),
+    ('dist_self', CAST(0 AS BIGINT)),
+    ('dist_ring1', CAST(1 AS BIGINT)),
+    ('dist_ring3', CAST(3 AS BIGINT)),
+    ('is_neighbor_ring1', CAST(1 AS BIGINT)),
+    ('neighbor_res_mismatch_null', CAST(1 AS BIGINT)),
+    ('cross_face_distance_null', CAST(1 AS BIGINT)),
+    ('cross_face_path_connected', CAST(1 AS BIGINT)),
+    ('edge_valid', CAST(1 AS BIGINT)),
+    ('cell_as_edge_invalid', CAST(0 AS BIGINT)),
+    ('edge_reverse_swaps', CAST(1 AS BIGINT)),
+    ('edge_boundary_two_points', CAST(1 AS BIGINT)),
+    ('edge_len_lt_centroid_dist', CAST(1 AS BIGINT)),
+    ('centroid_dist_lt_2x_len', CAST(1 AS BIGINT))
+  ) AS t(what, val)
+  ORDER BY what
+"""
+
+
+@register("golden_cell_api", oracle=_CELL_API_ORACLE)
+def golden_cell_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The h3ron cell/edge unit-test battery on the canonical SF cell,
+    long format (check, value): string roundtrip (cell.rs:485-502),
+    validity incl. 0 (cell.rs:505-509), ring counts (cell.rs:519-533),
+    disk-distance window (cell.rs:536-547), grid distances
+    (cell.rs:620-630), neighbor checks incl. the res-mismatch error
+    (cell.rs:608-617), the testH3Line.c cross-face pair
+    (h3ron/src/lib.rs:152-160: distance errors -> NULL; our documented
+    path superset stays connected), and the directed-edge battery
+    (directed_edge.rs:348-400)."""
+    df = local_df(
+        spark,
+        [(_CELL, _EDGE, 0x8A2A1072B59FFFF, _LINE_A, _LINE_B)],
+        "cell long, edge long, far long, la long, lb long",
+    ).coalesce(1)
+    ring1 = G.h3_grid_ring("cell", F.lit(1))
+    ring3 = G.h3_grid_ring("cell", F.lit(3))
+    disk22 = G.h3_grid_disk_distances_range("cell", F.lit(2), F.lit(2))
+    rev = G.h3_edge_reverse("edge")
+    ex = df.select(
+        B.h3_to_string("cell").alias("hex"),
+        (B.h3_from_string(B.h3_to_string("cell")) == F.col("cell")).alias(
+            "string_roundtrip"
+        ),
+        B.h3_is_valid_cell("cell").alias("is_valid"),
+        B.h3_is_valid_cell(F.lit(0).cast("long")).alias("zero_valid"),
+        B.h3_get_resolution("cell").cast("long").alias("res"),
+        F.size(ring1).cast("long").alias("ring1_count"),
+        F.forall(
+            G.h3_grid_ring("cell", F.lit(1)), lambda c: B.h3_is_valid_cell(c)
+        ).alias("ring1_all_valid"),
+        (G.h3_grid_ring("cell", F.lit(0)) == F.array(F.col("cell"))).alias(
+            "ring0_is_self"
+        ),
+        F.size(disk22).cast("long").alias("disk_k2_count"),
+        G.h3_grid_distance("cell", "cell").cast("long").alias("dist_self"),
+        G.h3_grid_distance("cell", F.element_at(ring1, 1))
+        .cast("long")
+        .alias("dist_ring1"),
+        G.h3_grid_distance("cell", F.element_at(ring3, 1))
+        .cast("long")
+        .alias("dist_ring3"),
+        G.h3_are_neighbor_cells("cell", F.element_at(ring1, 1)).alias(
+            "is_neighbor_ring1"
+        ),
+        G.h3_are_neighbor_cells("cell", "far").isNull().alias(
+            "neighbor_res_mismatch_null"
+        ),
+        G.h3_grid_distance("la", "lb").isNull().alias(
+            "cross_face_distance_null"
+        ),
+        B.h3_is_valid_directed_edge("edge").alias("edge_valid"),
+        B.h3_is_valid_directed_edge("cell").alias("cell_as_edge_valid"),
+        (
+            (B.h3_edge_origin(rev) == G.h3_edge_destination("edge"))
+            & (G.h3_edge_destination(rev) == B.h3_edge_origin("edge"))
+        ).alias("edge_reverse_swaps"),
+        (
+            F.size(F.split(G.h3_edge_boundary_wkt("edge"), ",")) == 2
+        ).alias("edge_boundary_two_points"),
+        G.h3_edge_length_m("edge").alias("edge_len_m"),
+        G.h3_cell_centroid_distance_m(
+            B.h3_edge_origin("edge"), G.h3_edge_destination("edge")
+        ).alias("centroid_dist_m"),
+    )
+    checks = ex.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("string_roundtrip"),
+                    F.lit("hex_is_89283080ddbffff"),
+                    F.lit("is_valid"),
+                    F.lit("zero_invalid"),
+                    F.lit("res"),
+                    F.lit("ring1_count"),
+                    F.lit("ring1_all_valid"),
+                    F.lit("ring0_is_self"),
+                    F.lit("disk_k2_count"),
+                    F.lit("dist_self"),
+                    F.lit("dist_ring1"),
+                    F.lit("dist_ring3"),
+                    F.lit("is_neighbor_ring1"),
+                    F.lit("neighbor_res_mismatch_null"),
+                    F.lit("cross_face_distance_null"),
+                    F.lit("edge_valid"),
+                    F.lit("cell_as_edge_invalid"),
+                    F.lit("edge_reverse_swaps"),
+                    F.lit("edge_boundary_two_points"),
+                    F.lit("edge_len_lt_centroid_dist"),
+                    F.lit("centroid_dist_lt_2x_len"),
+                ),
+                F.array(
+                    F.col("string_roundtrip").cast("long"),
+                    (F.col("hex") == "89283080ddbffff").cast("long"),
+                    F.col("is_valid").cast("long"),
+                    F.col("zero_valid").cast("long"),
+                    F.col("res"),
+                    F.col("ring1_count"),
+                    F.col("ring1_all_valid").cast("long"),
+                    F.col("ring0_is_self").cast("long"),
+                    F.col("disk_k2_count"),
+                    F.col("dist_self"),
+                    F.col("dist_ring1"),
+                    F.col("dist_ring3"),
+                    F.col("is_neighbor_ring1").cast("long"),
+                    F.col("neighbor_res_mismatch_null").cast("long"),
+                    F.col("cross_face_distance_null").cast("long"),
+                    F.col("edge_valid").cast("long"),
+                    F.col("cell_as_edge_valid").cast("long"),
+                    F.col("edge_reverse_swaps").cast("long"),
+                    F.col("edge_boundary_two_points").cast("long"),
+                    (F.col("edge_len_m") < F.col("centroid_dist_m")).cast(
+                        "long"
+                    ),
+                    (F.col("centroid_dist_m") < 2 * F.col("edge_len_m")).cast(
+                        "long"
+                    ),
+                ),
+            )
+        ).alias("what", "val")
+    )
+    # cross-face path connectivity: posexplode + lead window so the
+    # neighbor UDF sees plain columns (Spark bars Python UDFs inside
+    # higher-order-function lambdas)
+    from pyspark.sql import Window
+
+    steps = (
+        df.select(
+            "la",
+            "lb",
+            F.posexplode(G.h3_grid_path("la", "lb")).alias("pos", "pc"),
+        )
+        .coalesce(1)
+        .select(
+            "la",
+            "lb",
+            "pos",
+            "pc",
+            F.lead("pc").over(Window.orderBy("pos")).alias("nxt"),
+        )
+    )
+    path_check = steps.agg(
+        F.lit("cross_face_path_connected").alias("what"),
+        (
+            (F.count(F.lit(1)) > 0)
+            & (
+                F.sum(
+                    (
+                        ~F.coalesce(
+                            G.h3_are_neighbor_cells("pc", "nxt"), F.lit(True)
+                        )
+                    ).cast("long")
+                )
+                == 0
+            )
+            & (F.max(F.when(F.col("pos") == 0, F.col("pc") == F.col("la"))))
+            & (F.max(F.when(F.col("nxt").isNull(), F.col("pc") == F.col("lb"))))
+        )
+        .cast("long")
+        .alias("val"),
+    )
+    return checks.unionByName(path_check).orderBy("what")
+
+
+# ---------------------------------------------------------------------
+# S25: local IJ roundtrip over the disk-1 neighborhood
+# ---------------------------------------------------------------------
+
+_LOCALIJ_ORACLE = """
+  SELECT * FROM (VALUES (
+    CAST(7 AS BIGINT), CAST(7 AS BIGINT),
+    CAST(1 AS INT), CAST(1 AS INT)
+  )) AS t(n_cells, n_roundtrip_ok, max_abs_di, max_abs_dj)
+"""
+
+
+@register("golden_localij", oracle=_LOCALIJ_ORACLE)
+def golden_localij(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25 (h3ron/src/localij.rs:106-128 test_local_ij): every disk-1
+    cell of the canonical origin roundtrips through (to_localij,
+    from_localij) and sits within one IJ unit of the origin."""
+    df = local_df(spark, [(_CELL,)], "origin long").coalesce(1)
+    cells = df.select(
+        "origin", F.explode(G.h3_grid_disk("origin", F.lit(1))).alias("cell")
+    )
+    ij = cells.select(
+        "origin",
+        "cell",
+        G.h3_cell_to_local_ij("origin", "cell").alias("ij"),
+        G.h3_cell_to_local_ij("origin", "origin").alias("oij"),
+    )
+    back = ij.select(
+        "origin",
+        "cell",
+        (F.col("ij.i") - F.col("oij.i")).alias("di"),
+        (F.col("ij.j") - F.col("oij.j")).alias("dj"),
+        G.h3_local_ij_to_cell("origin", F.col("ij.i"), F.col("ij.j")).alias(
+            "back"
+        ),
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum((F.col("back") == F.col("cell")).cast("long")).alias(
+            "n_roundtrip_ok"
+        ),
+        F.max(F.abs("di")).alias("max_abs_di"),
+        F.max(F.abs("dj")).alias("max_abs_dj"),
+    )
+
+
+# ---------------------------------------------------------------------
+# G5: donut dissolve (to_linked_polygons)
+# ---------------------------------------------------------------------
+
+_DONUT_ORACLE = """
+  SELECT * FROM (VALUES (
+    CAST(1 AS BIGINT), CAST(19 AS BIGINT),
+    CAST(1 AS BIGINT), CAST(7 AS BIGINT)
+  )) AS t(n_polygons, exterior_coords, n_interiors, interior_coords)
+"""
+
+
+@register("golden_dissolve_donut", oracle=_DONUT_ORACLE)
+def golden_dissolve_donut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 (h3ron/src/to_geo.rs:252-263 donut_linked_polygon): the ring-1
+    donut at (lat 12.3, lng 23.3) res 6 dissolves into exactly one
+    polygon with a 19-coordinate exterior and one 7-coordinate hole
+    (closed-ring convention, matching geo-types' LineString counts)."""
+    from h3ron_spark.operators.dissolve import dissolve_ring_stats_df
+
+    df = local_df(
+        spark,
+        [(12.3, 23.3)],
+        "lat double, lng double",
+    ).coalesce(1)
+    cells = df.select(
+        F.explode(
+            G.h3_grid_ring(
+                G.h3_latlng_to_cell("lat", "lng", F.lit(6)), F.lit(1)
+            )
+        ).alias("cell")
+    )
+    return dissolve_ring_stats_df(cells, "cell", smooth_iterations=0).select(
+        "n_polygons", "exterior_coords", "n_interiors", "interior_coords"
+    )
+
+
+# ---------------------------------------------------------------------
+# G6: smoothen on the k=4 donut
+# ---------------------------------------------------------------------
+
+_SMOOTH_ORACLE = """
+  SELECT * FROM (VALUES (
+    CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+    CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+  )) AS t(n_polygons, n_interiors, exterior_lt_10, interior_lt_10)
+"""
+
+
+@register("golden_smoothen_donut", oracle=_SMOOTH_ORACLE)
+def golden_smoothen_donut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 (h3ron/src/algorithm/smoothen.rs:85-105
+    smooth_donut_linked_polygon): the ring-4 donut at the same pinned
+    coordinate smoothens to one polygon whose exterior and single hole
+    both drop below 10 coordinates."""
+    from h3ron_spark.operators.dissolve import dissolve_ring_stats_df
+
+    df = local_df(spark, [(12.3, 23.3)], "lat double, lng double").coalesce(1)
+    cells = df.select(
+        F.explode(
+            G.h3_grid_ring(
+                G.h3_latlng_to_cell("lat", "lng", F.lit(6)), F.lit(4)
+            )
+        ).alias("cell")
+    )
+    stats = dissolve_ring_stats_df(cells, "cell", smooth_iterations=1)
+    return stats.select(
+        "n_polygons",
+        "n_interiors",
+        (F.col("exterior_coords") < 10).cast("long").alias("exterior_lt_10"),
+        (F.col("interior_coords") < 10).cast("long").alias("interior_lt_10"),
+    )
+
+
+# ---------------------------------------------------------------------
+# P6/P9: isochrone weight histograms on the reference's line graph
+# ---------------------------------------------------------------------
+
+_ISO_ORACLE = """
+  SELECT * FROM (VALUES
+    ('single', CAST(0 AS INT), CAST(1 AS BIGINT)),
+    ('single', CAST(10 AS INT), CAST(1 AS BIGINT)),
+    ('single', CAST(20 AS INT), CAST(1 AS BIGINT)),
+    ('single', CAST(30 AS INT), CAST(1 AS BIGINT)),
+    ('many', CAST(0 AS INT), CAST(3 AS BIGINT)),
+    ('many', CAST(10 AS INT), CAST(2 AS BIGINT)),
+    ('many', CAST(20 AS INT), CAST(2 AS BIGINT)),
+    ('many', CAST(30 AS INT), CAST(2 AS BIGINT))
+  ) AS t(variant, weight, n_cells)
+  ORDER BY variant, weight
+"""
+
+
+@register("golden_isochrone_hist", oracle=_ISO_ORACLE)
+def golden_isochrone_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P9 (h3ron-graph/src/algorithm/within_weight_threshold.rs:
+    136-184): the directed line graph traced from (lat 20, lng 10) to
+    (lat 20, lng 20) at res 4 with weight 10 per edge. Threshold 30
+    from the first line cell reaches 4 cells at weights {0,10,20,30};
+    min-merged over origins [0,1,10] it reaches 9 cells with weight
+    frequencies {0:3, 10:2, 20:2, 30:2}."""
+    from h3ron_spark.graph import edge_graph_from_cell_pairs
+    from h3ron_spark.graph.algorithms import within_weight_threshold
+    from h3ron_spark.h3core.regions import line_to_cells
+
+    seq = line_to_cells([(20.0, 10.0), (20.0, 20.0)], 4)
+    pairs = local_df(
+        spark,
+        [(a, b, 10.0) for a, b in zip(seq, seq[1:])],
+        "origin long, destination long, weight double",
+    )
+    g = edge_graph_from_cell_pairs(pairs, bidirectional=False).localCheckpoint(
+        eager=True
+    )
+    single = within_weight_threshold(g, [seq[0]], 30.0, aggregate="min")
+    many = within_weight_threshold(
+        g, [seq[0], seq[1], seq[10]], 30.0, aggregate="min"
+    )
+    out = single.select(
+        F.lit("single").alias("variant"),
+        F.col("weight").cast("int").alias("weight"),
+    ).unionByName(
+        many.select(
+            F.lit("many").alias("variant"),
+            F.col("weight").cast("int").alias("weight"),
+        )
+    )
+    return (
+        out.groupBy("variant", "weight")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .orderBy("variant", "weight")
+    )
+
+
+# ---------------------------------------------------------------------
+# G8/D9: cluster equality with the source disks
+# ---------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = """
+  SELECT * FROM (VALUES
+    ('d1', CAST(37 AS BIGINT), CAST(1 AS BIGINT)),
+    ('d2', CAST(19 AS BIGINT), CAST(1 AS BIGINT))
+  ) AS t(src_disk, n_cells, n_src_disks)
+  ORDER BY src_disk
+"""
+
+
+@register("golden_clusters_disks", oracle=_CLUSTERS_ORACLE)
+def golden_clusters_disks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 (h3ron/src/algorithm/cell_clusters.rs:123-150
+    find_cell_clusters_simple): disk(k=3) at (lat 14.5, lng 12.2) and
+    disk(k=2) at (lat 45.5, lng 42.2), both res 6, form exactly two
+    clusters, each equal to its source disk (37 and 19 cells, one
+    source disk per cluster)."""
+    from h3ron_spark.operators.clusters import cell_clusters
+
+    centers = local_df(
+        spark,
+        [("d1", 14.5, 12.2, 3), ("d2", 45.5, 42.2, 2)],
+        "src_disk string, lat double, lng double, k int",
+    ).coalesce(1)
+    cells = centers.select(
+        "src_disk",
+        F.explode(
+            G.h3_grid_disk(
+                G.h3_latlng_to_cell("lat", "lng", F.lit(6)), F.col("k")
+            )
+        ).alias("cell"),
+    )
+    labels = cell_clusters(cells.select("cell"), "cell")
+    clustered = cells.join(labels, "cell")
+    return (
+        clustered.groupBy("cluster")
+        .agg(
+            F.min("src_disk").alias("src_disk"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.countDistinct("src_disk").alias("n_src_disks"),
+        )
+        .select("src_disk", "n_cells", "n_src_disks")
+        .orderBy("src_disk")
+    )

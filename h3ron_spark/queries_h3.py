@@ -291,31 +291,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 _DIM = 64
-_PLANES = 4
+# Banded-LSH blocking constants for the registry fixtures. Planes are
+# sized to the TEST corpus per SIM.planes_for_corpus (sf0.1 has 2k
+# vectors -> 8 planes = 256 buckets/band, ~8-row buckets); a 100 TB
+# deployment would pass planes=20-24 (1M-16M buckets) from the same
+# rule. The oracle embeds identical constants, so these stay static.
+_PLANES = 8
+_BANDS = 4
+_BUCKET_CAP = 1024
+
+
+def _band_bucket_sql(vec_expr: str) -> str:
+    """Per-band bucket expressions embedding the SAME deterministic
+    hyperplane constants the Spark side uses (seeds 42+band)."""
+    terms = []
+    for band in range(_BANDS):
+        hps = SIM._hyperplanes(_DIM, _PLANES, 42 + band)
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product({vec_expr}, "
+            f"[{', '.join(repr(t) for t in h)}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, h in enumerate(hps)
+        )
+        terms.append(bucket)
+    return terms
 
 
 def _lsh_oracle() -> str:
-    hps = SIM._hyperplanes(_DIM, _PLANES, 42)
-    bucket_terms = " + ".join(
-        "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
-        f"[{', '.join(repr(t) for t in h)}]) > 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i, h in enumerate(hps)
+    buckets = _band_bucket_sql("v")
+    mem = "\n    UNION ALL ".join(
+        f"SELECT vec_id, v, {band} AS band, ({b}) AS bucket FROM e"
+        for band, b in enumerate(buckets)
     )
     return f"""
   WITH e AS (
-    SELECT vec_id, label, embedding::DOUBLE[] AS v,
-           ({bucket_terms}) AS bucket
-    FROM embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  ), mem AS (
+    {mem}
   ), q AS (
-    SELECT vec_id AS query_id, v AS q_vec, bucket
-    FROM e WHERE vec_id % 50 = 0
+    SELECT vec_id AS query_id, v AS q_vec, band, bucket
+    FROM mem WHERE vec_id % 50 = 0
   ), scored AS (
-    SELECT q.query_id, e.vec_id,
-           round(list_dot_product(q.q_vec, e.v)
+    SELECT DISTINCT q.query_id, m.vec_id,
+           round(list_dot_product(q.q_vec, m.v)
                  / (sqrt(list_dot_product(q.q_vec, q.q_vec))
-                    * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
-    FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+                    * sqrt(list_dot_product(m.v, m.v))), 6) AS cosine
+    FROM mem m JOIN q ON m.band = q.band AND m.bucket = q.bucket
+                     AND m.vec_id <> q.query_id
   )
   SELECT * FROM (
     SELECT query_id, vec_id, cosine,
@@ -328,15 +350,20 @@ def _lsh_oracle() -> str:
 
 @register("ann_lsh_topk", oracle=_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucket equi-join +
-    exact cosine rerank inside the bucket — the scale path next to the
-    brute-force baseline (ann_topk_cosine). The oracle embeds the same
-    deterministic hyperplane constants."""
+    """Approximate top-k: BANDED random-hyperplane LSH — (band, bucket)
+    equi-join over independent plane sets, candidate de-dup, exact
+    cosine rerank — the scale path next to the brute-force baseline
+    (ann_topk_cosine). 2^planes buckets per band keep the join key
+    high-cardinality (no n^2/buckets skew); the band OR-construction
+    restores near-dup recall. The oracle embeds the same deterministic
+    hyperplane constants."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.lsh_topk(emb, queries, dim=_DIM, k=5, planes=_PLANES)
+    return SIM.lsh_topk(
+        emb, queries, dim=_DIM, k=5, planes=_PLANES, bands=_BANDS
+    )
 
 
 _IVF_LISTS = 16
@@ -423,35 +450,46 @@ _EMB_DUP_THRESHOLD = 0.25
 
 
 def _emb_dup_oracle() -> str:
-    hps = SIM._hyperplanes(_DIM, _PLANES, 42)
-    bucket_terms = " + ".join(
-        "(CASE WHEN list_dot_product(v, "
-        f"[{', '.join(repr(t) for t in h)}]) > 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i, h in enumerate(hps)
+    buckets = _band_bucket_sql("v")
+    mem = "\n    UNION ALL ".join(
+        f"SELECT vec_id, v, {band} AS band, ({b}) AS bucket FROM e"
+        for band, b in enumerate(buckets)
     )
     return f"""
   WITH e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-  ), b AS (
-    SELECT vec_id, v, ({bucket_terms}) AS bucket FROM e
+  ), mem0 AS (
+    {mem}
+  ), mem AS (
+    SELECT vec_id, v, band, bucket FROM (
+      SELECT *, row_number() OVER (PARTITION BY band, bucket
+                                   ORDER BY vec_id) AS rn
+      FROM mem0
+    ) WHERE rn <= {_BUCKET_CAP}
   )
-  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
          {_COSINE.format(a="a.v", b="c.v")} AS cosine
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  FROM mem a JOIN mem c ON a.band = c.band AND a.bucket = c.bucket
+                       AND a.vec_id < c.vec_id
   WHERE {_COSINE.format(a="a.v", b="c.v")} >= {_EMB_DUP_THRESHOLD}
 """
 
 
 @register("dedup_embedding_cosine", oracle=_emb_dup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs with LSH-bucket blocking (the
-    SURVEY dedup list's embedding variant): same-bucket candidate
-    equi-join, exact cosine filter at the threshold. The oracle embeds
-    the same hyperplane constants and blocking."""
+    """Embedding-cosine near-dup pairs with banded LSH blocking (the
+    SURVEY dedup list's embedding variant): (band, bucket) candidate
+    equi-join over independent plane sets with a per-bucket width cap,
+    exact cosine filter at the threshold, cross-band pair de-dup. The
+    oracle embeds the same hyperplane constants, cap, and blocking."""
     emb = load(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_pairs(
-        emb, _EMB_DUP_THRESHOLD, dim=_DIM, planes=_PLANES
+        emb,
+        _EMB_DUP_THRESHOLD,
+        dim=_DIM,
+        planes=_PLANES,
+        bands=_BANDS,
+        bucket_cap=_BUCKET_CAP,
     )
 
 
@@ -472,7 +510,7 @@ _DIRECTIONS_ORACLE = """
   SELECT cell,
          concat_ws(',', (cell >> 42) & 7, (cell >> 39) & 7,
                    (cell >> 36) & 7) AS directions,
-         ((cell >> 36) & 7)::INT AS dir_to_parent,
+         ((cell >> 39) & 7)::INT AS dir_to_parent,
          round(12393.434655088, 6) AS area_avg_km2,
          round(68.97922179, 6) AS edge_avg_km
   FROM cells

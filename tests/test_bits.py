@@ -147,19 +147,22 @@ def test_direction_digits_and_avg_lookups(spark):
     # digits match direct bit extraction per resolution
     want = [(cell >> (3 * (15 - r))) & 7 for r in range(1, 7)]
     assert row.dirs == want
-    assert row.d_par == want[-1]
-    assert row.d_par3 == want[2]
+    # reference semantics (direction.rs:62-117): direction_to_parent
+    # reads the digit AT the target res; default target is res-1
+    assert row.d_par == want[4]
+    assert row.d_par3 == want[1]
     # public H3 4.1 table values
     assert abs(row.a_km2 - 36.129062164) < 1e-9
     assert abs(row.e_m - 3724.532667) < 1e-6
     assert abs(row.cd_m - 3724.532667 * 1.7320508075688772) < 1e-6
-    # direction_to_parent at a res >= cell res is NULL
-    assert (
-        df.select(B.h3_direction_to_parent("cell", 6).alias("x"))
-        .collect()[0]
-        .x
-        is None
-    )
+    # target == cell res is direction() (valid); beyond it -> NULL
+    # (ResMismatch parity, direction.rs:89-96)
+    row2 = df.select(
+        B.h3_direction_to_parent("cell", 6).alias("at_res"),
+        B.h3_direction_to_parent("cell", 7).alias("beyond"),
+    ).collect()[0]
+    assert row2.at_res == want[5]
+    assert row2.beyond is None
 
 
 def test_bpe_ish_tokens_match_duckdb(spark):

@@ -62,12 +62,60 @@ def test_ivf_topk_subset_of_bruteforce_candidates(spark, emb):
 
 
 def test_embedding_near_dup_pairs_blocked(spark, emb):
-    pairs = SIM.embedding_near_dup_pairs(emb, 0.2, dim=64, planes=4).toPandas()
+    pairs = SIM.embedding_near_dup_pairs(
+        emb, 0.2, dim=64, planes=8, bands=3
+    ).toPandas()
     assert (pairs.id_a < pairs.id_b).all()
     assert (pairs.cosine >= 0.2).all()
-    # blocking: every returned pair shares its LSH bucket
-    buckets = emb.select(
-        "vec_id", SIM.lsh_bucket("embedding", 64, 4).alias("b")
-    ).toPandas().set_index("vec_id")["b"]
+    # no duplicate pairs despite multi-band collisions
+    assert not pairs.duplicated(["id_a", "id_b"]).any()
+    # blocking: every returned pair shares a bucket in SOME band
+    bands = emb.select(
+        "vec_id",
+        SIM.lsh_band_buckets("embedding", 64, 8, 3).alias("bs"),
+    ).toPandas().set_index("vec_id")["bs"]
     for _, r in pairs.iterrows():
-        assert buckets[r.id_a] == buckets[r.id_b]
+        assert any(
+            x == y for x, y in zip(bands[r.id_a], bands[r.id_b])
+        )
+
+
+def test_banded_lsh_recall_superset(spark, emb):
+    """More bands can only ADD candidate pairs (OR-construction)."""
+    one = SIM.embedding_near_dup_pairs(
+        emb, 0.2, dim=64, planes=8, bands=1
+    ).toPandas()
+    three = SIM.embedding_near_dup_pairs(
+        emb, 0.2, dim=64, planes=8, bands=3
+    ).toPandas()
+    got1 = set(zip(one.id_a, one.id_b))
+    got3 = set(zip(three.id_a, three.id_b))
+    assert got1 <= got3
+
+
+def test_ivf_arrow_assignment_matches_expression(spark, emb):
+    """The Arrow-kernel centroid assignment reproduces the literal
+    expression tree's choices exactly (6-dp rounded cosine, ties to
+    the smaller cid) — and stays usable at n_lists=256 where the
+    expression tree's analysis cost blows up."""
+    from pyspark.sql import functions as F
+
+    cents = SIM.ivf_centroid_rows(emb, 16)
+    expr = emb.select(
+        "vec_id", SIM.ivf_best_lists("embedding", cents, 2).alias("lists")
+    ).toPandas().set_index("vec_id")["lists"]
+    arrow = emb.select(
+        "vec_id",
+        SIM.ivf_best_lists_arrow(cents, 2)("embedding").alias("lists"),
+    ).toPandas().set_index("vec_id")["lists"]
+    for vid in expr.index:
+        assert list(expr[vid]) == list(arrow[vid]), vid
+
+    big = SIM.ivf_centroid_rows(emb, 256)
+    assigned = emb.select(
+        F.element_at(
+            SIM.ivf_best_lists_arrow(big, 1)("embedding"), 1
+        ).alias("list_id")
+    ).toPandas()
+    assert assigned.list_id.notna().all()
+    assert assigned.list_id.nunique() > 50

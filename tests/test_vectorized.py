@@ -59,3 +59,51 @@ def test_batch_decode_roundtrip():
     ref = [C.cell_to_latlng(int(c)) for c in cells]
     assert np.allclose(la, [r[0] for r in ref], atol=1e-12)
     assert np.allclose(ln, [r[1] for r in ref], atol=1e-12)
+
+
+def test_vector_decode_integer_parity_and_tolerance():
+    """The vector decode's integer stage (cell -> face/ijk) is
+    bit-exact vs the scalar kernel; the float stage (face/ijk ->
+    latlng) is the CANONICAL path and agrees with the scalar libm path
+    within transcendental-ulp tolerance (the round-1 bit-exact
+    cross-kernel contract is retired per the tolerance contract)."""
+    import math
+
+    import h3ron_spark.h3core.index as ix
+    from h3ron_spark.h3core import vectorized as V
+
+    rng = np.random.default_rng(1234)
+    lats = np.degrees(np.arcsin(rng.uniform(-1, 1, 3000)))
+    lngs = rng.uniform(-180, 180, 3000)
+    ress = rng.integers(0, 16, 3000)
+    cells = latlng_to_cell_batch(lats, lngs, ress)
+    cells = cells[cells != 0]
+
+    face, i, j, k, fb = V.decode_face_ijk_np(cells)
+    n_checked = 0
+    for t, c in enumerate(cells):
+        if fb[t]:
+            continue
+        f_s, coord = ix.h3_to_face_ijk(int(c))
+        assert (f_s, coord) == (
+            int(face[t]),
+            (int(i[t]), int(j[t]), int(k[t])),
+        ), hex(int(c))
+        n_checked += 1
+    assert n_checked > 2000
+
+    la, ln = V.cell_to_latlng_np(cells)
+    for t, c in enumerate(cells):
+        a, b = ix.cell_to_latlng(int(c))
+        assert abs(a - la[t]) < 1e-12, hex(int(c))
+        assert abs(b - ln[t]) < 1e-12, hex(int(c))
+    # pentagon rows took the scalar path and are exact
+    assert fb.any()
+
+
+def test_vector_decode_invalid_rows_nan():
+    la, ln = cell_to_latlng_batch(
+        np.array([0, -5, 123456, 0x89283080DDBFFFF], dtype=np.int64)
+    )
+    assert np.isnan(la[:3]).all() and np.isnan(ln[:3]).all()
+    assert np.isfinite(la[3]) and np.isfinite(ln[3])
