@@ -306,6 +306,25 @@ def _grid_disk_fast(h: int, k: int) -> list[tuple[int, int]] | None:
     return list(out.items())
 
 
+def grid_disk_bfs(h: int, k: int, k_min: int = 0) -> list[tuple[int, int]]:
+    """Exact BFS disk over geometric neighbors — the ground-truth
+    path for pentagon/face-corner disks. Sorted by (distance, cell)."""
+    seen = {h: 0}
+    frontier = [h]
+    for dist in range(1, k + 1):
+        nxt = []
+        for c in frontier:
+            for n in neighbors(c):
+                if n not in seen:
+                    seen[n] = dist
+                    nxt.append(n)
+        frontier = nxt
+    return sorted(
+        ((c, d) for c, d in seen.items() if d >= k_min),
+        key=lambda t: (t[1], t[0]),
+    )
+
+
 def grid_disk_distances(h: int, k: int, k_min: int = 0) -> list[tuple[int, int]]:
     """All cells with grid distance in [k_min, k] with their distance
     (S12; cell.rs:186-218 — the reference's ``grid_disk_distances(
@@ -316,17 +335,7 @@ def grid_disk_distances(h: int, k: int, k_min: int = 0) -> list[tuple[int, int]]
     sorted by (distance, cell) for determinism."""
     items = _grid_disk_fast(h, k)
     if items is None:
-        seen = {h: 0}
-        frontier = [h]
-        for dist in range(1, k + 1):
-            nxt = []
-            for c in frontier:
-                for n in neighbors(c):
-                    if n not in seen:
-                        seen[n] = dist
-                        nxt.append(n)
-            frontier = nxt
-        items = list(seen.items())
+        return grid_disk_bfs(h, k, k_min)
     return sorted(
         ((c, d) for c, d in items if d >= k_min),
         key=lambda t: (t[1], t[0]),
@@ -498,7 +507,15 @@ def _path_local(a: int, b: int) -> list[int] | None:
     ii, jj, kk = V._norm3(ri, rj, np.zeros_like(ri))
     res = ix.get_resolution(a)
     oface, _ = ix.h3_to_face_ijk(a)
-    h, fb = V._ijk_to_h3(np.full(n + 1, oface, dtype=np.int64), ii, jj, kk, res)
+    h, fb, padj = V._ijk_to_h3(
+        np.full(n + 1, oface, dtype=np.int64), ii, jj, kk, res
+    )
+    # pentagon-BASE-CELL steps use origin-relative local-frame
+    # semantics, not the kernel's face-frame encode — redo them scalar
+    # (plus wedge-glued and off-frame rows), preserving exact
+    # local_ij_to_cell results as before the kernel learned pentagons
+    pent_bc = V._luts()["is_pent"][(h >> np.int64(45)) & np.int64(127)]
+    fb = fb | padj | pent_bc
     for idx in np.nonzero(fb)[0]:
         c = local_ij_to_cell(a, int(ri[idx]), int(rj[idx]))
         if c is None:

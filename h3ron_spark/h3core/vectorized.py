@@ -35,6 +35,7 @@ from h3ron_spark.h3core.constants import (
     EPSILON,
     FACE_AXES_AZ_0,
     FACE_CENTER_GEO,
+    K_AXES_DIGIT,
     M_2PI,
     M_AP7_ROT_RADS,
     M_SIN60,
@@ -85,6 +86,13 @@ def _luts() -> dict:
         for p in PENTAGON_BASE_CELLS:
             is_pent[p] = True
 
+        # base-cell x face -> is-cw-offset (index._base_cell_is_cw_offset)
+        cw_off = np.zeros((122, 20), dtype=bool)
+        for b, (_hf, _hijk, _p, offs) in enumerate(BASE_CELL_DATA):
+            for f in offs:
+                if 0 <= f < 20:
+                    cw_off[b, f] = True
+
         # base cell -> home (face, ijk); direction digit -> unit ijk
         home = np.zeros((122, 4), dtype=_I64)
         for b, (hf, hijk, _p, _o) in enumerate(BASE_CELL_DATA):
@@ -102,6 +110,7 @@ def _luts() -> dict:
             "rot": rot_lut,
             "rot_pow": rot_pow,
             "is_pent": is_pent,
+            "cw_off": cw_off,
         }
     return _LUTS
 
@@ -217,16 +226,25 @@ def _encode_res(lat_r, lng_r, res: int):
     y = np.where(small, 0.0, rr * np.sin(theta))
 
     i, j, k = _hex2d_to_ijk(x, y)
-    return _ijk_to_h3(face, i, j, k, res)
+    # pent_adj is the decode-side wedge glue — legitimate for point
+    # encode (scalar face_ijk_to_h3 applies the same rotation)
+    h, fallback, _pent_adj = _ijk_to_h3(face, i, j, k, res)
+    return h, fallback
 
 
 def _ijk_to_h3(face, i, j, k, res: int):
     """Vectorized ``face_ijk_to_h3`` (index.py:170-208) for the
     hexagon fast path. ``face``/``i``/``j``/``k``: int64 arrays of one
     (face, ijk) grid position per row at resolution ``res``. Returns
-    (h int64 array, fallback bool array) — flagged rows (pentagon
-    base cell, off-cube aggregation, non-unit digit) must be redone
-    with the scalar kernel."""
+    (h int64 array, fallback bool array, pent_adj bool array) —
+    fallback rows (off-cube aggregation, unmapped cube position,
+    non-unit digit) must be redone with the scalar kernel. Pentagon
+    base cells are encoded in-batch (leading-K cw-offset + deleted-K
+    pentagon rotations, scalar parity); ``pent_adj`` marks rows whose
+    position lay on a pentagon's deleted-K wedge and was glued onto
+    the canonical cell — correct for point encode/decode, but offset
+    DISTANCES through such a position are unreliable, so the disk
+    kernel must route those rows to the scalar BFS."""
     L = _luts()
     n = i.shape[0]
 
@@ -256,11 +274,57 @@ def _ijk_to_h3(face, i, j, k, res: int):
     kc = np.clip(k, 0, 2)
     bc = L["bc"][face, ic, jc, kc]
     rots = L["rot"][face, ic, jc, kc]
-    fallback = bad | off_cube | (bc < 0) | L["is_pent"][np.clip(bc, 0, 127)]
+    fallback = bad | off_cube | (bc < 0)
+    pent = L["is_pent"][np.clip(bc, 0, 127)] & ~fallback
+    pent_adj = np.zeros(n, dtype=bool)
 
-    # non-pentagon base-cell rotations: compose on the digit table
     if res:
-        digits = L["rot_pow"][rots[None, :], digits]
+        npent_m = (~pent)[None, :]
+        # non-pentagon base-cell rotations: compose on the digit table
+        digits = np.where(
+            npent_m, L["rot_pow"][rots[None, :], digits], digits
+        )
+        if pent.any():
+            # pentagon path (face_ijk_to_h3, index.py:197-204):
+            # leading-K cw-offset adjustment, then num_rots pentagon
+            # rotations that skip the deleted K subsequence. Zeros are
+            # rotation-invariant, so the leading-nonzero POSITION is
+            # stable and "rotate, then re-check leading==K" is exactly
+            # the scalar's in-loop formulation.
+            nz = digits != 0
+            lead = np.where(
+                nz.any(axis=0),
+                digits[np.argmax(nz, axis=0), np.arange(n)],
+                0,
+            )
+            ccw1 = L["rot_pow"][1]
+            cw1 = L["rot_pow"][5]
+            adj = pent & (lead == K_AXES_DIGIT)
+            pent_adj |= adj
+            if adj.any():
+                is_cw = L["cw_off"][np.clip(bc, 0, 121), face]
+                digits = np.where(
+                    (adj & is_cw)[None, :], cw1[digits], digits
+                )
+                digits = np.where(
+                    (adj & ~is_cw)[None, :], ccw1[digits], digits
+                )
+            for p in range(5):
+                rm = pent & (rots > p)
+                if not rm.any():
+                    break
+                digits = np.where(rm[None, :], ccw1[digits], digits)
+                nz = digits != 0
+                lead = np.where(
+                    nz.any(axis=0),
+                    digits[np.argmax(nz, axis=0), np.arange(n)],
+                    0,
+                )
+                rm2 = rm & (lead == K_AXES_DIGIT)
+                if rm2.any():
+                    digits = np.where(
+                        rm2[None, :], ccw1[digits], digits
+                    )
 
     base_h = ix.init_cell(res)
     for rv in range(1, res + 1):
@@ -269,7 +333,7 @@ def _ijk_to_h3(face, i, j, k, res: int):
     h |= np.clip(bc, 0, 127).astype(_U64) << _U64(BC_OFFSET)
     for rv in range(1, res + 1):
         h |= digits[rv - 1].astype(_U64) << _U64(3 * (15 - rv))
-    return h.astype(_I64), fallback
+    return h.astype(_I64), fallback, pent_adj
 
 
 def latlng_to_cell_batch(lat_deg, lng_deg, res):
@@ -425,6 +489,25 @@ def decode_face_ijk_np(cells: np.ndarray):
         j = np.where(m, nj, j)
         k = np.where(m, nk, k)
     # ---- single overage adjustment (hexagons never loop) ----
+    eligible = possible & ~fallback
+    face, i, j, k, _still = _adjust_overage_np(face, i, j, k, res, eligible)
+    return face, i, j, k, fallback
+
+
+def _adjust_overage_np(face, i, j, k, res, eligible=None):
+    """Vectorized ``index.adjust_overage_class_ii`` for hexagon frames
+    (pent_leading_4 rows must be excluded via ``eligible``): translate
+    (face, ijk, res) positions that overflow their face onto the
+    neighboring face's grid. Odd (Class III) resolutions adjust on the
+    aperture-7r Class II substrate, exactly like ``h3_to_face_ijk``
+    (index.py:300-317). Returns (face, i, j, k, still_over) where
+    ``still_over`` marks rows that overflow even after one adjustment
+    (corner/double overage — callers must route those to the scalar
+    kernel; the non-pentagon decode never produces them)."""
+    T = _decode_tables()
+    res = np.asarray(res, dtype=_I64)
+    if res.ndim == 0:
+        res = np.broadcast_to(res, face.shape)
     odd = (res % 2) == 1
     eff_res = res + odd.astype(_I64)
     # Class III rows work on the aperture-7r substrate
@@ -433,7 +516,10 @@ def decode_face_ijk_np(cells: np.ndarray):
     sk = np.where(odd, j + 3 * k, k)
     si, sj, sk = _ijk_normalize_np(si, sj, sk)
     maxd = T["max_dim"][eff_res]
-    over = possible & ~fallback & ((si + sj + sk) > maxd)
+    over = (si + sj + sk) > maxd
+    if eligible is not None:
+        over &= eligible
+    still_over = np.zeros(face.shape, dtype=bool)
     if over.any():
         dir_idx = np.where(sk > 0, np.where(sj > 0, 2, 1), 0)
         nf = T["fn_face"][face, dir_idx]
@@ -454,6 +540,7 @@ def decode_face_ijk_np(cells: np.ndarray):
         oi, oj, ok_ = _ijk_normalize_np(
             oi + ti * scale, oj + tj * scale, ok_ + tk * scale
         )
+        still_over = over & ((oi + oj + ok_) > maxd)
         # odd rows return to the cell grid via up_ap7r (C lround)
         ia = (oi - ok_).astype(np.float64)
         ja = (oj - ok_).astype(np.float64)
@@ -467,7 +554,7 @@ def decode_face_ijk_np(cells: np.ndarray):
         i = np.where(over, fi, i)
         j = np.where(over, fj, j)
         k = np.where(over, fk, k)
-    return face, i, j, k, fallback
+    return face, i, j, k, still_over
 
 
 def cell_to_latlng_np(cells: np.ndarray):
@@ -892,10 +979,15 @@ def grid_disk_distances_batch(
 
     Fast path: one scalar face decompose per origin (~9us), then ONE
     vectorized ``_ijk_to_h3`` evaluation over origin x offset —
-    replacing the per-offset scalar grid math (~28us each). Rows whose
-    disk crosses a face/pentagon frame (flagged by the kernel), hits a
-    duplicate, or starts on a pentagon fall back to the exact scalar
-    BFS, identical to the scalar fast-path bail conditions."""
+    replacing the per-offset scalar grid math (~28us each).
+    Face-crossing offsets are translated onto the neighbor face's
+    grid in-batch via the vectorized overage tables (the icosahedron
+    unfolding across a shared edge is a lattice isometry, so offset
+    distances are preserved; ref grid_disk.rs:16-103 relies on the
+    same property). Only rows whose disk double-crosses at a face
+    corner, lands on a pentagon, hits a duplicate, or starts on a
+    pentagon fall back to the exact scalar BFS — matching libh3's
+    gridDiskUnsafe bail conditions."""
     from h3ron_spark.h3core import cells as CM
     from h3ron_spark.h3core import index as ixm
 
@@ -916,13 +1008,20 @@ def grid_disk_distances_batch(
     fj = np.zeros(n, dtype=_I64)
     fk = np.zeros(n, dtype=_I64)
     decomp_rows = np.nonzero(valid & ~pent)[0]
-    h3_to_face_ijk = ixm.h3_to_face_ijk
-    for t in decomp_rows:
-        f, (a, b, c) = h3_to_face_ijk(int(cells_np[t]))
-        faces[t] = f
-        fi[t] = a
-        fj[t] = b
-        fk[t] = c
+    if decomp_rows.size:
+        df, di_, dj_, dk_, dfb = decode_face_ijk_np(cells_np[decomp_rows])
+        faces[decomp_rows] = df
+        fi[decomp_rows] = di_
+        fj[decomp_rows] = dj_
+        fk[decomp_rows] = dk_
+        # pentagon-BASE-CELL hexagons decompose scalar (rare)
+        h3_to_face_ijk = ixm.h3_to_face_ijk
+        for t in decomp_rows[dfb]:
+            f, (a, b, c) = h3_to_face_ijk(int(cells_np[t]))
+            faces[t] = f
+            fi[t] = a
+            fj[t] = b
+            fk[t] = c
 
     groups: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for rv in np.unique(res[decomp_rows]) if decomp_rows.size else ():
@@ -931,7 +1030,19 @@ def grid_disk_distances_batch(
         big_j = (fj[rows][:, None] + offs[:, 1][None, :]).ravel()
         big_k = (fk[rows][:, None] + offs[:, 2][None, :]).ravel()
         ii, jj, kk = _norm3(big_i, big_j, big_k)
-        h, fb = _ijk_to_h3(np.repeat(faces[rows], m), ii, jj, kk, int(rv))
+        bigf = np.repeat(faces[rows], m)
+        # face-crossing offsets translate onto the neighbor face's
+        # grid (vectorized adjust_overage_class_ii) instead of
+        # falling the whole row back to the scalar BFS; only double
+        # (corner) overage, pentagon hits, and duplicates still bail
+        bigf, ii, jj, kk, still = _adjust_overage_np(
+            bigf, ii, jj, kk, int(rv)
+        )
+        h, fb, padj = _ijk_to_h3(bigf, ii, jj, kk, int(rv))
+        # wedge-glued positions and actual pentagon outputs distort
+        # offset distances — those rows take the exact scalar BFS
+        fb |= still | padj
+        fb |= _is_pentagon_np(h, np.full(h.shape, int(rv), dtype=_I64))
         H = h.reshape(-1, m)
         bad = fb.reshape(-1, m).any(axis=1)
         hs = np.sort(H, axis=1)
@@ -955,8 +1066,11 @@ def grid_disk_distances_batch(
         groups.append((grows, G[:, kcols], D[:, kcols]))
 
     fb_rows = np.nonzero(fallback)[0]
+    # straight to the BFS: these rows were flagged precisely because
+    # the offset fast path can't represent them, so retrying
+    # _grid_disk_fast per row would just fail again
     fb_items = [
-        CM.grid_disk_distances(int(cells_np[t]), k_max, k_min)
+        CM.grid_disk_bfs(int(cells_np[t]), k_max, k_min)
         for t in fb_rows
     ]
     counts[fb_rows] = [len(items) for items in fb_items]

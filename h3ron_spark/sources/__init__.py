@@ -60,16 +60,30 @@ def osm_ways_to_linestrings(
 
 
 def raster_file_to_cells(
-    spark: SparkSession, path: str, h3_resolution: int | None = None, **kw
+    spark: SparkSession,
+    path: str,
+    h3_resolution: int | None = None,
+    band: int = 0,
+    nodata=None,
+    **kw,
 ):
-    """R4 front-end for raster files: needs rasterio to read the band +
-    geotransform; the array pipeline itself is raster.raster_to_cells."""
-    try:
-        import rasterio  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "raster file reading needs 'rasterio', not installed here. "
-            "Load the band as a numpy array + Transform and call "
-            "raster.raster_to_cells directly."
-        ) from e
-    raise NotImplementedError("rasterio backend not wired in this build")
+    """R4 front-end for raster files (h3ify_r_tiff.rs:13-49 reads the
+    GeoTIFF via GDAL, picks ``nearest_h3_resolution``, then converts):
+    decode the band + geotransform with the built-in pure-Python
+    GeoTIFF reader (sources.tiff — classic TIFF, strips/tiles,
+    none/LZW/deflate/PackBits) and run ``raster.raster_to_cells``.
+    If ``h3_resolution`` is None it is chosen by
+    ``nearest_h3_resolution`` like the reference example. ``nodata``
+    defaults to the file's GDAL_NODATA tag."""
+    from h3ron_spark.raster import nearest_h3_resolution, raster_to_cells
+    from h3ron_spark.sources.tiff import read_geotiff
+
+    g = read_geotiff(path)
+    arr = g.bands[band]
+    if nodata is None:
+        nodata = g.nodata
+    if h3_resolution is None:
+        h3_resolution = nearest_h3_resolution(g.transform, arr.shape)
+    return raster_to_cells(
+        spark, arr, g.transform, h3_resolution, nodata=nodata, **kw
+    )
