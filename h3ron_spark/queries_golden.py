@@ -575,3 +575,63 @@ def golden_clusters_disks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_disk", "n_cells", "n_src_disks")
         .orderBy("src_disk")
     )
+
+
+# ---------------------------------------------------------------------
+# R1-R4: real-file raster ingestion (pure-Python GeoTIFF reader)
+# ---------------------------------------------------------------------
+
+
+def _golden_raster_fixture() -> str:
+    """Write the deterministic single-band GeoTIFF fixture once per
+    process (24x36 u8, value=((row//6)+(col//9))%4 with 0 as nodata,
+    0.02deg pixels anchored at 8.0E/49.6N — the same shape/georef
+    class as the reference's data/r.tiff, h3ify_r_tiff.rs:13-19)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from h3ron_spark.raster import Transform
+    from h3ron_spark.sources.tiff import write_geotiff_uncompressed
+
+    path = os.path.join(
+        tempfile.gettempdir(), "h3ron_spark_golden_raster.tiff"
+    )
+    if not os.path.exists(path):
+        rows, cols = np.indices((24, 36))
+        band = (((rows // 6) + (cols // 9)) % 4).astype(np.uint8)
+        write_geotiff_uncompressed(
+            path,
+            band,
+            Transform(0.02, 0.0, 0.0, -0.02, 8.0, 49.6),
+            nodata=0,
+        )
+    return path
+
+
+_RASTER_FILE_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(1 AS INT), CAST(144 AS BIGINT)),
+    (CAST(2 AS INT), CAST(149 AS BIGINT)),
+    (CAST(3 AS INT), CAST(148 AS BIGINT))
+  ) AS t(value, n_cells)
+  ORDER BY value
+"""
+
+
+@register("golden_raster_file", oracle=_RASTER_FILE_ORACLE)
+def golden_raster_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 end-to-end on a real GeoTIFF FILE: decode band + geotransform
+    + GDAL_NODATA with the built-in pure-Python reader (sources.tiff),
+    pick the resolution via nearest_h3_resolution, centroid-polyfill
+    each data pixel, count distinct cells per band value
+    (h3ify_r_tiff.rs:13-49 is the same pipeline through GDAL)."""
+    from h3ron_spark.sources import raster_file_to_cells
+
+    cells = raster_file_to_cells(spark, _golden_raster_fixture())
+    return (
+        cells.groupBy(F.col("value").cast("int").alias("value"))
+        .agg(F.countDistinct("cell").alias("n_cells"))
+        .orderBy("value")
+    )
