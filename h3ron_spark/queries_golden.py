@@ -635,3 +635,81 @@ def golden_raster_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("cell").alias("n_cells"))
         .orderBy("value")
     )
+
+
+# ---------------------------------------------------------------------
+# P13: OSM .pbf -> linestrings -> H3 edge graph
+# ---------------------------------------------------------------------
+
+
+def _golden_pbf_fixture() -> str:
+    """Write the deterministic .osm.pbf road-grid fixture once per
+    process (5x6 node lattice near 49.4N/8.66E, 5 residential rows +
+    6 primary columns — the io/osm.rs:30-121 ingestion shape)."""
+    import os
+    import tempfile
+
+    from h3ron_spark.sources.osmpbf import write_osm_pbf
+
+    path = os.path.join(tempfile.gettempdir(), "h3ron_spark_golden.osm.pbf")
+    if not os.path.exists(path):
+        nodes = []
+        grid = {}
+        nid = 100
+        for r in range(5):
+            for c in range(6):
+                grid[(r, c)] = nid
+                nodes.append((nid, 49.40 + 0.004 * r, 8.66 + 0.004 * c))
+                nid += 3
+        ways = []
+        wid = 5000
+        for r in range(5):
+            ways.append(
+                (
+                    wid,
+                    [grid[(r, c)] for c in range(6)],
+                    {"highway": "residential"},
+                )
+            )
+            wid += 7
+        for c in range(6):
+            ways.append(
+                (wid, [grid[(r, c)] for r in range(5)], {"highway": "primary"})
+            )
+            wid += 7
+        write_osm_pbf(path, nodes, ways)
+    return path
+
+
+_OSM_ORACLE = """
+  SELECT * FROM (VALUES
+    ('primary', CAST(192 AS BIGINT), CAST(102 AS BIGINT)),
+    ('residential', CAST(122 AS BIGINT), CAST(66 AS BIGINT))
+  ) AS t(highway, n_edges, n_origins)
+  ORDER BY highway
+"""
+
+
+@register("golden_osm_pbf_graph", oracle=_OSM_ORACLE)
+def golden_osm_pbf_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 end-to-end on a real .pbf FILE: decode with the built-in
+    pure-Python PBF reader (blob directory driver-side, blob decode on
+    executors), join way refs to node coords, trace linestrings to
+    res-10 cells, build the min-weight edge graph per highway class,
+    count edges + distinct origins (io/osm.rs:30-121 ->
+    graph_from_linestrings)."""
+    from h3ron_spark.graph.build import graph_from_linestrings
+    from h3ron_spark.sources import osm_ways_to_linestrings
+
+    path = _golden_pbf_fixture()
+    out = []
+    for hw in ("primary", "residential"):
+        ls = osm_ways_to_linestrings(spark, path, highway_filter=[hw])
+        g = graph_from_linestrings(ls, 10)
+        agg = g.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("origin").alias("n_origins"),
+        ).withColumn("highway", F.lit(hw))
+        out.append(agg)
+    res = out[0].unionByName(out[1])
+    return res.select("highway", "n_edges", "n_origins").orderBy("highway")

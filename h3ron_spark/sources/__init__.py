@@ -5,12 +5,12 @@ custom format — SURVEY §2.6 P14); these helpers cover the reference's
 ingestion surfaces:
 
 - generator tables (res0 cells, average-area lookup)
-- OSM .pbf ways -> linestring table (P13) — the pbf PARSER is gated
-  behind an import-try (no pyrosm/pyosmium in this container); the
-  downstream pipeline (linestrings -> traced cells -> edge graph) is
-  fully implemented and tested via graph.graph_from_linestrings.
-- raster files (R4 front-end) — rasterio gated the same way; the
-  numpy-array pipeline in h3ron_spark.raster is the real dataflow.
+- OSM .pbf ways -> linestring table (P13) via the built-in
+  pure-Python PBF decoder (sources.osmpbf); downstream
+  (linestrings -> traced cells -> edge graph) is
+  graph.graph_from_linestrings.
+- raster files (R4 front-end) via the built-in pure-Python GeoTIFF
+  reader (sources.tiff); the array pipeline is h3ron_spark.raster.
 """
 
 from __future__ import annotations
@@ -41,22 +41,44 @@ def osm_ways_to_linestrings(
     spark: SparkSession, pbf_path: str, highway_filter=None
 ) -> DataFrame:
     """P13 front-end: parse an .osm.pbf into (way_id long, coords
-    array<struct<lat,lng>>, tags map<string,string>). Requires a pbf
-    parser library; this container ships none, so this raises with
-    instructions. The rest of the P13 pipeline (WayAnalyzer weighting
-    -> trace -> consecutive edges -> min-weight graph,
-    io/osm.rs:30-121) is graph.graph_from_linestrings.
-    """
-    try:
-        import pyrosm  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "OSM pbf parsing needs the 'pyrosm' (or 'pyosmium') package, "
-            "which is not installed in this environment. Stage ways as a "
-            "parquet table of (way_id, coords array<struct<lat,lng>>, "
-            "weight) and feed graph.graph_from_linestrings instead."
-        ) from e
-    raise NotImplementedError("pyrosm backend not wired in this build")
+    array<struct<lat double, lng double>>, tags map<string,string>)
+    using the built-in pure-Python PBF decoder (sources.osmpbf — no
+    external parser needed). ``highway_filter``: optional list of
+    ``highway=`` tag values to keep (the reference's WayAnalyzer
+    filter hook, io/osm.rs:30-42). The rest of the P13 pipeline
+    (weighting -> trace -> consecutive edges -> min-weight graph,
+    io/osm.rs:43-121) is graph.graph_from_linestrings.
+
+    Scale: blob decode runs on executors; way refs join to node
+    coordinates as a Spark equi-join on node_id (shuffle on a
+    well-distributed key), then reassemble ordered coords with
+    collect_list over a (way_id, seq) sort — planet files never
+    materialize driver-side."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.sources.osmpbf import osm_pbf_to_dataframes
+
+    nodes, ways = osm_pbf_to_dataframes(spark, pbf_path)
+    if highway_filter is not None:
+        vals = [str(v) for v in highway_filter]
+        ways = ways.filter(F.col("tags").getItem("highway").isin(vals))
+    joined = ways.join(nodes, ways.ref == nodes.node_id, "inner")
+    return (
+        joined.groupBy("way_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seq", "lat", "lng"))
+            ).alias("pts"),
+            F.first("tags").alias("tags"),
+        )
+        .select(
+            "way_id",
+            F.transform(
+                "pts", lambda p: F.struct(p["lat"], p["lng"])
+            ).alias("coords"),
+            "tags",
+        )
+    )
 
 
 def raster_file_to_cells(
