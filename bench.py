@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    # beyond-broadcast SSSP: 5.76M-edge synthetic torus (1200^2 x 4
+    # directions at sf>=0.1) — the regime where the broadcast
+    # Dijkstra's collected adjacency would be several GiB
+    "graph_sssp_frontier",
 ]
 
 

@@ -375,8 +375,13 @@ def sssp_frontier(
     frontier = dist
 
     for _ in range(max_iter):
+        # broadcast the frontier: each round becomes a map-side probe
+        # of the (cached, pre-partitioned) edge table — the edges are
+        # never reshuffled, which is the property that makes this
+        # viable on a multi-million-edge graph where the adjacency
+        # dict can't be collected
         relaxed = (
-            frontier.join(e, frontier.cell == e._u)
+            F.broadcast(frontier).join(e, frontier.cell == e._u)
             .select(
                 "origin",
                 F.col("_v").alias("cell"),
@@ -385,26 +390,30 @@ def sssp_frontier(
         )
         if threshold is not None:
             relaxed = relaxed.filter(F.col("weight") <= threshold)
-        if relaxed.isEmpty():
-            break
         merged = (
             dist.unionByName(relaxed)
             .groupBy("origin", "cell")
             .agg(F.min("weight").alias("weight"))
             .localCheckpoint(eager=True)
         )
-        # new frontier: strictly improved labels
-        frontier = merged.join(
-            dist.withColumnRenamed("weight", "_old"),
-            ["origin", "cell"],
-            "left",
-        ).filter(
-            F.col("_old").isNull() | (F.col("weight") < F.col("_old"))
-        ).select("origin", "cell", "weight")
-        if frontier.isEmpty():
-            dist = merged
-            break
+        # new frontier: strictly improved labels; checkpointed so the
+        # emptiness probe and the next round's broadcast both read the
+        # materialized result instead of recomputing the join
+        frontier = (
+            merged.join(
+                dist.withColumnRenamed("weight", "_old"),
+                ["origin", "cell"],
+                "left",
+            )
+            .filter(
+                F.col("_old").isNull() | (F.col("weight") < F.col("_old"))
+            )
+            .select("origin", "cell", "weight")
+            .localCheckpoint(eager=True)
+        )
         dist = merged
+        if frontier.isEmpty():
+            break
     return dist
 
 

@@ -1281,3 +1281,60 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("frame_index").cast("long").alias("sum_idx"),
     )
+
+
+# =====================================================================
+# Beyond-broadcast SSSP (SURVEY §7 escape hatch; P5/P9 at the scale
+# where _collect_adjacency's guarded broadcast would refuse)
+# =====================================================================
+
+_SSSP_T = 8
+
+_SSSP_ORACLE = """
+  SELECT CAST(d AS INT) AS weight,
+         CAST(CASE WHEN d = 0 THEN 1 ELSE 4 * d END AS BIGINT) AS n_cells
+  FROM generate_series(0, 8) AS t(d)
+  ORDER BY weight
+"""
+
+
+def _sssp_grid_n(sf_dir: str) -> int:
+    """Grid side by scale factor: sf0.1+ runs the 5.76M-edge graph
+    (1200^2 nodes x 4 directions) whose adjacency dict would be
+    multiple GiB driver-side; smaller SFs shrink the graph but keep
+    the flood region (threshold 8 < n/2) — and therefore the oracle
+    — identical."""
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(tag)
+    except ValueError:
+        sf = 0.01
+    if sf >= 0.1:
+        return 1200
+    if sf >= 0.01:
+        return 60
+    return 25
+
+
+@register("graph_sssp_frontier", oracle=_SSSP_ORACLE)
+def graph_sssp_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-relaxation SSSP (within_weight_threshold.rs semantics
+    at beyond-broadcast scale): flood from node 0 over the synthetic
+    4-neighbor torus grid with unit weights, threshold 8, and return
+    the weight histogram. On the n x n torus with n > 16 the exact
+    distance is min(x, n-x) + min(y, n-y), so the ring sizes are the
+    closed-form 1, 4d — the DuckDB oracle — independent of n; the
+    Spark plan is the real iterative one (broadcast frontier probing
+    the cached pre-partitioned edge table, min-agg fold, convergence
+    on an empty frontier)."""
+    from h3ron_spark.graph.algorithms import sssp_frontier
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    n = _sssp_grid_n(sf_dir)
+    edges = torus_grid_graph(spark, n, directions=4)
+    dist = sssp_frontier(edges, [0], threshold=float(_SSSP_T))
+    return (
+        dist.groupBy(F.col("weight").cast("int").alias("weight"))
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .orderBy("weight")
+    )

@@ -287,3 +287,38 @@ def test_save_load_graph_roundtrip(spark, tmp_path):
     assert got == exp
     # min-weight duplicate rule survived the roundtrip
     assert [w for o, d, w in got if (o, d) == (a, nb[1])] == [0.5]
+
+
+def test_sssp_frontier_torus_nonuniform_weights(spark):
+    """Frontier SSSP == broadcast Dijkstra on a torus grid with
+    position-dependent weights (the subsampled stand-in for the
+    5.76M-edge bench graph, graph/synthetic.py): identical reached
+    sets AND costs from two origins."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.graph import algorithms as GR
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    def w(x, y, dx, dy):
+        return 1.0 + ((x * 7 + y * 13 + (dx + 1) * 3 + (dy + 1)) % 5) / 4.0
+
+    edges = torus_grid_graph(spark, 20, directions=4, weight_expr=w)
+    origins = [0, 7 * 20 + 11]
+    broad = GR.within_weight_threshold(edges, origins, 5.0).collect()
+    front = GR.sssp_frontier(edges, origins, threshold=5.0).collect()
+    got_b = {(r.origin, r.cell, round(r.weight, 9)) for r in broad}
+    got_f = {(r.origin, r.cell, round(r.weight, 9)) for r in front}
+    assert got_f == got_b
+    assert len({o for o, _c, _w in got_f}) == 2
+
+
+def test_graph_sssp_frontier_query_histogram(spark):
+    """Registry query at the sf0.001 grid: ring sizes are the
+    closed-form 1, 4d for d=1..8 (the DuckDB oracle) — exactness of
+    the iterative flood on the torus."""
+    from h3ron_spark.queries_h3 import graph_sssp_frontier
+
+    rows = graph_sssp_frontier(spark, "/root/testdata/sf0.001").collect()
+    assert [(r["weight"], r["n_cells"]) for r in rows] == [(0, 1)] + [
+        (d, 4 * d) for d in range(1, 9)
+    ]
