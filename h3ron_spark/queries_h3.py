@@ -357,7 +357,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality (no n^2/buckets skew); the band OR-construction
     restores near-dup recall. The oracle embeds the same deterministic
     hyperplane constants."""
-    emb = load(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    # re-spread the single-file corpus so the Arrow bucket kernel runs
+    # on all cores (same rationale as ann_ivf_topk)
+    emb = load(spark, sf_dir, "embeddings").repartition(par)
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -482,7 +485,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join over independent plane sets with a per-bucket width cap,
     exact cosine filter at the threshold, cross-band pair de-dup. The
     oracle embeds the same hyperplane constants, cap, and blocking."""
-    emb = load(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    emb = load(spark, sf_dir, "embeddings").repartition(par)
     return SIM.embedding_near_dup_pairs(
         emb,
         _EMB_DUP_THRESHOLD,
@@ -776,11 +780,24 @@ def geo_disk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     cells = _event_cells(spark, sf_dir, 8).select("cell").distinct().repartition(par)
     disks = cells.select(
-        "cell", F.explode(G.h3_grid_disk("cell", F.lit(3))).alias("n")
+        "cell",
+        F.explode(
+            G.h3_grid_disk_distances("cell", F.lit(3))
+        ).alias("nd"),
     )
-    return disks.agg(
-        F.count(F.lit(1)).alias("n_neighbor_rows"),
-        F.countDistinct("n").alias("n_distinct_cells"),
+    # per-ring rows (not one global count): a subtly-wrong disk kernel
+    # shifts the ring histogram or its cell checksums. All aggregates
+    # are map-side partial (count / bit_xor / min / max) — no distinct
+    # shuffle — so the measurement stays the disk kernel itself
+    return (
+        disks.groupBy(F.col("nd.k").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbor_rows"),
+            F.expr("bit_xor(nd.cell)").alias("xor_cells"),
+            F.min("nd.cell").alias("min_cell"),
+            F.max("nd.cell").alias("max_cell"),
+        )
+        .orderBy("k")
     )
 
 
@@ -798,9 +815,16 @@ def geo_polyfill_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in [3000,6000), which at sf0.01 (small user_id range) bounds the
     # derived lat to roughly [-50,-13]
     hits = cells_in_rect(cells, -45.0, -150.0, -20.0, -120.0, 8, "cell")
-    return hits.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("cell").alias("n_cells"),
+    # per-parent-region rows: a mis-refined AOI edge moves counts
+    # between res-3 regions, so the rows-only check sees a shifted
+    # distribution instead of one opaque total
+    return (
+        hits.groupBy(B.h3_to_parent("cell", 3).alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("cell").alias("n_cells"),
+        )
+        .orderBy("region")
     )
 
 
@@ -1031,10 +1055,23 @@ def geo_raster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_fake_features")
+_MM_FEATURES_ORACLE = """
+  SELECT * FROM (VALUES
+    ('audio', CAST(32 AS BIGINT), CAST(0.061309 AS DOUBLE)),
+    ('image', CAST(32 AS BIGINT), CAST(0.061309 AS DOUBLE)),
+    ('video', CAST(32 AS BIGINT), CAST(0.061309 AS DOUBLE))
+  ) AS t(kind, n_assets, avg_f0)
+  ORDER BY kind
+"""
+
+
+@register("mm_fake_features", oracle=_MM_FEATURES_ORACLE)
 def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: fake-decoder feature extraction over the
-    synthetic media table, aggregated per kind."""
+    synthetic media table, aggregated per kind. The deterministic
+    byte-histogram decoder IS the pinned ground truth (a VALUES
+    oracle, golden-style): the fixture ignores sf_dir, so the mapInPandas
+    batch plumbing is hash-checked instead of rows-only."""
     from h3ron_spark.pipeline import multimodal as MM
 
     media = MM.synthetic_media(spark, 96)
@@ -1087,9 +1124,13 @@ def geo_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells = _event_cells(spark, sf_dir, 6)
     hits = cells_within_distance(cells, -35.0, -135.0, 500.0, 6, "cell")
-    return hits.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("cell").alias("n_cells"),
+    return (
+        hits.groupBy(B.h3_to_parent("cell", 2).alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("cell").alias("n_cells"),
+        )
+        .orderBy("region")
     )
 
 

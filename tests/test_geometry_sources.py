@@ -86,10 +86,13 @@ def test_avg_area_table(spark):
     assert rows[15] < rows[0]
 
 
-def test_source_stubs_raise(spark):
-    with pytest.raises(NotImplementedError):
+def test_file_sources_error_on_missing_path(spark):
+    """The former import-gated stubs are now real built-in readers
+    (sources.osmpbf / sources.tiff); a missing file surfaces as a
+    normal I/O error, not NotImplementedError."""
+    with pytest.raises(FileNotFoundError):
         SRC.osm_ways_to_linestrings(spark, "/nope.osm.pbf")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(FileNotFoundError):
         SRC.raster_file_to_cells(spark, "/nope.tif")
 
 
