@@ -52,6 +52,12 @@ BENCH_QUERIES = [
     "graph_sssp_frontier",
 ]
 
+# The reference's own route_germany benchmark (BASELINE.md row 1) on
+# its committed 312k-edge graph file — included when the reference
+# checkout is present.
+if os.path.exists("/root/reference/data/graph-germany_r7_f64.bincode.lz"):
+    BENCH_QUERIES.append("golden_germany_route")
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

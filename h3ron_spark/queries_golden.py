@@ -713,3 +713,57 @@ def golden_osm_pbf_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append(agg)
     res = out[0].unionByName(out[1])
     return res.select("highway", "n_edges", "n_origins").orderBy("highway")
+
+
+# ---------------------------------------------------------------------
+# P14 + P5: the reference's own Germany routing benchmark
+# ---------------------------------------------------------------------
+
+_GERMANY_GRAPH = "/root/reference/data/graph-germany_r7_f64.bincode.lz"
+
+_GERMANY_ORACLE = """
+  SELECT * FROM (VALUES
+    ('871f14c2dffffff', CAST(1160.0 AS DOUBLE), CAST(363 AS INT)),
+    ('871f0158cffffff', CAST(1330.0 AS DOUBLE), CAST(421 AS INT))
+  ) AS t(dest_hex, cost, n_cells)
+  ORDER BY dest_hex
+"""
+
+
+@register("golden_germany_route", oracle=_GERMANY_ORACLE)
+def golden_germany_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's route_germany benchmark (route_germany.rs:27-57)
+    end-to-end on the reference's own committed graph file: decode
+    `graph-germany_r7_f64.bincode.lz` (LZ4 frame + bincode,
+    sources.refgraph), route Wangen im Allgäu -> {Emden, Stralsund}
+    with the broadcast Dijkstra, return (destination, cost, path cell
+    count). The bench asserts exactly two paths exist; costs/lengths
+    are pinned as the engine's deterministic outputs on the committed
+    input."""
+    import math
+
+    from h3ron_spark.graph.algorithms import shortest_path_many_to_many
+    from h3ron_spark.h3core import index as ix
+    from h3ron_spark.sources.refgraph import reference_graph_to_edges
+
+    edges = reference_graph_to_edges(spark, _GERMANY_GRAPH)
+    origin = ix.latlng_to_cell(
+        math.radians(47.68708804564653), math.radians(9.834909439086914), 7
+    )
+    dests = [
+        ix.latlng_to_cell(
+            math.radians(53.3689915114596), math.radians(7.20600128173828), 7
+        ),
+        ix.latlng_to_cell(
+            math.radians(54.3153216473314), math.radians(13.092269897460938), 7
+        ),
+    ]
+    paths = shortest_path_many_to_many(edges, [origin], dests)
+    return (
+        paths.select(
+            B.h3_to_string("destination").alias("dest_hex"),
+            F.col("cost").cast("double").alias("cost"),
+            F.size("path_cells").alias("n_cells"),
+        )
+        .orderBy("dest_hex")
+    )
