@@ -1379,3 +1379,83 @@ def graph_sssp_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cells"))
         .orderBy("weight")
     )
+
+
+_STREAM_DEDUP_ORACLE = """
+  SELECT md5(text) AS content_hash
+  FROM documents WHERE doc_id < 200
+  ORDER BY content_hash
+"""
+
+
+@register("stream_dedup_exact", oracle=_STREAM_DEDUP_ORACLE)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup driven end-to-end
+    (dropDuplicatesWithinWatermark on the content hash): 400 rows
+    where each of 200 texts appears twice, split across two
+    micro-batch files so every duplicate pair CROSSES the batch
+    boundary — only watermark-scoped dedup state suppresses the
+    second copy. The oracle is the equivalent batch DISTINCT; the
+    surviving hash set is identical whichever copy wins, so the check
+    is order-robust."""
+    import shutil
+    import tempfile
+
+    from h3ron_spark import streaming as ST
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # copy 0 (doc_id) and copy 1 (doc_id+200) share the text
+    src = (
+        docs.select(
+            F.col("doc_id"),
+            F.col("doc_id").cast("timestamp").alias("ts"),
+            F.md5("text").alias("content_hash"),
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 200).alias("doc_id"),
+                (F.col("doc_id") + 200).cast("timestamp").alias("ts"),
+                F.md5("text").alias("content_hash"),
+            )
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="h3ron_streamdedup_")
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_conf, None)
+    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    try:
+        for i, part in enumerate(
+            (
+                src.filter(F.col("doc_id") < 200),
+                src.filter(F.col("doc_id") >= 200),
+            )
+        ):
+            part.coalesce(1).write.parquet(f"{workdir}/in/b{i}.parquet")
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, ts timestamp, content_hash string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{workdir}/in/*")
+        )
+        global _STREAM_SEQ
+        _STREAM_SEQ += 1
+        sink = f"h3ron_streamdedup_{_STREAM_SEQ}"
+        q = (
+            ST.dedup_stream(
+                stream, ["content_hash"], ts_col="ts", watermark="10 minutes"
+            )
+            .select("content_hash")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if old_parts is not None:
+            spark.conf.set(shuffle_conf, old_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.table(sink).select("content_hash").orderBy("content_hash")

@@ -68,3 +68,21 @@ from h3ron_spark.streaming.stateful import (  # noqa: E402,F401
     TRANSITIONS_SCHEMA,
     cell_transitions,
 )
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication (training-pipeline op): keep the
+    first arrival per key within the watermark horizon.
+    ``dropDuplicatesWithinWatermark`` bounds state by event time — the
+    100 TB-stream shape, where an unbounded dropDuplicates would
+    accumulate every key ever seen. Keys are usually content hashes
+    (``F.md5(text)``), so late exact copies inside the horizon are
+    suppressed and state expires with the watermark."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

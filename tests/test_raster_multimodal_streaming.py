@@ -246,3 +246,47 @@ def test_resize_media_fake(spark):
 
     with _pytest.raises(Exception):
         resize_media(media, 8, 4, fake=False).collect()
+
+
+def test_streaming_dedup_cross_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark suppresses an exact copy arriving
+    in a LATER micro-batch (state crosses the batch boundary), while
+    distinct keys all survive."""
+    import pyspark.sql.functions as F
+
+    from h3ron_spark import streaming as ST
+
+    rows1 = [(i, i, f"text-{i}") for i in range(20)]
+    rows2 = [(i + 20, i + 20, f"text-{i % 10}") for i in range(20)]
+    # second file: ids 20..39, texts 0..9 (all dups) + 10..19 dup too
+    df1 = spark.createDataFrame(rows1, "doc_id long, t long, text string")
+    df2 = spark.createDataFrame(rows2, "doc_id long, t long, text string")
+    for i, df in enumerate((df1, df2)):
+        df.select(
+            "doc_id",
+            F.col("t").cast("timestamp").alias("ts"),
+            F.md5("text").alias("content_hash"),
+        ).coalesce(1).write.parquet(f"{tmp_path}/in/b{i}.parquet")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, ts timestamp, content_hash string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    q = (
+        ST.dedup_stream(stream, ["content_hash"], watermark="1 hour")
+        .select("content_hash")
+        .writeStream.format("memory")
+        .queryName("dedup_sink_t")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["content_hash"] for r in spark.table("dedup_sink_t").collect()}
+    import hashlib
+
+    exp = {hashlib.md5(f"text-{i}".encode()).hexdigest() for i in range(20)}
+    assert got == exp
