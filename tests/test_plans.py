@@ -121,3 +121,61 @@ def test_parent_partition_layout_prunes_files(spark, tmp_path):
     plan = got._jdf.queryExecution().explainString(jmode)
     pc = parent_col_name(3)
     assert "PartitionFilters" in plan and pc in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_lsh_bucketing_is_arrow_not_rowwise(spark):
+    """The banded-LSH bucket computation must be the Arrow matmul
+    kernel (one vectorized ArrowEvalPython), never a row-at-a-time
+    BatchEvalPython, and never a nest of per-plane aggregate lambdas
+    (which would show as many HigherOrderFunction evals)."""
+    plan = plan_of(spark, "ann_lsh_topk")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_refgraph_read_is_pure_columnar(spark):
+    """The cached reference-graph table must read as a plain parquet
+    scan with no Python in the plan (destinations were materialized
+    at decode time)."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/reference/data/graph-germany_r7_f64.bincode.lz"
+    if not os.path.exists(path):
+        _pytest.skip("reference data not available")
+    from h3ron_spark.sources.refgraph import reference_graph_to_edges
+
+    df = reference_graph_to_edges(spark, path)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_sssp_round_broadcasts_frontier_not_edges(spark):
+    """One frontier-relaxation round must broadcast the FRONTIER side
+    of the join; the edge table must not move through a shuffle
+    exchange for the join."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    edges = torus_grid_graph(spark, 20).select(
+        F.col("origin").alias("_u"),
+        F.col("destination").alias("_v"),
+        F.col("weight").alias("_w"),
+    )
+    frontier = spark.createDataFrame(
+        [(0, 0, 0.0)], "origin long, cell long, weight double"
+    )
+    relaxed = F.broadcast(frontier).join(edges, frontier.cell == edges._u)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = relaxed._jdf.queryExecution().explainString(jmode)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
