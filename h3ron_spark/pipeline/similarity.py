@@ -495,3 +495,55 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the
+    corpus with the IVF coarse quantizer (Arrow-kernel assignment, one
+    map-side projection), then generate candidate pairs ONLY within a
+    cluster and keep exact cosine >= threshold.
+
+    Scale shape: like the LSH blocking, never an all-pairs join — the
+    equi-join key is the cluster id, whose cardinality is the model's
+    ``n_lists`` knob (set ~corpus/10k at 100 TB via a trained
+    quantizer); within-cluster membership is the semantic blocking
+    SemDeDup relies on. Output (id_a, id_b, cosine, list_id) with
+    id_a < id_b."""
+    if centroids is None:
+        centroids = ivf_centroid_rows(corpus, n_lists, id_col, vec_col)
+    assign1 = ivf_best_lists_arrow(centroids, 1)
+    side = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+        F.element_at(assign1(vec_col), 1).alias("list_id"),
+    )
+    a = side.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"),
+        "list_id",
+    )
+    b = side.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"),
+        "list_id",
+    )
+    return (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine", "list_id")
+    )

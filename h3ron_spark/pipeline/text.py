@@ -119,3 +119,49 @@ def bpe_ish_tokens(text) -> Column:
 
 def bpe_ish_token_count(text) -> Column:
     return F.size(bpe_ish_tokens(text))
+
+
+def top_token_fraction(text) -> Column:
+    """Gopher-style repetition signal: the share of tokens taken by
+    the single most frequent token (high => degenerate repetition).
+    Pure higher-order SQL (O(n * distinct) per doc — documents are
+    short; the 100 TB cost model is rows, not per-row length)."""
+    t = tokens(text)
+    d = F.array_distinct(t)
+    counts = F.transform(
+        d, lambda x: F.size(F.filter(t, lambda y: y == x))
+    )
+    return F.round(
+        F.array_max(counts).cast("double") / F.size(t), 4
+    )
+
+
+def top_bigram_fraction(text) -> Column:
+    """Share of bigrams taken by the most frequent bigram (the
+    Gopher duplicate-2-gram family). NULL-free for >= 2 tokens; 0.0
+    for shorter docs."""
+    t = tokens(text)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    d = F.array_distinct(grams)
+    counts = F.transform(
+        d, lambda x: F.size(F.filter(grams, lambda y: y == x))
+    )
+    return F.when(n < 2, F.lit(0.0)).otherwise(
+        F.round(F.array_max(counts).cast("double") / (n - 1), 4)
+    )
+
+
+def repetition_flags(
+    text,
+    max_top_token_fraction: float = 0.2,
+    max_top_bigram_fraction: float = 0.18,
+) -> Column:
+    """True when the document passes the repetition gates (the
+    keep-side of a Gopher-style filter)."""
+    return (top_token_fraction(text) <= max_top_token_fraction) & (
+        top_bigram_fraction(text) <= max_top_bigram_fraction
+    )

@@ -1459,3 +1459,108 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(shuffle_conf, old_parts)
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.table(sink).select("content_hash").orderBy("content_hash")
+
+
+_REPETITION_ORACLE = """
+  WITH t AS (
+    SELECT doc_id, source,
+           string_split_regex(trim(text), '\\s+') AS toks
+    FROM documents
+  ), s AS (
+    SELECT doc_id, source, toks, len(toks) AS n,
+           round(list_max(list_transform(list_distinct(toks),
+                 x -> len(list_filter(toks, y -> y = x))))::DOUBLE
+                 / len(toks), 4) AS top_tok,
+           CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+             round(list_max(list_transform(
+                 list_distinct(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1])),
+                 x -> len(list_filter(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1]), y -> y = x))))::DOUBLE
+                 / (len(toks) - 1), 4)
+           END AS top_bg
+    FROM t
+  )
+  SELECT source,
+         count(*) AS n_docs,
+         round(avg(top_tok), 4) AS avg_top_token_frac,
+         round(avg(top_bg), 4) AS avg_top_bigram_frac,
+         CAST(sum(CASE WHEN top_tok <= 0.2 AND top_bg <= 0.18
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM s GROUP BY source ORDER BY source
+"""
+
+
+@register("text_repetition_filter", oracle=_REPETITION_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (training-pipeline op): per-doc
+    top-token and top-bigram fractions as pure higher-order SQL
+    expressions, aggregated per source with the pass count at the
+    documented thresholds. The oracle replicates the identical list
+    comprehensions in DuckDB."""
+    from h3ron_spark.pipeline import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        TX.top_token_fraction("text").alias("top_tok"),
+        TX.top_bigram_fraction("text").alias("top_bg"),
+        TX.repetition_flags("text").alias("ok"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("top_tok"), 4).alias("avg_top_token_frac"),
+            F.round(F.avg("top_bg"), 4).alias("avg_top_bigram_frac"),
+            F.sum(F.col("ok").cast("long")).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+_SEMANTIC_THRESHOLD = 0.3
+
+_SEMDEDUP_ORACLE = f"""
+  WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  ), cent AS (
+    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_LISTS}
+  ), sims AS (
+    SELECT e.vec_id, e.v, c.cid,
+           {_COSINE.format(a="e.v", b="c.cv")} AS sim
+    FROM e CROSS JOIN cent c
+  ), assigned AS (
+    SELECT vec_id, v, cid AS list_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid ASC) AS rn
+      FROM sims) WHERE rn = 1
+  ), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COSINE.format(a="a.v", b="b.v")} AS cosine,
+           a.list_id
+    FROM assigned a JOIN assigned b USING (list_id)
+    WHERE a.vec_id < b.vec_id
+  )
+  SELECT id_a, id_b, cosine, list_id
+  FROM pairs WHERE cosine >= {_SEMANTIC_THRESHOLD}
+"""
+
+
+@register("dedup_semantic_ivf", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: IVF coarse-quantizer
+    clustering (Arrow-kernel assignment), candidate pairs only within
+    a cluster, exact cosine at the threshold. The oracle replicates
+    the identical quantizer, assignment tie-break, and blocking in
+    SQL."""
+    par = spark.sparkContext.defaultParallelism
+    emb = load(spark, sf_dir, "embeddings").repartition(par)
+    ckey = (_session_key(spark), sf_dir)
+    cents = _IVF_CENT_CACHE.get(ckey)
+    if cents is None:
+        cents = SIM.ivf_centroid_rows(emb, _IVF_LISTS)
+        _IVF_CENT_CACHE[ckey] = cents
+    return SIM.semantic_dedup_pairs(
+        emb, _SEMANTIC_THRESHOLD, n_lists=_IVF_LISTS, centroids=cents
+    )

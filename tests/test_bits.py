@@ -193,3 +193,33 @@ def test_bpe_ish_tokens_match_duckdb(spark):
             [text],
         ).fetchone()[0]
         assert toks == exp and n == len(exp)
+
+
+def test_repetition_fractions_discriminate(spark):
+    """Gopher-style gates: a degenerate repeated-token doc and a
+    repeated-bigram doc FAIL; a diverse doc passes. (The synthetic
+    corpus is diverse, so this is the discriminating fixture.)"""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.pipeline import text as TX
+
+    rows = [
+        (1, "spam " * 50),                      # one token repeated
+        (2, "tick tock " * 30),                 # one bigram repeated
+        (3, " ".join(f"w{i}" for i in range(60))),  # fully diverse
+        (4, "solo"),                            # 1 token: bigram frac 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            TX.top_token_fraction("text").alias("tt"),
+            TX.top_bigram_fraction("text").alias("tb"),
+            TX.repetition_flags("text").alias("ok"),
+        ).collect()
+    }
+    assert out[1]["tt"] == 1.0 and not out[1]["ok"]
+    assert out[2]["tb"] > 0.49 and not out[2]["ok"]
+    assert out[3]["tt"] < 0.05 and out[3]["tb"] == 0.0169 and out[3]["ok"]
+    assert out[4]["tt"] == 1.0 and out[4]["tb"] == 0.0 and not out[4]["ok"]

@@ -119,3 +119,42 @@ def test_ivf_arrow_assignment_matches_expression(spark, emb):
     ).toPandas()
     assert assigned.list_id.notna().all()
     assert assigned.list_id.nunique() > 50
+
+
+def test_semantic_dedup_pairs_blocking_and_threshold(spark):
+    """SemDeDup blocking: pairs only form within a cluster, cosine is
+    exact, and a vector pair straddling two clusters is NOT emitted
+    even when very similar (the documented blocking approximation)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.pipeline import similarity as SIM
+
+    rng = np.random.default_rng(9)
+    # two well-separated cluster directions + near-dup pairs inside
+    c0 = rng.normal(0, 1, 16)
+    c1 = rng.normal(0, 1, 16)
+    c1 -= c1 @ c0 / (c0 @ c0) * c0  # orthogonalize
+    rows = []
+    for i in range(8):
+        base = c0 if i % 2 == 0 else c1
+        v = base + rng.normal(0, 0.05, 16)
+        rows.append((i, [float(x) for x in v]))
+    # 8,9: an exact near-dup pair in cluster 0
+    v = c0 + rng.normal(0, 0.01, 16)
+    rows.append((8, [float(x) for x in v]))
+    rows.append((9, [float(x) for x in v + 1e-4]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, rows[0][1]), (1, rows[1][1])]
+    out = SIM.semantic_dedup_pairs(
+        df, 0.99, n_lists=2, centroids=cents
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (8, 9) in got
+    for ia, ib in got:
+        # no cross-cluster pair: members of c0 have even parity ids
+        # (plus 8/9), members of c1 odd parity (minus 8/9)
+        side = lambda t: 0 if (t in (8, 9) or t % 2 == 0) else 1
+        assert side(ia) == side(ib)
+    for r in out:
+        assert r["cosine"] >= 0.99
