@@ -1564,3 +1564,46 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup_pairs(
         emb, _SEMANTIC_THRESHOLD, n_lists=_IVF_LISTS, centroids=cents
     )
+
+
+_MM_RESIZE_ORACLE = """
+  SELECT * FROM (VALUES
+    ('audio', CAST(32 AS BIGINT), CAST(64 AS INT), CAST(95 AS INT),
+     '65d43e67899a517bad689cfc17aad9fb'),
+    ('image', CAST(32 AS BIGINT), CAST(384 AS INT), CAST(384 AS INT),
+     'd036b2368eb6ea16a61bf3ba975c492c'),
+    ('video', CAST(32 AS BIGINT), CAST(384 AS INT), CAST(384 AS INT),
+     '05213d9cdc9cf40008cb520ebf91b732')
+  ) AS t(kind, n_assets, min_bytes, max_bytes, payload_digest)
+  ORDER BY kind
+"""
+
+
+@register("mm_resize_plumbing", oracle=_MM_RESIZE_ORACLE)
+def mm_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: deterministic fake resampler over
+    the synthetic media table; per kind, count resized assets, the
+    resized payload length (w*h for image/video, untouched for
+    audio), and an md5 checksum of the concatenated payload hashes.
+    Oracle pinned as VALUES below (fixture ignores sf_dir)."""
+    from h3ron_spark.pipeline import multimodal as MM
+
+    media = MM.synthetic_media(spark, 96)
+    resized = MM.resize_media(media, 24, 16, fake=True)
+    per = resized.select(
+        "kind",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("h"),
+    )
+    return (
+        per.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_list("h")))).alias(
+                "payload_digest"
+            ),
+        )
+        .orderBy("kind")
+    )

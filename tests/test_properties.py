@@ -89,3 +89,115 @@ def test_vectorized_validity_matches_scalar(cell):
     got = V.is_valid_cell_np(arr).tolist()
     exp = [C.is_valid_cell(int(x)) for x in arr]
     assert got == exp
+
+
+# ------------------------------------------------- file-format roundtrips
+
+
+@given(
+    data=st.data(),
+    dtype=st.sampled_from(["u1", "u2", "i2", "f8"]),
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+)
+@settings(max_examples=25, deadline=None)
+def test_geotiff_roundtrip_property(data, dtype, h, w):
+    """write_geotiff_uncompressed -> read_geotiff is the identity on
+    pixels/dtype/transform for every supported dtype and shape."""
+    import os
+    import tempfile
+
+    from h3ron_spark.raster import Transform
+    from h3ron_spark.sources.tiff import (
+        read_geotiff,
+        write_geotiff_uncompressed,
+    )
+
+    dt = np.dtype(dtype)
+    if dt.kind == "f":
+        band = data.draw(
+            st.lists(
+                st.floats(-1e6, 1e6, allow_nan=False),
+                min_size=h * w,
+                max_size=h * w,
+            )
+        )
+        arr = np.array(band, dtype=dt).reshape(h, w)
+    else:
+        info = np.iinfo(dt)
+        band = data.draw(
+            st.lists(
+                st.integers(int(info.min), int(info.max)),
+                min_size=h * w,
+                max_size=h * w,
+            )
+        )
+        arr = np.array(band, dtype=dt).reshape(h, w)
+    tr = Transform(0.25, 0.0, 0.0, -0.5, -10.0, 20.0)
+    fd, path = tempfile.mkstemp(suffix=".tiff")
+    os.close(fd)
+    try:
+        write_geotiff_uncompressed(path, arr, tr)
+        g = read_geotiff(path)
+        assert g.band.dtype == dt
+        assert (g.band == arr).all()
+        assert abs(g.transform.a - 0.25) < 1e-12
+        assert abs(g.transform.e + 0.5) < 1e-12
+    finally:
+        os.unlink(path)
+
+
+@given(data=st.data())
+@settings(max_examples=25, deadline=None)
+def test_osmpbf_roundtrip_property(data):
+    """write_osm_pbf -> parse is the identity on ids/refs/tags and
+    coordinates to the 100-nanodegree PBF granularity."""
+    import os
+    import tempfile
+
+    from h3ron_spark.sources.osmpbf import (
+        _read_blob,
+        parse_primitive_block,
+        scan_blobs,
+        write_osm_pbf,
+    )
+
+    ids = data.draw(
+        st.lists(
+            st.integers(0, 2**40), min_size=1, max_size=12, unique=True
+        )
+    )
+    nodes = []
+    for nid in ids:
+        lat = data.draw(st.floats(-85, 85))
+        lng = data.draw(st.floats(-180, 180))
+        nodes.append((nid, lat, lng))
+    n_ways = data.draw(st.integers(0, 3))
+    ways = []
+    for wi in range(n_ways):
+        refs = data.draw(
+            st.lists(st.sampled_from(ids), min_size=1, max_size=6)
+        )
+        tags = data.draw(
+            st.dictionaries(
+                st.text(
+                    alphabet="abcdef_", min_size=1, max_size=6
+                ),
+                st.text(alphabet="xyz123", min_size=0, max_size=6),
+                max_size=3,
+            )
+        )
+        ways.append((1000 + wi, refs, tags))
+    fd, path = tempfile.mkstemp(suffix=".osm.pbf")
+    os.close(fd)
+    try:
+        write_osm_pbf(path, nodes, ways)
+        blobs = scan_blobs(path)
+        blk = parse_primitive_block(_read_blob(path, blobs[1][1], blobs[1][2]))
+        assert [n[0] for n in blk["nodes"]] == [n[0] for n in nodes]
+        for (nid, lat, lng), (gid, glat, glng) in zip(nodes, blk["nodes"]):
+            assert abs(lat - glat) < 1e-7
+            assert abs(lng - glng) < 1e-7
+        assert [(w[0], w[1], w[2]) for w in blk["ways"]] == ways
+    finally:
+        os.unlink(path)
