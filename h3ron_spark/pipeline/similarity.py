@@ -547,3 +547,54 @@ def semantic_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine", "list_id")
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init = the ``k`` lowest-id vectors (the untrained quantizer);
+    each iteration assigns every vector to its nearest centroid by
+    6-dp-rounded cosine (ties to the smaller cid — the exact
+    ``ivf_best_lists_arrow`` semantics) and recomputes centroids as
+    the per-dimension mean, rounded to 6 dp so the trained model is
+    bit-reproducible across engines (the DuckDB oracle unrolls the
+    same iterations). Empty clusters keep their previous centroid.
+
+    Scale shape: assignment is the Arrow matmul kernel (map-side);
+    the mean is a (list_id, dim) partial-agg'd groupBy; only the
+    k x dim model ever reaches the driver — Lloyd's on 100 TB is
+    n_iter linear scans."""
+    if centroids is None:
+        centroids = ivf_centroid_rows(corpus, k, id_col, vec_col)
+    cents = list(centroids)
+    for _ in range(n_iter):
+        assign1 = ivf_best_lists_arrow(cents, 1)
+        assigned = corpus.select(
+            F.element_at(assign1(vec_col), 1).alias("list_id"),
+            F.posexplode(vec_col).alias("pos", "val"),
+        )
+        means = (
+            assigned.groupBy("list_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "list_id",
+                F.transform("pm", lambda s: s["m"]).alias("cv"),
+            )
+            .collect()
+        )
+        new = {int(r["list_id"]): [float(x) for x in r["cv"]] for r in means}
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+    return cents

@@ -1607,3 +1607,89 @@ def mm_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+_KMEANS_ITERS = 3
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's iterations as chained CTEs — an INDEPENDENT
+    DuckDB recomputation of the trained quantizer (assignment by
+    6-dp-rounded cosine with smaller-cid ties, per-dimension means
+    rounded to 6 dp, empty clusters keeping the previous centroid),
+    followed by the IVF probe/rerank on the trained model."""
+    cos = _COSINE
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f", c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_LISTS})",
+    ]
+    prev = "c0"
+    for it in range(1, _KMEANS_ITERS + 1):
+        a, cn = f"a{it}", f"c{it}"
+        parts.append(f"""
+  , {a} AS (
+    SELECT vec_id, v, cid AS list_id FROM (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid ASC) AS rn
+      FROM e CROSS JOIN {prev} c) WHERE rn = 1
+  ), {cn}_new AS (
+    SELECT list_id AS cid, list(m ORDER BY pos) AS cv FROM (
+      SELECT a.list_id, t.i AS pos, round(avg(a.v[t.i]), 6) AS m
+      FROM {a} a, range(1, {_DIM} + 1) t(i)
+      GROUP BY a.list_id, t.i)
+    GROUP BY list_id
+  ), {cn} AS (
+    SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN {cn}_new n ON n.cid = p.cid
+  )""")
+        prev = cn
+    parts.append(f"""
+  , assigned AS (
+    SELECT vec_id, v, cid AS list_id FROM (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid ASC) AS rn
+      FROM e CROSS JOIN {prev} c) WHERE rn = 1
+  ), probes AS (
+    SELECT vec_id AS query_id, v AS qv, cid AS list_id FROM (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid ASC) AS rn
+      FROM e CROSS JOIN {prev} c WHERE e.vec_id % 50 = 0)
+    WHERE rn <= {_IVF_NPROBE}
+  ), scored AS (
+    SELECT p.query_id, a.vec_id,
+           {cos.format(a="p.qv", b="a.v")} AS cosine
+    FROM assigned a JOIN probes p USING (list_id)
+    WHERE a.vec_id <> p.query_id
+  )
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored) WHERE rank <= 5""")
+    return "".join(parts)
+
+
+@register("ann_ivf_trained_topk", oracle=_kmeans_oracle())
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k on a TRAINED coarse quantizer: deterministic Lloyd's
+    k-means (kmeans_fit — Arrow-kernel assignment, partial-agg'd
+    per-dimension means, 6-dp model rounding), then the standard
+    probe/rerank. The oracle independently recomputes the same
+    training by unrolling the iterations in SQL, so the iterative
+    algorithm itself is hash-checked, not just the final probe."""
+    par = spark.sparkContext.defaultParallelism
+    emb = load(spark, sf_dir, "embeddings").repartition(par)
+    ckey = (_session_key(spark), sf_dir, "kmeans", _KMEANS_ITERS)
+    cents = _IVF_CENT_CACHE.get(ckey)
+    if cents is None:
+        cents = SIM.kmeans_fit(emb, _IVF_LISTS, n_iter=_KMEANS_ITERS)
+        _IVF_CENT_CACHE[ckey] = cents
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(
+        emb, queries, n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE, k=5,
+        centroids=cents,
+    )

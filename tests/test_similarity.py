@@ -158,3 +158,34 @@ def test_semantic_dedup_pairs_blocking_and_threshold(spark):
         assert side(ia) == side(ib)
     for r in out:
         assert r["cosine"] >= 0.99
+
+
+def test_kmeans_fit_trains_and_improves(spark):
+    """Lloyd's iterations move centroids off the lowest-id init and
+    do not increase mean distance-to-centroid (cosine inertia)."""
+    import numpy as np
+
+    from h3ron_spark.pipeline import similarity as SIM
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(0, 1, (4, 16))
+    rows = []
+    for i in range(160):
+        v = centers[i % 4] + rng.normal(0, 0.15, 16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def inertia(cents):
+        C = np.array([cv for _, cv in cents])
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        M = np.array([r[1] for r in rows])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return float((1.0 - (Mn @ Cn.T).max(axis=1)).mean())
+
+    init = SIM.ivf_centroid_rows(df, 4)
+    trained = SIM.kmeans_fit(df, 4, n_iter=3)
+    assert [cid for cid, _ in trained] == [cid for cid, _ in init]
+    assert any(
+        tuple(a[1]) != tuple(b[1]) for a, b in zip(init, trained)
+    )
+    assert inertia(trained) <= inertia(init) + 1e-9
