@@ -121,37 +121,50 @@ def bpe_ish_token_count(text) -> Column:
     return F.size(bpe_ish_tokens(text))
 
 
+def _max_equal_run(arr) -> Column:
+    """Count of the most frequent element = longest equal run in the
+    SORTED array — ONE aggregate pass (O(n)), not the O(n * distinct)
+    count-per-distinct nest (which pays interpreted-lambda overhead
+    per element pair and was ~100x slower)."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(" <init>").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def top_token_fraction(text) -> Column:
     """Gopher-style repetition signal: the share of tokens taken by
-    the single most frequent token (high => degenerate repetition).
-    Pure higher-order SQL (O(n * distinct) per doc — documents are
-    short; the 100 TB cost model is rows, not per-row length)."""
+    the single most frequent token (high => degenerate repetition)."""
     t = tokens(text)
-    d = F.array_distinct(t)
-    counts = F.transform(
-        d, lambda x: F.size(F.filter(t, lambda y: y == x))
-    )
-    return F.round(
-        F.array_max(counts).cast("double") / F.size(t), 4
-    )
+    return F.round(_max_equal_run(t).cast("double") / F.size(t), 4)
 
 
 def top_bigram_fraction(text) -> Column:
     """Share of bigrams taken by the most frequent bigram (the
-    Gopher duplicate-2-gram family). NULL-free for >= 2 tokens; 0.0
-    for shorter docs."""
+    Gopher duplicate-2-gram family). 0.0 for docs under 2 tokens."""
     t = tokens(text)
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
     )
-    d = F.array_distinct(grams)
-    counts = F.transform(
-        d, lambda x: F.size(F.filter(grams, lambda y: y == x))
-    )
     return F.when(n < 2, F.lit(0.0)).otherwise(
-        F.round(F.array_max(counts).cast("double") / (n - 1), 4)
+        F.round(_max_equal_run(grams).cast("double") / (n - 1), 4)
     )
 
 

@@ -1500,12 +1500,14 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     comprehensions in DuckDB."""
     from h3ron_spark.pipeline import text as TX
 
-    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents").repartition(par)
     per = docs.select(
         "source",
         TX.top_token_fraction("text").alias("top_tok"),
         TX.top_bigram_fraction("text").alias("top_bg"),
-        TX.repetition_flags("text").alias("ok"),
+    ).withColumn(
+        "ok", (F.col("top_tok") <= 0.2) & (F.col("top_bg") <= 0.18)
     )
     return (
         per.groupBy("source")
