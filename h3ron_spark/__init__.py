@@ -13,3 +13,36 @@ inner equi-join, and spatial predicates are polyfill semi-joins.
 __version__ = "0.1.0"
 
 from h3ron_spark.session import get_spark  # noqa: F401
+
+# Curated lazy surface (PEP 562): `import h3ron_spark as hs` then
+# hs.bits / hs.geo / hs.graph / ... without paying import cost for
+# unused subsystems (and without import cycles).
+_LAZY_MODULES = {
+    "bits": "h3ron_spark.functions.bits",
+    "geo": "h3ron_spark.functions.geo",
+    "operators": "h3ron_spark.operators",
+    "graph": "h3ron_spark.graph",
+    "raster": "h3ron_spark.raster",
+    "sources": "h3ron_spark.sources",
+    "streaming": "h3ron_spark.streaming",
+    "dedup": "h3ron_spark.pipeline.dedup",
+    "similarity": "h3ron_spark.pipeline.similarity",
+    "text": "h3ron_spark.pipeline.text",
+    "multimodal": "h3ron_spark.pipeline.multimodal",
+    "h3core": "h3ron_spark.h3core",
+}
+
+
+def __getattr__(name: str):
+    target = _LAZY_MODULES.get(name)
+    if target is None:
+        raise AttributeError(f"module 'h3ron_spark' has no attribute {name!r}")
+    import importlib
+
+    mod = importlib.import_module(target)
+    globals()[name] = mod
+    return mod
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY_MODULES))
