@@ -1226,7 +1226,141 @@ def geo_covered_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(out.columns[0])
 
 
-@register("h3_localij_roundtrip")
+_LOCALIJ_DISK_ORACLE = """
+  SELECT * FROM (VALUES
+    ('872834004ffffff', CAST(-832 AS INT), CAST(-588 AS INT)),
+    ('872834006ffffff', CAST(-832 AS INT), CAST(-587 AS INT)),
+    ('872834010ffffff', CAST(-832 AS INT), CAST(-585 AS INT)),
+    ('872834012ffffff', CAST(-832 AS INT), CAST(-584 AS INT)),
+    ('872834014ffffff', CAST(-831 AS INT), CAST(-585 AS INT)),
+    ('872834015ffffff', CAST(-832 AS INT), CAST(-586 AS INT)),
+    ('872834016ffffff', CAST(-831 AS INT), CAST(-584 AS INT)),
+    ('872834020ffffff', CAST(-831 AS INT), CAST(-589 AS INT)),
+    ('872834022ffffff', CAST(-831 AS INT), CAST(-588 AS INT)),
+    ('872834023ffffff', CAST(-832 AS INT), CAST(-589 AS INT)),
+    ('872834024ffffff', CAST(-830 AS INT), CAST(-589 AS INT)),
+    ('872834026ffffff', CAST(-830 AS INT), CAST(-588 AS INT)),
+    ('872834030ffffff', CAST(-830 AS INT), CAST(-586 AS INT)),
+    ('872834031ffffff', CAST(-831 AS INT), CAST(-587 AS INT)),
+    ('872834032ffffff', CAST(-830 AS INT), CAST(-585 AS INT)),
+    ('872834033ffffff', CAST(-831 AS INT), CAST(-586 AS INT)),
+    ('872834034ffffff', CAST(-829 AS INT), CAST(-586 AS INT)),
+    ('872834035ffffff', CAST(-830 AS INT), CAST(-587 AS INT)),
+    ('872834036ffffff', CAST(-829 AS INT), CAST(-585 AS INT)),
+    ('8728340a0ffffff', CAST(-831 AS INT), CAST(-582 AS INT)),
+    ('8728340a1ffffff', CAST(-832 AS INT), CAST(-583 AS INT)),
+    ('8728340a4ffffff', CAST(-830 AS INT), CAST(-582 AS INT)),
+    ('8728340a5ffffff', CAST(-831 AS INT), CAST(-583 AS INT)),
+    ('8728340a6ffffff', CAST(-830 AS INT), CAST(-581 AS INT)),
+    ('872834100ffffff', CAST(-826 AS INT), CAST(-588 AS INT)),
+    ('872834101ffffff', CAST(-827 AS INT), CAST(-589 AS INT)),
+    ('872834102ffffff', CAST(-826 AS INT), CAST(-587 AS INT)),
+    ('872834103ffffff', CAST(-827 AS INT), CAST(-588 AS INT)),
+    ('872834104ffffff', CAST(-825 AS INT), CAST(-588 AS INT)),
+    ('872834105ffffff', CAST(-826 AS INT), CAST(-589 AS INT)),
+    ('872834106ffffff', CAST(-825 AS INT), CAST(-587 AS INT)),
+    ('87283410affffff', CAST(-829 AS INT), CAST(-589 AS INT)),
+    ('87283410effffff', CAST(-828 AS INT), CAST(-589 AS INT)),
+    ('872834110ffffff', CAST(-825 AS INT), CAST(-585 AS INT)),
+    ('872834111ffffff', CAST(-826 AS INT), CAST(-586 AS INT)),
+    ('872834112ffffff', CAST(-825 AS INT), CAST(-584 AS INT)),
+    ('872834113ffffff', CAST(-826 AS INT), CAST(-585 AS INT)),
+    ('872834114ffffff', CAST(-824 AS INT), CAST(-585 AS INT)),
+    ('872834115ffffff', CAST(-825 AS INT), CAST(-586 AS INT)),
+    ('872834116ffffff', CAST(-824 AS INT), CAST(-584 AS INT)),
+    ('872834118ffffff', CAST(-828 AS INT), CAST(-587 AS INT)),
+    ('872834119ffffff', CAST(-829 AS INT), CAST(-588 AS INT)),
+    ('87283411affffff', CAST(-828 AS INT), CAST(-586 AS INT)),
+    ('87283411bffffff', CAST(-829 AS INT), CAST(-587 AS INT)),
+    ('87283411cffffff', CAST(-827 AS INT), CAST(-587 AS INT)),
+    ('87283411dffffff', CAST(-828 AS INT), CAST(-588 AS INT)),
+    ('87283411effffff', CAST(-827 AS INT), CAST(-586 AS INT)),
+    ('872834130ffffff', CAST(-823 AS INT), CAST(-586 AS INT)),
+    ('872834131ffffff', CAST(-824 AS INT), CAST(-587 AS INT)),
+    ('872834132ffffff', CAST(-823 AS INT), CAST(-585 AS INT)),
+    ('872834133ffffff', CAST(-824 AS INT), CAST(-586 AS INT)),
+    ('872834136ffffff', CAST(-822 AS INT), CAST(-585 AS INT)),
+    ('872834180ffffff', CAST(-826 AS INT), CAST(-581 AS INT)),
+    ('872834181ffffff', CAST(-827 AS INT), CAST(-582 AS INT)),
+    ('872834182ffffff', CAST(-826 AS INT), CAST(-580 AS INT)),
+    ('872834183ffffff', CAST(-827 AS INT), CAST(-581 AS INT)),
+    ('872834184ffffff', CAST(-825 AS INT), CAST(-581 AS INT)),
+    ('872834185ffffff', CAST(-826 AS INT), CAST(-582 AS INT)),
+    ('872834186ffffff', CAST(-825 AS INT), CAST(-580 AS INT)),
+    ('872834188ffffff', CAST(-829 AS INT), CAST(-583 AS INT)),
+    ('872834189ffffff', CAST(-830 AS INT), CAST(-584 AS INT)),
+    ('87283418affffff', CAST(-829 AS INT), CAST(-582 AS INT)),
+    ('87283418bffffff', CAST(-830 AS INT), CAST(-583 AS INT)),
+    ('87283418cffffff', CAST(-828 AS INT), CAST(-583 AS INT)),
+    ('87283418dffffff', CAST(-829 AS INT), CAST(-584 AS INT)),
+    ('87283418effffff', CAST(-828 AS INT), CAST(-582 AS INT)),
+    ('872834190ffffff', CAST(-825 AS INT), CAST(-578 AS INT)),
+    ('872834191ffffff', CAST(-826 AS INT), CAST(-579 AS INT)),
+    ('872834192ffffff', CAST(-825 AS INT), CAST(-577 AS INT)),
+    ('872834193ffffff', CAST(-826 AS INT), CAST(-578 AS INT)),
+    ('872834194ffffff', CAST(-824 AS INT), CAST(-578 AS INT)),
+    ('872834195ffffff', CAST(-825 AS INT), CAST(-579 AS INT)),
+    ('872834196ffffff', CAST(-824 AS INT), CAST(-577 AS INT)),
+    ('872834198ffffff', CAST(-828 AS INT), CAST(-580 AS INT)),
+    ('872834199ffffff', CAST(-829 AS INT), CAST(-581 AS INT)),
+    ('87283419affffff', CAST(-828 AS INT), CAST(-579 AS INT)),
+    ('87283419bffffff', CAST(-829 AS INT), CAST(-580 AS INT)),
+    ('87283419cffffff', CAST(-827 AS INT), CAST(-580 AS INT)),
+    ('87283419dffffff', CAST(-828 AS INT), CAST(-581 AS INT)),
+    ('87283419effffff', CAST(-827 AS INT), CAST(-579 AS INT)),
+    ('8728341a0ffffff', CAST(-824 AS INT), CAST(-582 AS INT)),
+    ('8728341a1ffffff', CAST(-825 AS INT), CAST(-583 AS INT)),
+    ('8728341a2ffffff', CAST(-824 AS INT), CAST(-581 AS INT)),
+    ('8728341a3ffffff', CAST(-825 AS INT), CAST(-582 AS INT)),
+    ('8728341a4ffffff', CAST(-823 AS INT), CAST(-582 AS INT)),
+    ('8728341a5ffffff', CAST(-824 AS INT), CAST(-583 AS INT)),
+    ('8728341a6ffffff', CAST(-823 AS INT), CAST(-581 AS INT)),
+    ('8728341a8ffffff', CAST(-827 AS INT), CAST(-584 AS INT)),
+    ('8728341a9ffffff', CAST(-828 AS INT), CAST(-585 AS INT)),
+    ('8728341aaffffff', CAST(-827 AS INT), CAST(-583 AS INT)),
+    ('8728341abffffff', CAST(-828 AS INT), CAST(-584 AS INT)),
+    ('8728341acffffff', CAST(-826 AS INT), CAST(-584 AS INT)),
+    ('8728341adffffff', CAST(-827 AS INT), CAST(-585 AS INT)),
+    ('8728341aeffffff', CAST(-826 AS INT), CAST(-583 AS INT)),
+    ('8728341b0ffffff', CAST(-823 AS INT), CAST(-579 AS INT)),
+    ('8728341b1ffffff', CAST(-824 AS INT), CAST(-580 AS INT)),
+    ('8728341b2ffffff', CAST(-823 AS INT), CAST(-578 AS INT)),
+    ('8728341b3ffffff', CAST(-824 AS INT), CAST(-579 AS INT)),
+    ('8728341b4ffffff', CAST(-822 AS INT), CAST(-579 AS INT)),
+    ('8728341b5ffffff', CAST(-823 AS INT), CAST(-580 AS INT)),
+    ('8728341b6ffffff', CAST(-822 AS INT), CAST(-578 AS INT)),
+    ('87283456cffffff', CAST(-826 AS INT), CAST(-577 AS INT)),
+    ('87283456dffffff', CAST(-827 AS INT), CAST(-578 AS INT)),
+    ('872834c41ffffff', CAST(-820 AS INT), CAST(-582 AS INT)),
+    ('872834c43ffffff', CAST(-820 AS INT), CAST(-581 AS INT)),
+    ('872834c48ffffff', CAST(-822 AS INT), CAST(-583 AS INT)),
+    ('872834c49ffffff', CAST(-823 AS INT), CAST(-584 AS INT)),
+    ('872834c4affffff', CAST(-822 AS INT), CAST(-582 AS INT)),
+    ('872834c4bffffff', CAST(-823 AS INT), CAST(-583 AS INT)),
+    ('872834c4cffffff', CAST(-821 AS INT), CAST(-583 AS INT)),
+    ('872834c4dffffff', CAST(-822 AS INT), CAST(-584 AS INT)),
+    ('872834c4effffff', CAST(-821 AS INT), CAST(-582 AS INT)),
+    ('872834c58ffffff', CAST(-821 AS INT), CAST(-580 AS INT)),
+    ('872834c59ffffff', CAST(-822 AS INT), CAST(-581 AS INT)),
+    ('872834c5affffff', CAST(-821 AS INT), CAST(-579 AS INT)),
+    ('872834c5bffffff', CAST(-822 AS INT), CAST(-580 AS INT)),
+    ('872834c5cffffff', CAST(-820 AS INT), CAST(-580 AS INT)),
+    ('872834c5dffffff', CAST(-821 AS INT), CAST(-581 AS INT)),
+    ('872834c5effffff', CAST(-820 AS INT), CAST(-579 AS INT)),
+    ('872834c6affffff', CAST(-820 AS INT), CAST(-583 AS INT)),
+    ('872834c6bffffff', CAST(-821 AS INT), CAST(-584 AS INT)),
+    ('872834cc9ffffff', CAST(-823 AS INT), CAST(-577 AS INT)),
+    ('872834ccdffffff', CAST(-822 AS INT), CAST(-577 AS INT)),
+    ('872834ce8ffffff', CAST(-820 AS INT), CAST(-577 AS INT)),
+    ('872834ce9ffffff', CAST(-821 AS INT), CAST(-578 AS INT)),
+    ('872834cebffffff', CAST(-821 AS INT), CAST(-577 AS INT)),
+    ('872834cedffffff', CAST(-820 AS INT), CAST(-578 AS INT))
+  ) AS t(cell_hex, i, j)
+  ORDER BY cell_hex
+"""
+
+
+@register("h3_localij_roundtrip", oracle=_LOCALIJ_DISK_ORACLE)
 def h3_localij_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S25 local IJ roundtrip: cell -> (i, j) in a fixed origin's
     frame -> cell, proven lossless per row over a k=6 disk
@@ -1245,13 +1379,23 @@ def h3_localij_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = ij.select(
         "cell",
+        "ij",
         G.h3_local_ij_to_cell(
             F.col("origin"), F.col("ij.i"), F.col("ij.j")
         ).alias("back"),
     )
-    return back.agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.sum((F.col("back") == F.col("cell")).cast("int")).alias("n_roundtrip_ok"),
+    # per-cell rows with the (i, j) frame coordinates, roundtrip
+    # enforced in-query: the 127-row VALUES oracle pins every
+    # coordinate (fixture is deterministic; ground truth anchored by
+    # golden_localij's reference-committed pairs)
+    return (
+        back.filter(F.col("back") == F.col("cell"))
+        .select(
+            B.h3_to_string("cell").alias("cell_hex"),
+            F.col("ij.i").alias("i"),
+            F.col("ij.j").alias("j"),
+        )
+        .orderBy("cell_hex")
     )
 
 
