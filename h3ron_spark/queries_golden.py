@@ -33,7 +33,7 @@ _LINE_B = 0x851D9B1BFFFFFFF
 
 
 def _one_row(spark: SparkSession) -> DataFrame:
-    return local_df(spark, [(1,)], "one int").coalesce(1)
+    return local_df(spark, [(1,)], "one int")
 
 
 # ---------------------------------------------------------------------
@@ -58,7 +58,7 @@ def golden_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S19+S28: the six directed edges of 0x89283080ddbffff, formatted
     as hex strings, with their resolutions — the exact strings committed
     in h3ron/src/cell.rs:634-654 (can_retrieve_edges)."""
-    df = local_df(spark, [(_CELL,)], "cell long").coalesce(1)
+    df = local_df(spark, [(_CELL,)], "cell long")
     return (
         df.select(F.explode(G.h3_cell_to_directed_edges("cell")).alias("edge"))
         .select(
@@ -114,7 +114,7 @@ def golden_direction_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         [("cell6", 0x861EA54F7FFFFFF, 6), ("edge9", _EDGE, 9)],
         "owner string, idx long, res int",
-    ).coalesce(1)
+    )
     by_res = (
         seq.select(
             "owner",
@@ -125,7 +125,7 @@ def golden_direction_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c5 = local_df(
         spark, [(0x8518607BFFFFFFF,)], "cell long"
-    ).coalesce(1)
+    )
     singles = c5.select(
         F.explode(
             F.array(
@@ -198,7 +198,7 @@ def golden_cell_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         [(_CELL, _EDGE, 0x8A2A1072B59FFFF, _LINE_A, _LINE_B)],
         "cell long, edge long, far long, la long, lb long",
-    ).coalesce(1)
+    )
     ring1 = G.h3_grid_ring("cell", F.lit(1))
     ring3 = G.h3_grid_ring("cell", F.lit(3))
     disk22 = G.h3_grid_disk_distances_range("cell", F.lit(2), F.lit(2))
@@ -316,7 +316,7 @@ def golden_cell_api(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lb",
             F.posexplode(G.h3_grid_path("la", "lb")).alias("pos", "pc"),
         )
-        .coalesce(1)
+        
         .select(
             "la",
             "lb",
@@ -365,7 +365,7 @@ def golden_localij(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S25 (h3ron/src/localij.rs:106-128 test_local_ij): every disk-1
     cell of the canonical origin roundtrips through (to_localij,
     from_localij) and sits within one IJ unit of the origin."""
-    df = local_df(spark, [(_CELL,)], "origin long").coalesce(1)
+    df = local_df(spark, [(_CELL,)], "origin long")
     cells = df.select(
         "origin", F.explode(G.h3_grid_disk("origin", F.lit(1))).alias("cell")
     )
@@ -418,7 +418,7 @@ def golden_dissolve_donut(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         [(12.3, 23.3)],
         "lat double, lng double",
-    ).coalesce(1)
+    )
     cells = df.select(
         F.explode(
             G.h3_grid_ring(
@@ -451,7 +451,7 @@ def golden_smoothen_donut(spark: SparkSession, sf_dir: str) -> DataFrame:
     both drop below 10 coordinates."""
     from h3ron_spark.operators.dissolve import dissolve_ring_stats_df
 
-    df = local_df(spark, [(12.3, 23.3)], "lat double, lng double").coalesce(1)
+    df = local_df(spark, [(12.3, 23.3)], "lat double, lng double")
     cells = df.select(
         F.explode(
             G.h3_grid_ring(
@@ -554,7 +554,7 @@ def golden_clusters_disks(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         [("d1", 14.5, 12.2, 3), ("d2", 45.5, 42.2, 2)],
         "src_disk string, lat double, lng double, k int",
-    ).coalesce(1)
+    )
     cells = centers.select(
         "src_disk",
         F.explode(
