@@ -767,3 +767,103 @@ def golden_germany_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dest_hex")
     )
+
+
+# ---------------------------------------------------------------------
+# P7: same-origin-and-destination routing semantics
+# ---------------------------------------------------------------------
+
+_SELFLOOP_ORACLE = """
+  SELECT * FROM (VALUES
+    ('origin', CAST(0.0 AS DOUBLE), CAST(1 AS INT), CAST(0 AS INT)),
+    ('neighbor', CAST(5.0 AS DOUBLE), CAST(2 AS INT), CAST(1 AS INT))
+  ) AS t(which, cost, n_path_cells, n_path_edges)
+  ORDER BY which
+"""
+
+
+@register("golden_route_selfloop", oracle=_SELFLOOP_ORACLE)
+def golden_route_selfloop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortest_path.rs:428-464 (test_shortest_path_same_origin_and_
+    destination): a micro-graph of ONE directed edge (weight 5) from
+    the cell at lat 12.3 / lng 23.3, res 8; many-to-many to [origin,
+    destination] must yield exactly the empty zero-cost path to the
+    origin itself AND the one-edge cost-5 path to the neighbor —
+    the origins-always-allowed destination rule."""
+    import math
+
+    from h3ron_spark.graph.algorithms import shortest_path_many_to_many
+    from h3ron_spark.h3core import cells as CM
+    from h3ron_spark.h3core import index as ix
+
+    origin = ix.latlng_to_cell(
+        math.radians(12.3), math.radians(23.3), 8
+    )
+    edge = CM.origin_to_directed_edges(origin)[0]
+    destination = CM.directed_edge_to_cells(edge)[1]
+    edges = local_df(
+        spark,
+        [(edge, origin, destination, 5.0)],
+        "edge long, origin long, destination long, weight double",
+    )
+    paths = shortest_path_many_to_many(
+        edges, [origin], [origin, destination]
+    )
+    return (
+        paths.select(
+            F.when(F.col("destination") == origin, "origin")
+            .otherwise("neighbor")
+            .alias("which"),
+            F.col("cost").cast("double").alias("cost"),
+            F.size("path_cells").alias("n_path_cells"),
+            F.size("path_edges").alias("n_path_edges"),
+        )
+        .orderBy("which")
+    )
+
+
+# ---------------------------------------------------------------------
+# P11: nearest graph nodes — the reference's own two cases
+# ---------------------------------------------------------------------
+
+_NEAREST_ORACLE = """
+  SELECT * FROM (VALUES
+    ('all_in_set', CAST(1 AS BIGINT), CAST(0 AS INT)),
+    ('ring_window', CAST(2 AS BIGINT), CAST(2 AS INT))
+  ) AS t(label, n_nearest, min_k)
+  ORDER BY label
+"""
+
+
+@register("golden_nearest_nodes", oracle=_NEAREST_ORACLE)
+def golden_nearest_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearest_graph_nodes.rs:84-111: (a) with every disk(3) cell a
+    graph node, the nearest lookup finds exactly the query cell
+    itself (count 1, k 0); (b) with two nodes at k in {2,3} and two
+    at k in {4,5}, the nearest-within-8 finds exactly the two closer
+    ones (count 2, min k 2)."""
+    from h3ron_spark.graph.algorithms import nearest_graph_nodes
+    from h3ron_spark.h3core import cells as CM
+
+    cell = 0x89283080DDBFFFF
+    probe = local_df(spark, [(cell,)], "cell long")
+
+    all_nodes = local_df(
+        spark, [(c,) for c in CM.grid_disk(cell, 3)], "cell long"
+    )
+    a = nearest_graph_nodes(probe, all_nodes, 3).agg(
+        F.lit("all_in_set").alias("label"),
+        F.count(F.lit(1)).alias("n_nearest"),
+        F.min("k").alias("min_k"),
+    )
+
+    window = [c for c, _ in
+              [(c, k) for c, k in CM.grid_disk_distances(cell, 3, 2)][:2]]
+    window += [c for c, k in CM.grid_disk_distances(cell, 5, 4)[:2]]
+    ring_nodes = local_df(spark, [(c,) for c in window], "cell long")
+    b = nearest_graph_nodes(probe, ring_nodes, 8).agg(
+        F.lit("ring_window").alias("label"),
+        F.count(F.lit(1)).alias("n_nearest"),
+        F.min("k").alias("min_k"),
+    )
+    return a.unionByName(b).orderBy("label")
