@@ -1839,3 +1839,62 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE, k=5,
         centroids=cents,
     )
+
+
+_SUPPLIER_PART_ORACLE = """
+  SELECT p.p_brand,
+         p.p_type,
+         CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+         round(max(s.s_acctbal), 2) AS max_acctbal
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA' AND p.p_size <= 20
+  GROUP BY p.p_brand, p.p_type
+  HAVING count(*) >= 5
+  ORDER BY p_brand, p_type
+"""
+
+
+@register("rel_supplier_part_pricing", oracle=_SUPPLIER_PART_ORACLE)
+def rel_supplier_part_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join (SURVEY §2.7 join family at full width):
+    lineitem fact against part/supplier dims and the nation->region
+    snowflake, region + size filters pushed to the dimension scans,
+    grouped revenue with a HAVING floor. Catalyst broadcast-joins
+    every dimension; the fact table shuffles only for the final
+    aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            ).cast("double").alias("revenue"),
+            F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 5)
+        .drop("_n")
+        .orderBy("p_brand", "p_type")
+    )
