@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "rel_top_revenue_orders",
     "rel_nation_order_stats",
     "rel_event_sessions",
+    "rel_supplier_part_pricing",
     "h3_bits_accessors",
     "h3_parent_rollup",
     "h3_compact_dataframe",

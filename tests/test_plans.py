@@ -179,3 +179,16 @@ def test_sssp_round_broadcasts_frontier_not_edges(spark):
     plan = relaxed._jdf.queryExecution().explainString(jmode)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    """The five-table star join must broadcast every dimension (4
+    BroadcastHashJoins) and push the region/size filters to the
+    dimension scans — the fact table shuffles only for the final
+    aggregate."""
+    plan = plan_of(spark, "rel_supplier_part_pricing")
+    # formatted explain lists each node twice (tree + details)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "LessThanOrEqual(p_size,20)" in plan
