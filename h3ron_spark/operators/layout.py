@@ -68,3 +68,30 @@ def read_cells_in_region(
     pc = parent_col_name(parent_res)
     parents = [int(p) for p in region_parents]
     return spark.read.parquet(path).filter(F.col(pc).isin(parents))
+
+
+def write_bucketed_cells(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    cell_col: str = "cell",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a cell-keyed table BUCKETED (and sorted) by the cell id.
+    Two tables bucketed the same way join with NO shuffle exchange on
+    either side — the co-located join layout for uncompaction mapping
+    joins, graph adjacency, and repeated cell-keyed enrichment at
+    100 TB (every avoided exchange is a full-table network pass)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, cell_col)
+        .sortBy(cell_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed_cells(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed cell table (bucket metadata comes from the
+    catalog, so joins between same-bucketed tables plan shuffle-free)."""
+    return spark.table(table_name)

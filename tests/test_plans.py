@@ -192,3 +192,47 @@ def test_star_join_broadcasts_all_dimensions(spark):
     assert "SortMergeJoin" not in plan
     assert "EqualTo(r_name,ASIA)" in plan
     assert "LessThanOrEqual(p_size,20)" in plan
+
+
+def test_bucketed_cell_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed by cell the same way must SortMergeJoin
+    with ZERO shuffle exchanges (the co-located join layout)."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.operators.layout import (
+        read_bucketed_cells,
+        write_bucketed_cells,
+    )
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkt_t LOCATION '{tmp_path}/wh'"
+    )
+    try:
+        cells = spark.range(5000).select(
+            (F.col("id") + 599718752904445951).alias("cell"),
+            (F.col("id") % 7).alias("v1"),
+        )
+        other = spark.range(5000).select(
+            (F.col("id") + 599718752904445951).alias("cell"),
+            (F.col("id") % 11).alias("v2"),
+        )
+        write_bucketed_cells(cells, "bkt_t.a", 8)
+        write_bucketed_cells(other, "bkt_t.b", 8)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_bucketed_cells(spark, "bkt_t.a").join(
+                read_bucketed_cells(spark, "bkt_t.b"), "cell"
+            )
+            jmode = (
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            plan = j._jdf.queryExecution().explainString(jmode)
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            assert j.count() == 5000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt_t CASCADE")
