@@ -867,3 +867,100 @@ def golden_nearest_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
     )
     return a.unionByName(b).orderBy("label")
+
+
+# ---------------------------------------------------------------------
+# P2 NodeType algebra + P3 downsample — h3edge.rs committed tests
+# ---------------------------------------------------------------------
+
+_GRAPH_NODES_ORACLE = """
+  SELECT * FROM (VALUES
+    ('origin', CAST(1 AS INT)),
+    ('e0_dest', CAST(2 AS INT)),
+    ('e1_dest', CAST(3 AS INT)),
+    ('e2_dest', CAST(2 AS INT))
+  ) AS t(which, node_type)
+  ORDER BY which
+"""
+
+
+@register("golden_graph_nodes", oracle=_GRAPH_NODES_ORACLE)
+def golden_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h3edge.rs:302-334 (test_graph_nodes): a 3-edge micro-graph at
+    the (lat 12.3, lng 23.3) res-8 cell — origin is Origin(1), the
+    first edge's destination is Destination(2), the second edge's
+    destination (which itself originates the third edge) is
+    OriginAndDestination(3), and the third edge's destination is
+    Destination(2). Exactly 4 nodes."""
+    import math
+
+    from h3ron_spark.graph.build import graph_nodes
+    from h3ron_spark.h3core import cells as CM
+    from h3ron_spark.h3core import index as ix
+
+    origin = ix.latlng_to_cell(math.radians(12.3), math.radians(23.3), 8)
+    e = CM.origin_to_directed_edges(origin)
+    d0 = CM.directed_edge_to_cells(e[0])[1]
+    d1 = CM.directed_edge_to_cells(e[1])[1]
+    e2 = CM.origin_to_directed_edges(d1)[0]
+    d2 = CM.directed_edge_to_cells(e2)[1]
+    edges = local_df(
+        spark,
+        [
+            (e[0], origin, d0, 1.0),
+            (e[1], origin, d1, 1.0),
+            (e2, d1, d2, 1.0),
+        ],
+        "edge long, origin long, destination long, weight double",
+    )
+    nodes = graph_nodes(edges)
+    name = (
+        F.when(F.col("cell") == origin, "origin")
+        .when(F.col("cell") == d0, "e0_dest")
+        .when(F.col("cell") == d1, "e1_dest")
+        .otherwise("e2_dest")
+    )
+    return nodes.select(
+        name.alias("which"), F.col("node_type").cast("int")
+    ).orderBy("which")
+
+
+_DOWNSAMPLE_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(112 AS BIGINT), CAST(11 AS BIGINT),
+     CAST(20.0 AS DOUBLE))
+  ) AS t(n_full_edges, n_down_edges, min_weight)
+"""
+
+
+@register("golden_downsample", oracle=_DOWNSAMPLE_ORACLE)
+def golden_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h3edge.rs:280-299 (test_downsample): the res-8 trace of the
+    line (12.3N 23.3E) -> (12.2N 24.2E) (>100 cells, >50 edges,
+    weight 20) min-downsampled to res 5 has under 20 edges; the exact
+    engine counts are pinned."""
+    from h3ron_spark.graph.build import (
+        downsample_graph,
+        edge_graph_from_cell_pairs,
+    )
+    from h3ron_spark.h3core.regions import line_to_cells
+
+    cells = line_to_cells([(12.3, 23.3), (12.2, 24.2)], 8)
+    assert len(cells) > 100  # the reference's own bound
+    pairs = [
+        (a, b, 20.0) for a, b in zip(cells[:-1], cells[1:])
+    ]
+    edges = edge_graph_from_cell_pairs(
+        local_df(
+            spark, pairs, "origin long, destination long, weight double"
+        )
+    )
+    down = downsample_graph(edges, 5, "min")
+    n_full = edges.count()
+    assert n_full > 50
+    out = down.agg(
+        F.lit(n_full).alias("n_full_edges"),
+        F.count(F.lit(1)).alias("n_down_edges"),
+        F.min("weight").cast("double").alias("min_weight"),
+    )
+    return out
