@@ -70,6 +70,7 @@ def warm_python_workers(spark: SparkSession) -> None:
 
             derive.precompute()
             vectorized._luts()
+            vectorized._decode_tables()
             return x
 
         par = spark.sparkContext.defaultParallelism
