@@ -828,7 +828,17 @@ def geo_polyfill_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("geo_compact_events")
+_COMPACT_EVENTS_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(3 AS INT), CAST(1 AS BIGINT)),
+    (CAST(4 AS INT), CAST(14 AS BIGINT)),
+    (CAST(5 AS INT), CAST(59 AS BIGINT))
+  ) AS t(res, n_cells)
+  ORDER BY res
+"""
+
+
+@register("geo_compact_events", oracle=_COMPACT_EVENTS_ORACLE)
 def geo_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3 compact (BASELINE.md): two synthetic grid disks (the
     reference's fixture shape, algorithm/tests.rs:6-31) uncompacted to
@@ -1023,7 +1033,18 @@ def geo_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("align_cell", "n_cells")
 
 
-@register("geo_raster_cells")
+_RASTER_CELLS_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(1 AS BIGINT), CAST(4379 AS BIGINT)),
+    (CAST(2 AS BIGINT), CAST(4359 AS BIGINT)),
+    (CAST(3 AS BIGINT), CAST(4332 AS BIGINT)),
+    (CAST(4 AS BIGINT), CAST(4402 AS BIGINT))
+  ) AS t(value, n_compacted)
+  ORDER BY value
+"""
+
+
+@register("geo_raster_cells", oracle=_RASTER_CELLS_ORACLE)
 def geo_raster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6 raster (BASELINE.md, convert_dataset_r shape): 2000x2000
     synthetic band, ~10% nonzero in contiguous blocks (the sparse-
@@ -1082,7 +1103,18 @@ def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("geo_wkt_polyfill")
+_WKT_POLYFILL_ORACLE = """
+  SELECT * FROM (VALUES
+    ('linestring', CAST(21 AS INT)),
+    ('multipolygon', CAST(300 AS INT)),
+    ('point', CAST(1 AS INT)),
+    ('polygon', CAST(184 AS INT))
+  ) AS t(kind, n_cells)
+  ORDER BY kind
+"""
+
+
+@register("geo_wkt_polyfill", oracle=_WKT_POLYFILL_ORACLE)
 def geo_wkt_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1/G2: WKT geometry dispatch — polyfill a polygon, trace a
     linestring, index points, all through the one dispatching UDF;
