@@ -1166,7 +1166,17 @@ def geo_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("geo_cell_clusters")
+_CELL_CLUSTERS_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(605366030516092927 AS BIGINT), CAST(19 AS BIGINT)),
+    (CAST(605376315352154111 AS BIGINT), CAST(61 AS BIGINT)),
+    (CAST(607005254713606143 AS BIGINT), CAST(1 AS BIGINT))
+  ) AS t(cluster, n_cells)
+  ORDER BY cluster
+"""
+
+
+@register("geo_cell_clusters", oracle=_CELL_CLUSTERS_ORACLE)
 def geo_cell_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G8/D9 connected components: two disjoint disks + a far single
     cell -> 3 clusters; returns per-cluster sizes under the
