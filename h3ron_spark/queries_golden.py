@@ -964,3 +964,88 @@ def golden_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("weight").cast("double").alias("min_weight"),
     )
     return out
+
+
+# ---------------------------------------------------------------------
+# X4-X6: the spatial-index predicate battery (h3ron-polars tests.rs)
+# ---------------------------------------------------------------------
+
+_SPATIAL_MASKS_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(0 AS INT), 'false', 'true', 'true'),
+    (CAST(1 AS INT), 'true', 'false', 'false'),
+    (CAST(2 AS INT), 'false', 'false', 'false'),
+    (CAST(3 AS INT), 'null', 'null', 'null')
+  ) AS t(idx, within_dist, in_rect, in_poly)
+  ORDER BY idx
+"""
+
+
+@register("golden_spatial_masks", oracle=_SPATIAL_MASKS_ORACLE)
+def golden_spatial_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h3ron-polars/src/spatial_index/tests.rs:11-74 — the committed
+    predicate battery shared by all three reference indexes (kdtree /
+    rtree / hilbert-rtree; by design our H3-id layout replaces them,
+    X1-X3): four cells [(lat 45.5, lng 45.5) res7, (-60.5, -60.5),
+    (70.5, 120.5), invalid 55]. Within-distance of (-60, -60) ->
+    [F, T, F, NULL]; rect (lat 40..50, lng 40..50) intersect ->
+    [T, F, F, NULL]; polygon (lng 40..49, lat 40..50) intersect ->
+    [T, F, F, NULL]. The reference's distance is 2.0 planar degrees;
+    re-expressed geodesically as 100 km, which separates the same
+    rows. NULL-for-invalid is the §1.2 contract."""
+    import math
+
+    from h3ron_spark.functions import bits as B
+    from h3ron_spark.operators.spatial import (
+        cells_in_polygon,
+        cells_in_rect,
+        cells_within_distance,
+    )
+    from h3ron_spark.h3core import index as ix
+
+    cs = [
+        ix.latlng_to_cell(math.radians(45.5), math.radians(45.5), 7),
+        ix.latlng_to_cell(math.radians(-60.5), math.radians(-60.5), 7),
+        ix.latlng_to_cell(math.radians(70.5), math.radians(120.5), 7),
+        55,
+    ]
+    df = local_df(
+        spark, [(i, c) for i, c in enumerate(cs)], "idx int, cell long"
+    )
+    valid = df.filter(B.h3_is_valid_cell("cell"))
+
+    def mask(hits, name):
+        return df.join(
+            hits.select("cell", F.lit(True).alias(name)).distinct(),
+            "cell",
+            "left",
+        ).select(
+            "idx",
+            "cell",
+            F.when(
+                B.h3_is_valid_cell("cell"),
+                F.coalesce(F.col(name), F.lit(False)),
+            ).alias(name),
+        )
+
+    wd = mask(
+        cells_within_distance(valid, -60.0, -60.0, 100.0, 7), "within_dist"
+    )
+    rc = mask(cells_in_rect(valid, 40.0, 40.0, 50.0, 50.0, 7), "in_rect")
+    ring = [(40.0, 40.0), (50.0, 40.0), (50.0, 49.0), (40.0, 49.0)]
+    pg = mask(cells_in_polygon(valid, ring, 7), "in_poly")
+    out = (
+        wd.select("idx", "within_dist")
+        .join(rc.select("idx", "in_rect"), "idx")
+        .join(pg.select("idx", "in_poly"), "idx")
+        .orderBy("idx")
+    )
+    # masks as strings ('true'/'false'/'null'): NULL booleans
+    # stringify differently across engines in the compare layer
+    return out.select(
+        "idx",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("null")).alias(c)
+            for c in ("within_dist", "in_rect", "in_poly")
+        ],
+    )
