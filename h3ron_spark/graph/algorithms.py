@@ -350,79 +350,249 @@ def nearest_graph_nodes(
     )
 
 
+def _local_csr(batches):
+    """(uniq_u, starts, ends, v_sorted, w_sorted) CSR view of this
+    partition's edge batches (numpy sort + unique, no Python loop)."""
+    import numpy as np
+
+    us, vs, ws = [], [], []
+    for pdf in batches:
+        us.append(pdf["_u"].to_numpy(dtype=np.int64, copy=False))
+        vs.append(pdf["_v"].to_numpy(dtype=np.int64, copy=False))
+        ws.append(pdf["_w"].to_numpy(dtype=np.float64, copy=False))
+    u = np.concatenate(us) if us else np.empty(0, np.int64)
+    v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+    w = np.concatenate(ws) if ws else np.empty(0, np.float64)
+    order = np.argsort(u, kind="stable")
+    u, v, w = u[order], v[order], w[order]
+    uniq, starts = np.unique(u, return_index=True)
+    ends = np.append(starts[1:], len(u))
+    return (uniq, starts, ends, v, w)
+
+
+def _tile_dijkstra(csr, frontier, threshold):
+    """Multi-source Dijkstra over one partition's CSR fragment, one
+    heap per origin, seeded by the broadcast frontier labels whose
+    cells have outgoing edges here. Returns (origin, cell, weight)
+    candidate rows (upper bounds; the global min-merge folds them)."""
+    import numpy as np
+
+    uniq, starts, ends, v_arr, w_arr = csr
+    if len(uniq) == 0 or not frontier:
+        return []
+    cells = np.fromiter((c for _o, c, _w in frontier), np.int64,
+                        len(frontier))
+    pos = np.searchsorted(uniq, cells)
+    pos[pos >= len(uniq)] = 0
+    present = uniq[pos] == cells
+    seeds: dict = {}
+    for i in np.nonzero(present)[0]:
+        o, c, w = frontier[i]
+        seeds.setdefault(o, []).append((w, c))
+    rows = []
+    for o, heap in seeds.items():
+        heapq.heapify(heap)
+        best = {c: w for w, c in heap}
+        done = set()
+        while heap:
+            d, u = heapq.heappop(heap)
+            if u in done or d > best.get(u, inf):
+                continue
+            done.add(u)
+            rows.append((o, u, d))
+            j = np.searchsorted(uniq, u)
+            if j >= len(uniq) or uniq[j] != u:
+                continue
+            for v, w in zip(
+                v_arr[starts[j]:ends[j]].tolist(),
+                w_arr[starts[j]:ends[j]].tolist(),
+            ):
+                nd = d + w
+                if threshold is not None and nd > threshold:
+                    continue
+                if nd < best.get(v, inf):
+                    best[v] = nd
+                    heapq.heappush(heap, (nd, v))
+    return rows
+
+
+def _default_tile(col):
+    return F.crc32(col.cast("string"))
+
+
+def prepare_sssp_edges(
+    edges: DataFrame, tile_expr=None, num_partitions: int | None = None
+) -> DataFrame:
+    """Partition the edge table by a spatial tile key and checkpoint
+    it for repeated :func:`sssp_frontier` floods. ``tile_expr``: maps
+    a cell Column to a tile id (coarse H3 parent for cell graphs;
+    falls back to a hash — correct but without multi-hop locality or
+    tile pruning). The tile function rides along on the returned
+    frame so floods can prune the edge scan to frontier tiles."""
+    npart = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    tile_fn = tile_expr if tile_expr is not None else _default_tile
+    e = (
+        edges.select(
+            tile_fn(F.col("origin")).alias("_tile"),
+            F.col("origin").alias("_u"),
+            F.col("destination").alias("_v"),
+            F.col("weight").alias("_w"),
+        )
+        .repartition(npart, "_tile")
+        .localCheckpoint(eager=True)
+    )
+    e._sssp_tile_fn = tile_fn
+    return e
+
+
 def sssp_frontier(
     edges: DataFrame,
     origins,
     threshold: float | None = None,
     max_iter: int = 100,
+    tile_expr=None,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
-    """Beyond-broadcast SSSP: iterative frontier relaxation (the
-    'Pregel path' of SURVEY §7). Each round relaxes the frontier
-    through the edges table (join on origin) and folds with min-agg;
-    converged when no cost improves. Returns (origin, cell, weight)
+    """Beyond-broadcast SSSP: block-synchronous frontier relaxation
+    (the 'Pregel path' of SURVEY §7). Returns (origin, cell, weight)
     like within_weight_threshold.
 
-    Scale: edges stay partitioned by origin across rounds (one-time
-    repartition), the frontier shrinks as labels settle, and
-    localCheckpoint bounds lineage. Rounds = shortest-path hop radius
-    (bounded by threshold/min_weight when a threshold is set,
-    dijkstra.rs:72-133's monotonicity argument)."""
+    Execution (default, ``broadcast_frontier=True``): the edge table
+    is partitioned ONCE by ``tile_expr(origin)`` (a spatial key — for
+    H3 graphs a coarse parent cell; hash of the node id when None) and
+    cached. Each global round broadcasts the improved-label frontier
+    (exactly the data volume ``F.broadcast(frontier)`` would ship) and
+    one ``mapInPandas`` pass runs a LOCAL multi-source Dijkstra per
+    partition over its tile's edges, settling every label reachable
+    inside the tile in a single round. Global rounds therefore scale
+    with the TILE-graph diameter, not the cell-graph hop radius — the
+    property that keeps round count flat as the graph grows 100x.
+    The merge is one (origin, cell) min-aggregation; the frontier is
+    extracted from the same aggregate via a min(struct(weight, prio))
+    tag (ties keep the old label, so equal-cost rediscoveries do not
+    re-enter the frontier), so each round is a single shuffle job plus
+    a cheap collect of the (small) frontier.
+
+    ``broadcast_frontier=False`` keeps the pure-DataFrame join
+    relaxation (one hop per round, no driver-side frontier): the
+    fallback when the frontier itself outgrows broadcast size.
+
+    Correctness: labels emitted by a tile-local Dijkstra are upper
+    bounds given that round's seeds; the global min-merge keeps the
+    best; a label only re-seeds a tile when strictly improved —
+    standard block Dijkstra, exact at convergence (same monotonicity
+    argument as dijkstra.rs:72-133, applied per block).
+
+    ``edges`` may be a frame returned by :func:`prepare_sssp_edges`
+    (detected by its marker columns), in which case the one-time
+    partition + checkpoint is skipped — amortize it across repeated
+    floods of the same graph."""
     spark = edges.sparkSession
     if not isinstance(origins, DataFrame):
         origins = local_df(spark, [(c,) for c in origins], "cell long")
-    e = edges.select(
-        F.col("origin").alias("_u"),
-        F.col("destination").alias("_v"),
-        F.col("weight").alias("_w"),
-    ).repartition("_u").localCheckpoint(eager=True)
+
+    if set(edges.columns) == {"_tile", "_u", "_v", "_w"}:
+        e = edges
+        tile_fn = getattr(edges, "_sssp_tile_fn", None) or _default_tile
+    else:
+        e = prepare_sssp_edges(edges, tile_expr)
+        tile_fn = e._sssp_tile_fn
 
     dist = origins.select(
         F.col("cell").alias("origin"),
         F.col("cell").alias("cell"),
         F.lit(0.0).alias("weight"),
     ).localCheckpoint(eager=True)
-    frontier = dist
+    # each label carries the tile of its cell (a JVM expression) so
+    # the next round can prune the edge scan to frontier tiles
+    front_rows = [
+        (r["origin"], r["cell"], r["weight"], r["_tile"])
+        for r in dist.withColumn("_tile", tile_fn(F.col("cell"))).collect()
+    ]
+
+    sc = spark.sparkContext
+    thr = None if threshold is None else float(threshold)
+    cand_schema = StructType(
+        [
+            StructField("origin", LongType()),
+            StructField("cell", LongType()),
+            StructField("weight", DoubleType()),
+        ]
+    )
+    # beyond this many distinct frontier tiles an isin() pushdown
+    # stops paying for itself — stream the whole (cached) table
+    max_pruned_tiles = 10_000
 
     for _ in range(max_iter):
-        # broadcast the frontier: each round becomes a map-side probe
-        # of the (cached, pre-partitioned) edge table — the edges are
-        # never reshuffled, which is the property that makes this
-        # viable on a multi-million-edge graph where the adjacency
-        # dict can't be collected
-        relaxed = (
-            F.broadcast(frontier).join(e, frontier.cell == e._u)
+        if not front_rows:
+            break
+        tiles = sorted({t for _o, _c, _w, t in front_rows})
+        e_round = (
+            e.filter(F.col("_tile").isin(tiles))
+            if len(tiles) <= max_pruned_tiles
+            else e
+        )
+        front_b = None
+        if broadcast_frontier:
+            # serialization per round is proportional to the edge
+            # volume of ACTIVE tiles, not the graph: the kernel input
+            # was tile-pruned JVM-side above
+            front_b = sc.broadcast(
+                [(o, c, w) for o, c, w, _t in front_rows]
+            )
+
+            def relax(batches, _fb=front_b, _thr=thr):
+                import pandas as pd
+
+                rows = _tile_dijkstra(_local_csr(batches), _fb.value, _thr)
+                yield pd.DataFrame(
+                    rows, columns=["origin", "cell", "weight"]
+                )
+
+            cand = e_round.mapInPandas(relax, cand_schema)
+        else:
+            frontier = local_df(
+                spark,
+                [(o, c, w) for o, c, w, _t in front_rows],
+                "origin long, cell long, weight double",
+            )
+            cand = (
+                F.broadcast(frontier)
+                .join(e_round, frontier.cell == e_round._u)
+                .select(
+                    "origin",
+                    F.col("_v").alias("cell"),
+                    (F.col("weight") + F.col("_w")).alias("weight"),
+                )
+            )
+            if thr is not None:
+                cand = cand.filter(F.col("weight") <= thr)
+
+        # single-shuffle merge + frontier extraction: old labels win
+        # ties via the prio field inside the min-struct
+        merged = (
+            dist.withColumn("_prio", F.lit(0))
+            .unionByName(cand.withColumn("_prio", F.lit(1)))
+            .groupBy("origin", "cell")
+            .agg(F.min(F.struct("weight", "_prio")).alias("_s"))
             .select(
                 "origin",
-                F.col("_v").alias("cell"),
-                (F.col("weight") + F.col("_w")).alias("weight"),
+                "cell",
+                F.col("_s.weight").alias("weight"),
+                F.col("_s._prio").alias("_prio"),
             )
-        )
-        if threshold is not None:
-            relaxed = relaxed.filter(F.col("weight") <= threshold)
-        merged = (
-            dist.unionByName(relaxed)
-            .groupBy("origin", "cell")
-            .agg(F.min("weight").alias("weight"))
             .localCheckpoint(eager=True)
         )
-        # new frontier: strictly improved labels; checkpointed so the
-        # emptiness probe and the next round's broadcast both read the
-        # materialized result instead of recomputing the join
-        frontier = (
-            merged.join(
-                dist.withColumnRenamed("weight", "_old"),
-                ["origin", "cell"],
-                "left",
-            )
-            .filter(
-                F.col("_old").isNull() | (F.col("weight") < F.col("_old"))
-            )
-            .select("origin", "cell", "weight")
-            .localCheckpoint(eager=True)
-        )
-        dist = merged
-        if frontier.isEmpty():
-            break
+        dist = merged.select("origin", "cell", "weight")
+        front_rows = [
+            (r["origin"], r["cell"], r["weight"], r["_tile"])
+            for r in merged.filter(F.col("_prio") == 1)
+            .withColumn("_tile", tile_fn(F.col("cell")))
+            .select("origin", "cell", "weight", "_tile")
+            .collect()
+        ]
+        if front_b is not None:
+            front_b.destroy()
     return dist
 
 
