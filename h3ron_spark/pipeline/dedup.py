@@ -319,3 +319,57 @@ def dedup_keep_first(
     """Materialized dedup: keep the lowest-id row per exact content."""
     w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup: split each document
+    on ``sep``, drop every paragraph occurrence except the corpus-wide
+    first (lexicographically smallest (id, position)), and reassemble.
+
+    Returns (id, n_lines, n_kept, text) — ``text`` is the surviving
+    paragraphs rejoined in original order, NULL when none survive.
+
+    Scale: the first-occurrence computation is a groupBy-min on the
+    paragraph hash (map-side partial agg) joined back on that hash —
+    deliberately NOT a row_number window, whose per-key sort dies on
+    the pathological hot key (a boilerplate paragraph shared by
+    millions of docs); the min-struct agg folds such keys map-side and
+    AQE handles residual join skew. Reassembly is one shuffle on the
+    document id. No Python anywhere."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
+    ).withColumn("_h", F.md5("line"))
+    first = lines.groupBy("_h").agg(
+        F.min(F.struct("id", "idx")).alias("_first")
+    )
+    marked = lines.join(first, "_h").withColumn(
+        "keep",
+        (F.col("id") == F.col("_first.id"))
+        & (F.col("idx") == F.col("_first.idx")),
+    )
+    kept_sorted = F.filter(
+        F.array_sort(
+            F.collect_list(F.struct("idx", F.col("keep"), F.col("line")))
+        ),
+        lambda x: x["keep"],
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.array_join(
+                F.transform(kept_sorted, lambda x: x["line"]), sep
+            ).alias("_text"),
+        )
+        .withColumn(
+            "text", F.when(F.col("n_kept") > 0, F.col("_text"))
+        )
+        .drop("_text")
+    )

@@ -286,6 +286,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet-style paragraph-level dedup: the synthetic docs are a single
+# line, so the query first chunks them into 8-token lines with a
+# regex both engines evaluate identically (capture 8 words, insert a
+# newline), then drops every line occurrence after the corpus-wide
+# first and reassembles.
+_PARA_CHUNK_RE = r"((?:\S+\s+){7}\S+)\s+"
+
+_PARA_ORACLE = rf"""
+  WITH lined AS (
+    SELECT doc_id,
+           regexp_replace(text, '{_PARA_CHUNK_RE}', '\1' || chr(10), 'g')
+             AS t
+    FROM documents
+  ), ls AS (
+    SELECT doc_id, string_split(t, chr(10)) AS arr FROM lined
+  ), lines AS (
+    SELECT doc_id, i AS idx, arr[i] AS line
+    FROM ls, unnest(generate_series(1, len(arr))) AS u(i)
+  ), marked AS (
+    SELECT doc_id, idx, line,
+           row_number() OVER (
+             PARTITION BY line ORDER BY doc_id, idx
+           ) = 1 AS keep
+    FROM lines
+  )
+  SELECT doc_id,
+         count(*) AS n_lines,
+         count(*) FILTER (keep) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY idx) FILTER (keep))
+           AS text_hash
+  FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dedup_paragraphs", oracle=_PARA_ORACLE)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup (CCNet's line-dedup stage): keep
+    only the corpus-wide first occurrence of each paragraph and
+    reassemble documents. First-occurrence is a groupBy-min on the
+    paragraph hash + hash join — skew-safe (no per-key window sort),
+    map-side-combinable, no Python. Returns per-doc line counts and
+    the md5 of the surviving text (NULL when nothing survives)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", _PARA_CHUNK_RE, "$1\n").alias("text"),
+    )
+    out = DD.paragraph_dedup(docs)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_kept",
+        F.when(F.col("n_kept") > 0, F.md5("text")).alias("text_hash"),
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # LSH similarity with embedded-hyperplane oracle
 # =====================================================================

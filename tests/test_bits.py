@@ -223,3 +223,23 @@ def test_repetition_fractions_discriminate(spark):
     assert out[2]["tb"] > 0.49 and not out[2]["ok"]
     assert out[3]["tt"] < 0.05 and out[3]["tb"] == 0.0169 and out[3]["ok"]
     assert out[4]["tt"] == 1.0 and out[4]["tb"] == 0.0 and not out[4]["ok"]
+
+
+def test_paragraph_dedup_keep_first_and_null_when_empty(spark):
+    from h3ron_spark.pipeline import dedup as DD
+
+    rows = [
+        (1, "alpha\nbeta\nalpha"),   # within-doc duplicate of alpha
+        (2, "beta\ngamma"),          # beta already seen in doc 1
+        (3, "alpha\nbeta"),          # fully duplicated -> NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r for r in DD.paragraph_dedup(df).collect()
+    }
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[1]["text"] == "alpha\nbeta"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["text"] == "gamma"
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (2, 0)
+    assert out[3]["text"] is None
