@@ -159,6 +159,7 @@ def raster_to_cells(
     compact: bool = False,
     mode: str = "centroid",
     compact_partition_res: int | None = None,
+    pixels_df: DataFrame | None = None,
 ) -> DataFrame:
     """R4 pipeline: pixels -> cells(, value), optionally compacted per
     value (array.rs:246-370; groupBy(value) + D4 compaction replaces
@@ -170,8 +171,19 @@ def raster_to_cells(
     rotation, unlike the reference's corner-only rect transform).
     mode='pixel_center': one cell per pixel (the cell containing the
     pixel center) — the cheap path when cells >= pixels.
+
+    ``pixels_df``: pre-staged (row, col, value) frame (from
+    :func:`raster_to_dataframe`, ideally repartitioned + checkpointed)
+    — pass it to convert one loaded raster repeatedly without
+    re-shipping the driver-side array per call, the way the
+    reference's convert bench loads the tiff once outside its
+    iteration loop (convert_dataset_r.rs:29-40).
     """
-    df = raster_to_dataframe(spark, array, nodata=nodata)
+    df = (
+        pixels_df
+        if pixels_df is not None
+        else raster_to_dataframe(spark, array, nodata=nodata)
+    )
     if mode == "pixel_center":
         cx = F.col("col") + F.lit(0.5)
         cy = F.col("row") + F.lit(0.5)
