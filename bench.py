@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "text_quality_by_source",
     "text_token_counts",
     "dedup_exact",
+    "dedup_paragraphs",
+    "text_decontaminate",
+    "text_vocab_topk",
     "dedup_minhash_lsh",
     "ann_topk_cosine",
     "ann_lsh_topk",

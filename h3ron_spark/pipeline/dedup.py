@@ -321,6 +321,48 @@ def dedup_keep_first(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct
+    word n-grams that also occur in a held-out benchmark set (the
+    overlap check run before training to drop eval-contaminated
+    documents). Returns (id, n_grams, n_matched, contamination).
+
+    Scale: the benchmark gram set is tiny relative to a training
+    corpus (eval suites are MBs), so it broadcasts and the whole check
+    is one map-side hash join + one combinable aggregation over the
+    exploded distinct grams — no corpus-side shuffle on the gram key,
+    no Python."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_matched"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_matched") / F.col("n_grams"), 4),
+        )
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -236,3 +236,30 @@ def test_bucketed_cell_join_is_shuffle_free(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bkt_t CASCADE")
+
+
+def test_paragraph_dedup_avoids_window_sort(spark):
+    """dedup_paragraphs' first-occurrence must be the skew-safe
+    groupBy-min + hash join, never a row_number window (whose per-key
+    sort dies on a corpus-hot boilerplate paragraph)."""
+    plan = plan_of(spark, "dedup_paragraphs")
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine on the line hash
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """text_decontaminate: the benchmark gram set must reach the
+    corpus as a broadcast join — no corpus-side shuffle on the gram
+    key, no Python."""
+    plan = plan_of(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """text_vocab_topk: the top-k must compile to TakeOrdered(AndProject),
+    not a global sort, with map-side partial counts."""
+    plan = plan_of(spark, "text_vocab_topk")
+    assert "TakeOrdered" in plan
+    assert "partial_count" in plan
