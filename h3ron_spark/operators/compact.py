@@ -31,6 +31,7 @@ def compact_dataframe(
     cell_col: str = "cell",
     exploded: bool = True,
     partition_res: int | None = None,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """Compact the cell column per group of all other columns.
 
@@ -51,10 +52,23 @@ def compact_dataframe(
     one cell per subtree per group) is compacted per key group in a
     final bounded pass to finish merges above the partition roots.
     Identical results to the single-array path.
+
+    ``assume_partitioned`` (with ``partition_res``, keyless only):
+    declare that the input is ALREADY partitioned so that no
+    res-``partition_res`` subtree is split across partitions (e.g. it
+    came from ``uncompact_dataframe(..., partition_res=...)`` over
+    non-overlapping sources, or a bucketed cell-table layout). Phase 1
+    then runs the kernel on the existing partitions and the big
+    child-level shuffle disappears — the uncompact->transform->compact
+    pipeline co-locates ONCE on the (tiny) parent set instead of
+    re-shuffling every child row.
     """
     keys = [c for c in df.columns if c != cell_col]
     if partition_res is not None:
-        return _compact_two_phase(df, cell_col, exploded, partition_res, keys)
+        return _compact_two_phase(
+            df, cell_col, exploded, partition_res, keys,
+            assume_partitioned=assume_partitioned,
+        )
     if keys:
         agg = df.groupBy(*keys).agg(F.collect_set(cell_col).alias("_cells"))
     else:
@@ -73,6 +87,7 @@ def _compact_two_phase(
     exploded: bool,
     partition_res: int,
     keys: list[str],
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """Distributed compact (see compact_dataframe). One shuffle keyed
     on (keys + coarse ancestor); per-subtree kernel work parallelizes
@@ -83,6 +98,12 @@ def _compact_two_phase(
     from h3ron_spark.functions import bits as B
 
     if keys:
+        if assume_partitioned:
+            raise ValueError(
+                "assume_partitioned requires a keyless compact (the "
+                "keyed path groups by (keys, subtree root) and cannot "
+                "trust physical partitioning)"
+            )
         return _compact_two_phase_keyed(
             df, cell_col, exploded, partition_res, keys
         )
@@ -121,11 +142,15 @@ def _compact_two_phase(
             [pa.array(out, pa.int64())], [cell_col]
         )
 
-    phase1 = (
-        fine.repartition(n_part, B.h3_to_parent(cell_col, partition_res))
-        .select(F.col(cell_col))
-        .mapInArrow(_compact_partition, f"{cell_col} long")
-    )
+    if assume_partitioned:
+        # subtrees are whole within partitions already (declared by
+        # the caller): the kernel runs in place, no child-level shuffle
+        phase1_in = fine.select(F.col(cell_col))
+    else:
+        phase1_in = fine.repartition(
+            n_part, B.h3_to_parent(cell_col, partition_res)
+        ).select(F.col(cell_col))
+    phase1 = phase1_in.mapInArrow(_compact_partition, f"{cell_col} long")
     # phase 2: finish merges at/above the partition root. Inputs:
     # phase-1 outputs that reached partition_res + pre-existing coarse
     # cells. Everything finer than partition_res is final.
@@ -191,6 +216,7 @@ def uncompact_dataframe(
     target_res: int,
     cell_col: str = "cell",
     subset_parent: int | None = None,
+    partition_res: int | None = None,
 ) -> DataFrame:
     """Uncompact every cell to ``target_res`` children, keeping all
     other columns (inner join on the original cell, as
@@ -200,15 +226,30 @@ def uncompact_dataframe(
 
     ``subset_parent``: optional parent cell — only children under it
     are produced (h3_uncompact_dataframe_subset).
+
+    ``partition_res``: hash the (tiny) distinct source set by its
+    res-``partition_res`` ancestor before exploding, so every emitted
+    child stays co-located with its whole subtree. A downstream
+    ``compact_dataframe(..., assume_partitioned=True)`` can then skip
+    re-shuffling the (huge) child rows — the pipeline shuffles the
+    parents once, never the children.
     """
     # re-spread after distinct: AQE coalesces the (tiny-in-bytes)
     # distinct shuffle to few partitions, which would serialize the
     # children-explode kernel — its cost is CPU per row (up to 7^k
     # children each), not bytes
+    from h3ron_spark.functions import bits as B
+
     n_part = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    distinct = df.select(cell_col).distinct().repartition(n_part)
+    distinct = df.select(cell_col).distinct()
+    if partition_res is not None:
+        distinct = distinct.repartition(
+            n_part, B.h3_to_parent(cell_col, partition_res)
+        )
+    else:
+        distinct = distinct.repartition(n_part)
     mapping = distinct.withColumn(
         "_children", G.h3_change_resolution(cell_col, F.lit(target_res))
     ).filter(F.col("_children").isNotNull())
@@ -216,8 +257,6 @@ def uncompact_dataframe(
         F.col(cell_col).alias("_orig"), F.explode("_children").alias("_child")
     )
     # only descend/stay: drop rows where the child is coarser than the cell
-    from h3ron_spark.functions import bits as B
-
     mapping = mapping.filter(
         B.h3_get_resolution("_child") >= B.h3_get_resolution("_orig")
     )

@@ -983,8 +983,14 @@ def geo_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         + h3c.grid_disk(h3c.latlng_to_cell(45.0, 45.0, 5), 3)
     ]
     src = local_df(spark, base, "cell long").repartition(par)
-    children = uncompact_dataframe(src, 10, "cell")
-    comp = compact_dataframe(children, "cell", partition_res=5)
+    # co-locate whole subtrees at the PARENT stage (229 rows) and let
+    # the compact kernel trust that layout: the 3.5M child rows are
+    # never re-shuffled — the one exchange this pipeline pays on the
+    # child level at 100x scale is gone
+    children = uncompact_dataframe(src, 10, "cell", partition_res=5)
+    comp = compact_dataframe(
+        children, "cell", partition_res=5, assume_partitioned=True
+    )
     return (
         comp.select(B.h3_get_resolution("cell").alias("res"))
         .groupBy("res")

@@ -263,3 +263,37 @@ def test_vocab_topk_is_take_ordered(spark):
     plan = plan_of(spark, "text_vocab_topk")
     assert "TakeOrdered" in plan
     assert "partial_count" in plan
+
+
+def test_assume_partitioned_compact_drops_child_shuffle(spark):
+    """uncompact(partition_res) -> compact(assume_partitioned) must
+    save exactly the child-level exchange versus the default two-phase
+    plan, with identical results (the pipeline co-locates once on the
+    parent set, never on the exploded children)."""
+    from h3ron_spark.operators.compact import (
+        compact_dataframe,
+        uncompact_dataframe,
+    )
+    from h3ron_spark.util import local_df
+
+    import h3ron_spark.h3core as h3c
+
+    base = [(c,) for c in h3c.grid_disk(h3c.latlng_to_cell(10.0, 20.0, 5), 2)]
+    src = local_df(spark, base, "cell long")
+    children = uncompact_dataframe(src, 8, "cell", partition_res=5)
+    fast = compact_dataframe(
+        children, "cell", partition_res=5, assume_partitioned=True
+    )
+    slow = compact_dataframe(children, "cell", partition_res=5)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p_fast = fast._jdf.queryExecution().explainString(jmode)
+    p_slow = slow._jdf.queryExecution().explainString(jmode)
+    # the child-level repartition subtree prints in both consumer
+    # branches of the formatted plan, so assert strictly fewer
+    # exchange nodes rather than an exact delta
+    assert p_slow.count("Exchange") > p_fast.count("Exchange")
+    assert sorted(r[0] for r in fast.collect()) == sorted(
+        r[0] for r in slow.collect()
+    )
