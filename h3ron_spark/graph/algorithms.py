@@ -467,11 +467,13 @@ def _local_csr(batches):
     return (uniq, starts, ends, v, w)
 
 
-def _tile_dijkstra(csr, frontier, threshold):
+def _tile_dijkstra(csr, frontier, threshold, track_parents=False):
     """Multi-source Dijkstra over one partition's CSR fragment, one
     heap per origin, seeded by the broadcast frontier labels whose
-    cells have outgoing edges here. Returns (origin, cell, weight)
-    candidate rows (upper bounds; the global min-merge folds them)."""
+    cells have outgoing edges here. Returns (origin, cell, weight[,
+    parent]) candidate rows (upper bounds; the global min-merge folds
+    them). Seed cells re-emit with a NULL parent — the merge's
+    old-wins-ties rule keeps their previously recorded parent."""
     import numpy as np
 
     uniq, starts, ends, v_arr, w_arr = csr
@@ -490,13 +492,17 @@ def _tile_dijkstra(csr, frontier, threshold):
     for o, heap in seeds.items():
         heapq.heapify(heap)
         best = {c: w for w, c in heap}
+        parent: dict = {}
         done = set()
         while heap:
             d, u = heapq.heappop(heap)
             if u in done or d > best.get(u, inf):
                 continue
             done.add(u)
-            rows.append((o, u, d))
+            if track_parents:
+                rows.append((o, u, d, parent.get(u)))
+            else:
+                rows.append((o, u, d))
             j = np.searchsorted(uniq, u)
             if j >= len(uniq) or uniq[j] != u:
                 continue
@@ -509,6 +515,8 @@ def _tile_dijkstra(csr, frontier, threshold):
                     continue
                 if nd < best.get(v, inf):
                     best[v] = nd
+                    if track_parents:
+                        parent[v] = u
                     heapq.heappush(heap, (nd, v))
     return rows
 
@@ -549,6 +557,7 @@ def sssp_frontier(
     max_iter: int = 100,
     tile_expr=None,
     broadcast_frontier: bool = True,
+    track_parents: bool = False,
 ) -> DataFrame:
     """Beyond-broadcast SSSP: block-synchronous frontier relaxation
     (the 'Pregel path' of SURVEY §7). Returns (origin, cell, weight)
@@ -583,7 +592,15 @@ def sssp_frontier(
     ``edges`` may be a frame returned by :func:`prepare_sssp_edges`
     (detected by its marker columns), in which case the one-time
     partition + checkpoint is skipped — amortize it across repeated
-    floods of the same graph."""
+    floods of the same graph.
+
+    ``track_parents=True`` adds a ``parent`` column: the predecessor
+    cell on the best-known path (NULL at the origins). The converged
+    frame is the distributed predecessor forest — the scalable
+    representation of the reference's Path objects (path.rs) when the
+    graph is beyond broadcast; individual paths backtrack through it,
+    and the parent rides inside the same min-struct so the winning
+    label's predecessor is selected atomically with its weight."""
     spark = edges.sparkSession
     if not isinstance(origins, DataFrame):
         origins = local_df(spark, [(c,) for c in origins], "cell long")
@@ -599,6 +616,7 @@ def sssp_frontier(
         F.col("cell").alias("origin"),
         F.col("cell").alias("cell"),
         F.lit(0.0).alias("weight"),
+        *([F.lit(None).cast("long").alias("parent")] if track_parents else []),
     ).localCheckpoint(eager=True)
     # each label carries the tile of its cell (a JVM expression) so
     # the next round can prune the edge scan to frontier tiles
@@ -609,13 +627,18 @@ def sssp_frontier(
 
     sc = spark.sparkContext
     thr = None if threshold is None else float(threshold)
-    cand_schema = StructType(
-        [
-            StructField("origin", LongType()),
-            StructField("cell", LongType()),
-            StructField("weight", DoubleType()),
-        ]
+    cand_fields = [
+        StructField("origin", LongType()),
+        StructField("cell", LongType()),
+        StructField("weight", DoubleType()),
+    ]
+    if track_parents:
+        cand_fields.append(StructField("parent", LongType()))
+    cand_schema = StructType(cand_fields)
+    label_cols = ["origin", "cell", "weight"] + (
+        ["parent"] if track_parents else []
     )
+    struct_cols = ["weight", "_prio"] + (["parent"] if track_parents else [])
     # beyond this many distinct frontier tiles an isin() pushdown
     # stops paying for itself — stream the whole (cached) table
     max_pruned_tiles = 10_000
@@ -638,13 +661,13 @@ def sssp_frontier(
                 [(o, c, w) for o, c, w, _t in front_rows]
             )
 
-            def relax(batches, _fb=front_b, _thr=thr):
+            def relax(batches, _fb=front_b, _thr=thr, _tp=track_parents):
                 import pandas as pd
 
-                rows = _tile_dijkstra(_local_csr(batches), _fb.value, _thr)
-                yield pd.DataFrame(
-                    rows, columns=["origin", "cell", "weight"]
+                rows = _tile_dijkstra(
+                    _local_csr(batches), _fb.value, _thr, track_parents=_tp
                 )
+                yield pd.DataFrame(rows, columns=label_cols)
 
             cand = e_round.mapInPandas(relax, cand_schema)
         else:
@@ -660,27 +683,35 @@ def sssp_frontier(
                     "origin",
                     F.col("_v").alias("cell"),
                     (F.col("weight") + F.col("_w")).alias("weight"),
+                    *([F.col("_u").alias("parent")] if track_parents else []),
                 )
             )
             if thr is not None:
                 cand = cand.filter(F.col("weight") <= thr)
 
         # single-shuffle merge + frontier extraction: old labels win
-        # ties via the prio field inside the min-struct
+        # ties via the prio field inside the min-struct (the parent
+        # rides in the same struct, so the winner's predecessor is
+        # chosen atomically)
         merged = (
             dist.withColumn("_prio", F.lit(0))
             .unionByName(cand.withColumn("_prio", F.lit(1)))
             .groupBy("origin", "cell")
-            .agg(F.min(F.struct("weight", "_prio")).alias("_s"))
+            .agg(F.min(F.struct(*struct_cols)).alias("_s"))
             .select(
                 "origin",
                 "cell",
                 F.col("_s.weight").alias("weight"),
                 F.col("_s._prio").alias("_prio"),
+                *(
+                    [F.col("_s.parent").alias("parent")]
+                    if track_parents
+                    else []
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        dist = merged.select("origin", "cell", "weight")
+        dist = merged.select(*label_cols)
         front_rows = [
             (r["origin"], r["cell"], r["weight"], r["_tile"])
             for r in merged.filter(F.col("_prio") == 1)

@@ -322,3 +322,40 @@ def test_graph_sssp_frontier_query_histogram(spark):
     assert [(r["weight"], r["n_cells"]) for r in rows] == [(0, 1)] + [
         (d, 4 * d) for d in range(1, 9)
     ]
+
+
+def test_sssp_frontier_parent_forest_backtracks_exactly(spark):
+    """track_parents=True: every label's parent chain must walk back
+    to the origin with edge weights summing exactly to the label
+    weight (the distributed predecessor forest is a valid shortest-
+    path tree)."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    def w(x, y, dx, dy):
+        return 1.0 + ((x * 7 + y * 13 + (dx + 1) * 3 + (dy + 1)) % 5) / 4.0
+
+    edges = torus_grid_graph(spark, 20, directions=4, weight_expr=w)
+    dist = GR.sssp_frontier(
+        edges, [0], threshold=5.0, track_parents=True
+    ).collect()
+    ew = {
+        (r["origin"], r["destination"]): r["weight"]
+        for r in edges.collect()
+    }
+    lab = {r["cell"]: (r["weight"], r["parent"]) for r in dist}
+    assert lab[0] == (0.0, None)
+    assert len(lab) > 20
+    for cell, (weight, parent) in lab.items():
+        if cell == 0:
+            continue
+        # parent exists, is labelled, and the edge step is exact
+        assert parent in lab
+        pw = lab[parent][0]
+        assert abs(pw + ew[(parent, cell)] - weight) < 1e-9
+    # parity with the untracked flood
+    plain = GR.sssp_frontier(edges, [0], threshold=5.0).collect()
+    assert {(r["cell"], r["weight"]) for r in plain} == {
+        (c, w_) for c, (w_, _p) in lab.items()
+    }
