@@ -31,6 +31,20 @@ def tokens(text) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def with_tokens(text, build) -> Column:
+    """Evaluate ``build(token_array)`` with the token array bound ONCE
+    as a higher-order-function lambda variable.
+
+    Inlining ``tokens(text)`` into a per-element expression (e.g.
+    ``element_at(t, i)`` inside a ``transform``) re-runs the split for
+    EVERY element — Catalyst does not common-subexpression across
+    lambda bodies, and the measured cost is ~15x on shingle-shaped
+    expressions. Wrapping the array as the single element of a
+    ``transform`` binds it to a lambda variable, which is evaluated
+    exactly once per row."""
+    return F.element_at(F.transform(F.array(tokens(text)), build), 1)
+
+
 def token_count(text) -> Column:
     return F.size(tokens(text))
 
@@ -156,16 +170,22 @@ def top_token_fraction(text) -> Column:
 
 def top_bigram_fraction(text) -> Column:
     """Share of bigrams taken by the most frequent bigram (the
-    Gopher duplicate-2-gram family). 0.0 for docs under 2 tokens."""
-    t = tokens(text)
-    n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
-    return F.when(n < 2, F.lit(0.0)).otherwise(
-        F.round(_max_equal_run(grams).cast("double") / (n - 1), 4)
-    )
+    Gopher duplicate-2-gram family). 0.0 for docs under 2 tokens.
+    Token array bound once (see :func:`with_tokens`)."""
+
+    def build(t):
+        n = F.size(t)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        )
+        return F.when(n < 2, F.lit(0.0)).otherwise(
+            F.round(_max_equal_run(grams).cast("double") / (n - 1), 4)
+        )
+
+    return with_tokens(text, build)
 
 
 def repetition_flags(

@@ -328,9 +328,14 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph hash + hash join — skew-safe (no per-key window sort),
     map-side-combinable, no Python. Returns per-doc line counts and
     the md5 of the surviving text (NULL when nothing survives)."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.regexp_replace("text", _PARA_CHUNK_RE, "$1\n").alias("text"),
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(par)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", _PARA_CHUNK_RE, "$1\n").alias("text"),
+        )
     )
     out = DD.paragraph_dedup(docs)
     return out.select(
@@ -365,7 +370,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (small) benchmark gram set into each document's distinct
     3-gram shingles plus one combinable aggregation — the standard
     pre-training overlap filter, shuffle-free on the corpus side."""
-    docs = load(spark, sf_dir, "documents")
+    # re-spread: the corpus parquet is one small file -> one input
+    # partition, which would run the (HOF-heavy) shingle expression
+    # on a single core
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents").repartition(par)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     out = DD.ngram_contamination(docs, bench)
     return out.select(
@@ -1660,7 +1669,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =====================================================================
 # Beyond-broadcast SSSP (SURVEY §7 escape hatch; P5/P9 at the scale
-# where _collect_adjacency's guarded broadcast would refuse)
+# where prepare_routing_graph's guarded broadcast would refuse)
 # =====================================================================
 
 _SSSP_T = 8
