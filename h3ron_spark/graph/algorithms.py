@@ -44,35 +44,6 @@ from h3ron_spark.util import local_df
 _BROADCAST_EDGE_LIMIT = 5_000_000
 
 
-def _collect_adjacency(edges: DataFrame) -> dict:
-    """origin -> list[(destination, edge, weight)]. Guarded driver
-    collect: beyond _BROADCAST_EDGE_LIMIT edges use sssp_frontier.
-    Arrow transfer + a zip over primitive columns — per-Row object
-    construction cost ~30us each, which dominated routing setup on
-    six-figure-edge graphs (the Germany graph is 312k edges)."""
-    pdf = (
-        edges.select("origin", "destination", "edge", "weight")
-        .limit(_BROADCAST_EDGE_LIMIT + 1)
-        .toPandas()
-    )
-    if len(pdf) > _BROADCAST_EDGE_LIMIT:
-        raise ValueError(
-            f"edge count exceeds the broadcast limit "
-            f"({_BROADCAST_EDGE_LIMIT}); use sssp_frontier for "
-            "beyond-broadcast graphs"
-        )
-    adj: dict = {}
-    setd = adj.setdefault
-    for o, d, e, w in zip(
-        pdf["origin"].tolist(),
-        pdf["destination"].tolist(),
-        pdf["edge"].tolist(),
-        pdf["weight"].tolist(),
-    ):
-        setd(o, []).append((d, e, w))
-    return adj
-
-
 def _csr_from_arrays(u, v, e, w):
     """Sorted-origin CSR: (uniq_u, starts, ends, v, e, w, all_nodes)."""
     import numpy as np
@@ -124,8 +95,8 @@ def prepare_routing_graph(edges: DataFrame):
 
 
 def _dijkstra_csr(csr, src, dests=None, num_dests=None, threshold=None):
-    """CSR twin of :func:`_dijkstra` (same early-exit rules,
-    dijkstra.rs:148-177) over the prepared arrays."""
+    """Binary-heap Dijkstra with the reference's early-exit rules
+    (dijkstra.rs:148-177) over the prepared CSR arrays."""
     import numpy as np
 
     uniq, starts, ends, vv, ee, ww = csr[:6]
@@ -152,34 +123,6 @@ def _dijkstra_csr(csr, src, dests=None, num_dests=None, threshold=None):
         for v, e, w in zip(
             vv[s:t].tolist(), ee[s:t].tolist(), ww[s:t].tolist()
         ):
-            nd = d + w
-            if nd < dist.get(v, inf):
-                dist[v] = nd
-                parent[v] = (u, e)
-                heapq.heappush(h, (nd, v))
-    return dist, parent, done, reached
-
-
-def _dijkstra(adj, src, dests=None, num_dests=None, threshold=None):
-    """Binary-heap Dijkstra with the reference's early-exit rules
-    (dijkstra.rs:148-177). Returns (dist, parent, reached)."""
-    dist = {src: 0.0}
-    parent: dict = {}
-    done = set()
-    reached = []
-    h = [(0.0, src)]
-    while h:
-        d, u = heapq.heappop(h)
-        if u in done:
-            continue
-        if threshold is not None and d > threshold:
-            break
-        done.add(u)
-        if dests is not None and u in dests:
-            reached.append(u)
-            if num_dests is not None and len(reached) >= num_dests:
-                break
-        for v, e, w in adj.get(u, ()):
             nd = d + w
             if nd < dist.get(v, inf):
                 dist[v] = nd
@@ -331,15 +274,17 @@ def within_weight_threshold(
     origins,
     threshold: float,
     aggregate: str | None = None,
+    prepared=None,
 ) -> DataFrame:
     """Isochrone flood (P6/P9): cells reachable within ``threshold``
     cost per origin. ``aggregate``: None -> per-origin rows (origin,
     cell, weight); 'min'/'max'/... -> merged over origins per cell
-    (within_weight_threshold.rs:56-101 agg_fn)."""
+    (within_weight_threshold.rs:56-101 agg_fn). ``prepared``: reuse a
+    :func:`prepare_routing_graph` handle across calls."""
     spark = edges.sparkSession
     if not isinstance(origins, DataFrame):
         origins = local_df(spark, [(c,) for c in origins], "cell long")
-    adj_b = spark.sparkContext.broadcast(_collect_adjacency(edges))
+    adj_b = prepared if prepared is not None else prepare_routing_graph(edges)
     thr = float(threshold)
 
     schema = StructType(
@@ -353,12 +298,14 @@ def within_weight_threshold(
     def run(batches):
         import pandas as pd
 
-        adj_v = adj_b.value
+        csr = None
         for pdf in batches:
+            if len(pdf) and csr is None:
+                csr = adj_b.value
             rows = []
             for c in pdf["cell"]:
                 src = int(c)
-                dist, _, done, _ = _dijkstra(adj_v, src, threshold=thr)
+                dist, _, done, _ = _dijkstra_csr(csr, src, threshold=thr)
                 rows.extend(
                     (src, cell, w) for cell, w in dist.items()
                     if w <= thr and cell in done

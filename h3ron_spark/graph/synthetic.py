@@ -2,7 +2,7 @@
 
 Used by the beyond-broadcast SSSP bench/parity workloads: a driver
 dict for a multi-million-edge graph would be several GiB (the exact
-regime where ``_collect_adjacency``'s guarded broadcast refuses and
+regime where ``prepare_routing_graph``'s guarded broadcast refuses and
 ``sssp_frontier`` is the right plan), while the generator itself is
 three ``spark.range`` projections — nothing ships driver-side.
 """

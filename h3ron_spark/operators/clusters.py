@@ -48,7 +48,7 @@ def cell_clusters(
     rounds are O(log diameter) instead of O(diameter)."""
     cols = [cell_col] + ([value_col] if value_col else [])
     nodes = df.select(*cols).distinct()
-    # guarded-bounded probe (same trick as _collect_adjacency): pull
+    # guarded-bounded probe (same trick as prepare_routing_graph): pull
     # up to limit+1 node rows in ONE action — if under the limit we
     # already hold the node set for the union-find path
     npdf = nodes.limit(broadcast_limit + 1).toPandas()
