@@ -359,3 +359,22 @@ def test_sssp_frontier_parent_forest_backtracks_exactly(spark):
     assert {(r["cell"], r["weight"]) for r in plain} == {
         (c, w_) for c, (w_, _p) in lab.items()
     }
+
+
+def test_sssp_frontier_join_fallback_matches_broadcast(spark):
+    """broadcast_frontier=False (pure-DataFrame one-hop join rounds —
+    the fallback when the frontier outgrows broadcast) must produce
+    the same labels as the default tile-local kernel."""
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    def w(x, y, dx, dy):
+        return 1.0 + ((x * 3 + y * 5 + dx + dy) % 3) / 2.0
+
+    edges = torus_grid_graph(spark, 12, directions=4, weight_expr=w)
+    a = GR.sssp_frontier(edges, [0, 17], threshold=4.0).collect()
+    b = GR.sssp_frontier(
+        edges, [0, 17], threshold=4.0, broadcast_frontier=False
+    ).collect()
+    sa = {(r["origin"], r["cell"], round(r["weight"], 9)) for r in a}
+    sb = {(r["origin"], r["cell"], round(r["weight"], 9)) for r in b}
+    assert sa == sb and len(sa) > 10
