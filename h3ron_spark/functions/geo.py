@@ -574,6 +574,47 @@ def h3_edge_reverse(edge: pa.Array) -> pa.Array:
     return pa.array(out, _I64)
 
 
+@arrow_udf(_ARR_I64_SPARK)
+def h3_following_edges(edge: pa.Array) -> pa.Array:
+    """Edges leading away from the input edge's destination cell,
+    excluding the reverse of the input — the reference's
+    ``following_edges_leading_from_destination``
+    (h3ron/src/iter/edge.rs:47-59). 5 edges for hexagons."""
+    out = []
+    for e in edge.to_pylist():
+        if e is None or not h3c.is_valid_directed_edge(e):
+            out.append(None)
+            continue
+        dest = h3c.directed_edge_to_cells(e)[1]
+        rev = h3c.edge_reverse(e)
+        out.append(
+            [x for x in h3c.origin_to_directed_edges(dest) if x != rev]
+        )
+    return pa.array(out, _ARR_I64)
+
+
+@arrow_udf(_ARR_I64_SPARK)
+def h3_previous_edges(edge: pa.Array) -> pa.Array:
+    """Edges leading INTO the input edge's origin cell, excluding the
+    reverse of the input — the reference's
+    ``previous_edges_leading_to_origin`` (iter/edge.rs:35-45: the
+    origin's out-edges minus the input, each reversed)."""
+    out = []
+    for e in edge.to_pylist():
+        if e is None or not h3c.is_valid_directed_edge(e):
+            out.append(None)
+            continue
+        orig = h3c.directed_edge_to_cells(e)[0]
+        out.append(
+            [
+                h3c.edge_reverse(x)
+                for x in h3c.origin_to_directed_edges(orig)
+                if x != e
+            ]
+        )
+    return pa.array(out, _ARR_I64)
+
+
 h3_edge_length_km = _cell_scalar_f64_udf(
     h3c.edge_length_km, valid=h3c.is_valid_directed_edge
 )

@@ -1063,3 +1063,50 @@ def golden_spatial_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("within_dist", "in_rect", "in_poly")
         ],
     )
+
+
+# ---------------------------------------------------------------------
+# Edge-builder iterators (h3ron/src/iter/edge.rs:104-158): the
+# following/previous edge sets of the first out-edge at the
+# reference's (34.2, 30.5) res-7 test cell, pinned as hex strings.
+# ---------------------------------------------------------------------
+
+_EDGE_ITER_ORACLE = """
+  SELECT * FROM (VALUES
+    ('following', '1173e6cc1cffffff'),
+    ('following', '1273e6cc1cffffff'),
+    ('following', '1373e6cc1cffffff'),
+    ('following', '1473e6cc1cffffff'),
+    ('following', '1573e6cc1cffffff'),
+    ('previous', '1173e6cc10ffffff'),
+    ('previous', '1273e6cc02ffffff'),
+    ('previous', '1373e6cc15ffffff'),
+    ('previous', '1473e6cc1effffff'),
+    ('previous', '1573e6cc13ffffff')
+  ) AS t(kind, edge_hex)
+  ORDER BY kind, edge_hex
+"""
+
+
+@register("golden_edge_iterators", oracle=_EDGE_ITER_ORACLE)
+def golden_edge_iterators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """following_edges_leading_from_destination /
+    previous_edges_leading_to_origin (iter/edge.rs:35-59, exercised by
+    its tests at :118-158): both 5-edge sets for the first out-edge of
+    the reference's (34.2, 30.5) res-7 cell, as hex strings."""
+    cell = h3c.latlng_to_cell(30.5, 34.2, 7)
+    edge = sorted(h3c.origin_to_directed_edges(cell))[0]
+    df = local_df(spark, [(edge,)], "edge long")
+    following = df.select(
+        F.lit("following").alias("kind"),
+        F.explode(G.h3_following_edges("edge")).alias("e"),
+    )
+    previous = df.select(
+        F.lit("previous").alias("kind"),
+        F.explode(G.h3_previous_edges("edge")).alias("e"),
+    )
+    return (
+        following.unionByName(previous)
+        .select("kind", B.h3_to_string("e").alias("edge_hex"))
+        .orderBy("kind", "edge_hex")
+    )

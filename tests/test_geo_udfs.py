@@ -165,3 +165,38 @@ def test_compact_uncompact_arrays(spark):
     ).collect()[0]
     assert r.comp == [SF_CELL]
     assert sorted(r.back) == sorted(kids)
+
+
+def test_following_and_previous_edges_reference_invariants(spark):
+    """iter/edge.rs:104-158 (from_origin_cell /
+    following_edges_leading_from_destination /
+    previous_edges_leading_to_origin): 6 out-edges at the reference's
+    (34.2, 30.5) res-7 cell; 5 following edges all originating at the
+    input's destination, reverse excluded; 5 previous edges all ending
+    at the input's origin, reverse excluded."""
+    from pyspark.sql import functions as F
+
+    import h3ron_spark.h3core as h3c
+    from h3ron_spark.functions import geo as G
+
+    cell = h3c.latlng_to_cell(30.5, 34.2, 7)  # Coord (x=lng 34.2, y=lat 30.5)
+    edges = h3c.origin_to_directed_edges(cell)
+    assert len(edges) == 6
+    df = spark.createDataFrame([(e,) for e in edges], "edge long")
+    rows = df.select(
+        "edge",
+        G.h3_following_edges("edge").alias("following"),
+        G.h3_previous_edges("edge").alias("previous"),
+        G.h3_edge_destination("edge").alias("dest"),
+        G.h3_edge_reverse("edge").alias("rev"),
+    ).collect()
+    for r in rows:
+        assert len(r["following"]) == 5
+        assert r["rev"] not in r["following"]
+        assert r["edge"] not in r["following"]
+        for f in r["following"]:
+            assert h3c.directed_edge_to_cells(f)[0] == r["dest"]
+        assert len(r["previous"]) == 5
+        assert r["rev"] not in r["previous"]
+        for p in r["previous"]:
+            assert h3c.directed_edge_to_cells(p)[1] == cell
