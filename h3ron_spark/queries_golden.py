@@ -1110,3 +1110,49 @@ def golden_edge_iterators(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("kind", B.h3_to_string("e").alias("edge_hex"))
         .orderBy("kind", "edge_hex")
     )
+
+
+# ---------------------------------------------------------------------
+# D7: partition_frame_by_resolution (h3ron-polars frame/resolution.rs)
+# ---------------------------------------------------------------------
+
+_PARTITION_RES_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(5 AS INT), CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+    (CAST(7 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+    (CAST(8 AS INT), CAST(2 AS BIGINT), CAST(3 AS BIGINT))
+  ) AS t(h3_res, n_rows, sum_value)
+  ORDER BY h3_res
+"""
+
+
+@register("golden_partition_by_resolution", oracle=_PARTITION_RES_ORACLE)
+def golden_partition_by_resolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D7 pinned to the reference's partition_frame_by_resolution test
+    (h3ron-polars/src/algorithm/frame/resolution.rs:121-148): its four
+    coordinate/res fixtures split into exactly three resolution
+    partitions of sizes {5:1, 7:1, 8:2}, values riding along."""
+    from h3ron_spark.operators.frame import partition_by_resolution
+
+    fixture = [  # (lng, lat, res) — geo-types Coord is (x=lng, y=lat)
+        (45.6, -45.8, 7),
+        (45.6, -10.2, 8),
+        (45.6, 50.2, 8),
+        (-60.5, -23.1, 5),
+    ]
+    rows = [
+        (h3c.latlng_to_cell(lat, lng, res), i)
+        for i, (lng, lat, res) in enumerate(fixture)
+    ]
+    df = local_df(spark, rows, "cell long, value long")
+    parts = partition_by_resolution(df, "cell")
+    return (
+        parts.groupBy("h3_res")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("h3_res")
+    )
