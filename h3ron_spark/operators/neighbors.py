@@ -42,6 +42,60 @@ def continuous_cells_to_edges(
     ).withColumnRenamed("_next", "next_cell")
 
 
+def neighbors_within_distance_window(
+    cells_df: DataFrame,
+    values_df: DataFrame,
+    k_min: int,
+    k_max: int,
+    cell_col: str = "cell",
+    value_col: str = "value",
+    default=None,
+) -> DataFrame:
+    """Exact semantics of the reference's
+    ``neighbors_within_distance_window[_or_default]``
+    (h3ron/src/iter/neighbor.rs:96-152): for each input cell that has
+    its own value in ``values_df``, one row per neighbor in the
+    k-window [k_min, k_max]. Without ``default``, neighbors lacking a
+    value are dropped (window variant); with it, they emit filled
+    (or_default variant). Cells with no value of their own emit
+    nothing.
+
+    Returns (cell, cell_value, neighbor, k, neighbor_value). Both
+    joins key on the cell id; the values side is dropDuplicated so a
+    broadcast hint applies when it is dimension-sized."""
+    vals = values_df.select(
+        F.col(cell_col).alias("_vc"), F.col(value_col).alias("_vv")
+    ).dropDuplicates(["_vc"])
+    base = (
+        cells_df.select(cell_col)
+        .join(vals, F.col(cell_col) == F.col("_vc"), "inner")
+        .select(cell_col, F.col("_vv").alias("cell_value"))
+    )
+    disks = base.select(
+        cell_col,
+        "cell_value",
+        F.explode(
+            G.h3_grid_disk_distances(cell_col, F.lit(int(k_max)))
+        ).alias("_nk"),
+    ).select(
+        cell_col,
+        "cell_value",
+        F.col("_nk.cell").alias("neighbor"),
+        F.col("_nk.k").alias("k"),
+    ).filter(F.col("k") >= int(k_min))
+    out = disks.join(
+        vals.withColumnRenamed("_vc", "neighbor"), "neighbor", "left"
+    )
+    if default is None:
+        out = out.filter(F.col("_vv").isNotNull())
+        nv = F.col("_vv")
+    else:
+        nv = F.coalesce(F.col("_vv"), F.lit(default))
+    return out.select(
+        cell_col, "cell_value", "neighbor", "k", nv.alias("neighbor_value")
+    )
+
+
 def neighbors_within_distance(
     df: DataFrame,
     k: int,

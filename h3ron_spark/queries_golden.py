@@ -1156,3 +1156,147 @@ def golden_partition_by_resolution(
         )
         .orderBy("h3_res")
     )
+
+
+# ---------------------------------------------------------------------
+# P15: continuous_cells_to_edges on the reference's res-4 test line
+# ---------------------------------------------------------------------
+
+_CELLS_TO_EDGES_ORACLE = """
+  SELECT * FROM (VALUES
+    ('n_cells', CAST(25 AS BIGINT)),
+    ('n_edges', CAST(24 AS BIGINT)),
+    ('null_edges', CAST(0 AS BIGINT)),
+    ('first_origin_matches', CAST(1 AS BIGINT)),
+    ('last_dest_matches', CAST(1 AS BIGINT))
+  ) AS t(what, val)
+  ORDER BY what
+"""
+
+
+@register("golden_cells_to_edges", oracle=_CELLS_TO_EDGES_ORACLE)
+def golden_cells_to_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 pinned to the reference's test_continuous_cells_to_edges
+    (h3ron/src/iter/edge.rs:160-185): the res-4 trace of the line
+    (10,20)->(20,20) yields 25 continuous cells; the lag-window edge
+    construction emits exactly cells-1 valid edges whose first origin
+    and last destination are the line's end cells."""
+    from h3ron_spark.h3core.regions import line_to_cells
+    from h3ron_spark.operators.neighbors import continuous_cells_to_edges
+
+    cells = line_to_cells([(20.0, 10.0), (20.0, 20.0)], 4)
+    df = local_df(
+        spark, list(enumerate(cells)), "pos int, cell long"
+    )
+    edges = continuous_cells_to_edges(df, "cell", "pos").select(
+        "pos", "cell", "next_cell", "edge",
+        B.h3_edge_origin("edge").alias("_eo"),
+        G.h3_edge_destination("edge").alias("_ed"),
+    )
+    agg = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.col("edge").isNull().cast("long")).alias("null_edges"),
+        F.max(
+            ((F.col("pos") == 0) & (F.col("_eo") == F.lit(cells[0])))
+            .cast("long")
+        ).alias("first_origin_matches"),
+        F.max(
+            (
+                (F.col("next_cell") == F.lit(cells[-1]))
+                & (F.col("_ed") == F.lit(cells[-1]))
+            ).cast("long")
+        ).alias("last_dest_matches"),
+    ).withColumn("n_cells", F.lit(len(cells)).cast("long"))
+    long = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("what"),
+                        F.col(w).cast("long").alias("val"),
+                    )
+                    for w in (
+                        "n_cells",
+                        "n_edges",
+                        "null_edges",
+                        "first_origin_matches",
+                        "last_dest_matches",
+                    )
+                ]
+            )
+        ).alias("s")
+    ).select("s.what", "s.val")
+    return long.orderBy("what")
+
+
+# ---------------------------------------------------------------------
+# P16: neighbors_within_distance_window (iter/neighbor.rs tests)
+# ---------------------------------------------------------------------
+
+_NEIGHBOR_WINDOW_ORACLE = """
+  SELECT * FROM (VALUES
+    ('or_default', CAST(6 AS BIGINT), CAST(36 AS BIGINT),
+     CAST(24 AS BIGINT)),
+    ('window', CAST(6 AS BIGINT), CAST(36 AS BIGINT), CAST(36 AS BIGINT)),
+    ('window_empty', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+     CAST(0 AS BIGINT))
+  ) AS t(variant, n_rows, sum_neighbor_value, sum_cell_value)
+  ORDER BY variant
+"""
+
+
+@register("golden_neighbor_window", oracle=_NEIGHBOR_WINDOW_ORACLE)
+def golden_neighbor_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 pinned to the reference's three
+    neighbors_within_distance_window[_or_default] tests
+    (h3ron/src/iter/neighbor.rs:154-228) at its (12.3, 45.4) res-6
+    cell, window [1,1]: values-everywhere -> 6 neighbors valued 6;
+    center-only value 4 + default 6 -> 6 defaulted rows with
+    cell_value 4; empty value map -> zero rows."""
+    from h3ron_spark.operators.neighbors import (
+        neighbors_within_distance_window,
+    )
+
+    cell = h3c.latlng_to_cell(45.4, 12.3, 6)  # Coord (x=lng 12.3, y=lat 45.4)
+    cells = local_df(spark, [(cell,)], "cell long")
+    disk2_vals = local_df(
+        spark,
+        [(c, 6) for c in h3c.grid_disk(cell, 2)],
+        "cell long, value int",
+    )
+    center_val = local_df(spark, [(cell, 4)], "cell long, value int")
+    empty_vals = disk2_vals.filter(F.lit(False))
+
+    def summarize(variant, out):
+        return out.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("neighbor_value"), F.lit(0))
+            .cast("long")
+            .alias("sum_neighbor_value"),
+            F.coalesce(F.sum("cell_value"), F.lit(0))
+            .cast("long")
+            .alias("sum_cell_value"),
+        ).withColumn("variant", F.lit(variant))
+
+    win = summarize(
+        "window",
+        neighbors_within_distance_window(cells, disk2_vals, 1, 1),
+    )
+    dflt = summarize(
+        "or_default",
+        neighbors_within_distance_window(
+            cells, center_val, 1, 1, default=6
+        ),
+    )
+    empty = summarize(
+        "window_empty",
+        neighbors_within_distance_window(
+            cells, empty_vals, 1, 1, default=6
+        ),
+    )
+    return (
+        win.unionByName(dflt)
+        .unionByName(empty)
+        .select("variant", "n_rows", "sum_neighbor_value", "sum_cell_value")
+        .orderBy("variant")
+    )
