@@ -671,6 +671,53 @@ def sssp_frontier(
     return dist
 
 
+def backtrack_paths(dist: DataFrame, destinations, max_hops: int = 10_000):
+    """Extract explicit cell paths from a ``track_parents`` forest
+    (:func:`sssp_frontier`) for a SMALL destination set. One filtered
+    scan of the (checkpointed) forest per hop level: cost scales with
+    path length x |forest partitions|, so use it for bounded floods /
+    few destinations; for bulk analysis read the forest relationally
+    instead — it IS the scalable path representation.
+
+    Returns {(origin, destination): [cells origin..destination]};
+    unreachable destinations are absent."""
+    if "parent" not in dist.columns:
+        raise ValueError("dist must come from sssp_frontier(track_parents=True)")
+    d = dist.select("origin", "cell", "parent")
+    dest_set = {int(x) for x in destinations}
+    # chains under construction: (origin, dest) -> [dest, ..., cur]
+    seed = [
+        (r["origin"], r["cell"], r["parent"])
+        for r in d.filter(F.col("cell").isin([int(x) for x in dest_set]))
+        .collect()
+    ]
+    chains = {(o, c): [c] for o, c, _p in seed}
+    at = {(o, c): p for o, c, p in seed}  # next parent to resolve
+    done: dict = {}
+    for _ in range(max_hops):
+        pending = {k: p for k, p in at.items() if p is not None}
+        for k in list(at.keys()):
+            if at[k] is None:  # reached the origin label
+                done[k] = list(reversed(chains.pop(k)))
+                del at[k]
+        if not pending:
+            break
+        need_cells = sorted({p for p in pending.values()})
+        fetched = {
+            (r["origin"], r["cell"]): r["parent"]
+            for r in d.filter(F.col("cell").isin(need_cells)).collect()
+        }
+        for k, p in pending.items():
+            o, _dest = k
+            chains[k].append(p)
+            at[k] = fetched.get((o, p))
+            if (o, p) not in fetched:
+                # broken chain (shouldn't happen on a converged forest)
+                chains.pop(k)
+                del at[k]
+    return done
+
+
 def covered_area(
     edges: DataFrame,
     reduce_res: int,

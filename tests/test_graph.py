@@ -378,3 +378,29 @@ def test_sssp_frontier_join_fallback_matches_broadcast(spark):
     sa = {(r["origin"], r["cell"], round(r["weight"], 9)) for r in a}
     sb = {(r["origin"], r["cell"], round(r["weight"], 9)) for r in b}
     assert sa == sb and len(sa) > 10
+
+
+def test_backtrack_paths_from_parent_forest(spark):
+    """backtrack_paths reconstructs explicit origin->destination cell
+    chains from the track_parents forest whose edge-weight sums equal
+    the converged labels exactly."""
+    from h3ron_spark.graph.algorithms import backtrack_paths
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    def w(x, y, dx, dy):
+        return 1.0 + ((x * 7 + y * 13 + (dx + 1) * 3 + (dy + 1)) % 5) / 4.0
+
+    edges = torus_grid_graph(spark, 20, directions=4, weight_expr=w)
+    dist = GR.sssp_frontier(edges, [0], threshold=5.0, track_parents=True)
+    lab = {r["cell"]: r["weight"] for r in dist.collect()}
+    dests = sorted(c for c in lab if c != 0)[:3]
+    paths = backtrack_paths(dist, dests)
+    ew = {
+        (r["origin"], r["destination"]): r["weight"]
+        for r in edges.collect()
+    }
+    assert set(paths) == {(0, d) for d in dests}
+    for (o, d), cells in paths.items():
+        assert cells[0] == o and cells[-1] == d
+        total = sum(ew[(a, b)] for a, b in zip(cells, cells[1:]))
+        assert abs(total - lab[d]) < 1e-9
