@@ -1,0 +1,67 @@
+"""Deterministic corpus sampling / mixing operators.
+
+Training pipelines need splits and quotas that are (a) stable across
+runs and engines (no RNG state), (b) content- or id-keyed so late
+additions don't reshuffle earlier assignments, and (c) pure column
+expressions so a 100 TB scan stays JVM-side. Everything here keys on
+md5 of the id/content, which both Spark and DuckDB evaluate
+bit-identically (the same trick the MinHash oracles use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from md5 of the column —
+    stable across engines/runs, unlike sample()/rand()."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    ).cast("int")
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Assign a stable 'train'/'test' split by hash bucket of the key:
+    the lowest ``test_pct`` buckets are test. Deterministic, and a row
+    keeps its split when the corpus grows."""
+    b = hash_bucket(key_col, buckets)
+    return df.withColumn(
+        "split", F.when(b < test_pct, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def source_quota(
+    df: DataFrame,
+    source_col: str,
+    max_per_source: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Data mixing: cap each source's contribution at
+    ``max_per_source`` rows, keeping a deterministic hash-ordered
+    prefix (so the kept subset is stable as the corpus grows, not
+    'first N by ingestion order').
+
+    Scale note: a row_number window per source is the natural plan and
+    is safe here because the per-key state is a single counter and the
+    sort key is a hash (uniform) — but a corpus-hot source still
+    funnels through one task's sort. For quota << source size, a
+    cheaper pre-filter on the hash bucket can shrink the window input
+    first; that refinement keys off the same deterministic hash, so
+    layering it later cannot change which rows are kept."""
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(source_col).orderBy(h, key_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_source)
+        .drop("_rn")
+    )

@@ -385,6 +385,75 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SPLIT_ORACLE = """
+  WITH b AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 100 AS INT) AS bucket
+    FROM documents
+  )
+  SELECT CASE WHEN bucket < 10 THEN 'test' ELSE 'train' END AS split,
+         count(*) AS n_docs,
+         count(DISTINCT source) AS n_sources,
+         min(doc_id) AS min_doc
+  FROM b GROUP BY split ORDER BY split
+"""
+
+
+@register("pipeline_train_test_split", oracle=_SPLIT_ORACLE)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/test split (10% test): stable
+    across runs, engines, and corpus growth — no RNG. Pure column
+    expressions; the only shuffle is the per-split aggregate."""
+    from h3ron_spark.pipeline import sampling as SP
+
+    docs = load(spark, sf_dir, "documents")
+    out = SP.train_test_split(docs, "doc_id", test_pct=10)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+_QUOTA_ORACLE = """
+  WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+  )
+  SELECT source, count(*) AS n_kept, sum(doc_id) AS sum_ids
+  FROM ranked WHERE rn <= 40
+  GROUP BY source ORDER BY source
+"""
+
+
+@register("pipeline_source_quota", oracle=_QUOTA_ORACLE)
+def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing: cap every source at 40 documents, keeping the
+    deterministic hash-ordered prefix so the kept subset is stable as
+    the corpus grows (not ingestion-order 'first N')."""
+    from h3ron_spark.pipeline import sampling as SP
+
+    docs = load(spark, sf_dir, "documents")
+    kept = SP.source_quota(docs, "source", 40, key_col="doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
 _VOCAB_ORACLE = rf"""
   WITH tok AS (
     SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
