@@ -429,7 +429,8 @@ _QUOTA_ORACLE = """
            ) AS rn
     FROM documents
   )
-  SELECT source, count(*) AS n_kept, sum(doc_id) AS sum_ids
+  SELECT source, count(*) AS n_kept,
+         CAST(sum(doc_id) AS BIGINT) AS sum_ids
   FROM ranked WHERE rn <= 40
   GROUP BY source ORDER BY source
 """
