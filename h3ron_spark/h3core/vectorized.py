@@ -446,31 +446,122 @@ def _ijk_rotate60_ccw_np(i, j, k):
     return _ijk_normalize_np(i + k, i + j, j + k)
 
 
+def _ijk_rotate60_cw_np(i, j, k):
+    return _ijk_normalize_np(i + j, j + k, i + k)
+
+
 def _lround_np(x):
     return np.where(
         x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)
     ).astype(_I64)
 
 
+def _leading_nonzero_digit_np(c, res):
+    """Vectorized index.leading_nonzero_digit."""
+    lead = np.zeros(c.shape, dtype=_I64)
+    found = np.zeros(c.shape, dtype=bool)
+    for r in range(1, 16):
+        m = (res >= r) & ~found
+        if not m.any():
+            break
+        d = (c >> _I64(3 * (15 - r))) & _I64(7)
+        newly = m & (d != 0)
+        lead = np.where(newly, d, lead)
+        found |= newly
+    return lead
+
+
+def _rotate60_cw_index_np(c, res, mask):
+    """Vectorized index.rotate60_cw on the masked rows: every digit
+    mapped through the cw table (= 5 ccw compositions)."""
+    cw = _luts()["rot_pow"][5]
+    out = c.copy()
+    for r in range(1, 16):
+        m = mask & (res >= r)
+        if not m.any():
+            break
+        shift = _I64(3 * (15 - r))
+        d = (out >> shift) & _I64(7)
+        nd = cw[d]
+        out = np.where(m, (out & ~(_I64(7) << shift)) | (nd << shift), out)
+    return out
+
+
+def _adjust_overage_cii_core(face, si, sj, sk, eff_res, eligible, pl4=None):
+    """One pass of index.adjust_overage_class_ii (substrate=False) in
+    ALREADY-substrate coordinates, vectorized: rows in ``eligible``
+    whose coords overflow their face translate onto the neighbor
+    face's grid; ``pl4`` rows crossing the ki edge first rotate about
+    the pentagonal corner to skip the deleted-K subsequence
+    (index.py:243-254). Returns (face, i, j, k, adjusted_mask)."""
+    T = _decode_tables()
+    maxd = T["max_dim"][eff_res]
+    over = ((si + sj + sk) > maxd) & eligible
+    if not over.any():
+        return face, si, sj, sk, over
+    # direction chosen from the PRE-rotation coords (scalar order)
+    dir_idx = np.where(sk > 0, np.where(sj > 0, 2, 1), 0)
+    if pl4 is not None:
+        cr = over & pl4 & (sk > 0) & (sj <= 0)
+        if cr.any():
+            ti, tj, tk = _ijk_rotate60_cw_np(si - maxd, sj, sk)
+            si = np.where(cr, ti + maxd, si)
+            sj = np.where(cr, tj, sj)
+            sk = np.where(cr, tk, sk)
+    nf = T["fn_face"][face, dir_idx]
+    rot = T["fn_rot"][face, dir_idx]
+    ti = T["fn_trans"][face, dir_idx, 0]
+    tj = T["fn_trans"][face, dir_idx, 1]
+    tk = T["fn_trans"][face, dir_idx, 2]
+    oi, oj, ok_ = si.copy(), sj.copy(), sk.copy()
+    for step in range(5):
+        rm = over & (rot > step)
+        if not rm.any():
+            break
+        ri, rj, rk = _ijk_rotate60_ccw_np(oi, oj, ok_)
+        oi = np.where(rm, ri, oi)
+        oj = np.where(rm, rj, oj)
+        ok_ = np.where(rm, rk, ok_)
+    scale = T["unit_scale"][eff_res]
+    oi, oj, ok_ = _ijk_normalize_np(
+        oi + ti * scale, oj + tj * scale, ok_ + tk * scale
+    )
+    face = np.where(over, nf, face)
+    si = np.where(over, oi, si)
+    sj = np.where(over, oj, sj)
+    sk = np.where(over, ok_, sk)
+    return face, si, sj, sk, over
+
+
 def decode_face_ijk_np(cells: np.ndarray):
-    """Vectorized h3_to_face_ijk for hexagon-based cells: returns
-    (face, i, j, k, fallback) where fallback marks pentagon-base rows
-    that must take the scalar path. Caller guarantees valid cells.
-    Integer math only — bit-exact vs index.h3_to_face_ijk."""
+    """Vectorized h3_to_face_ijk for ALL cells, pentagon base cells
+    included: leading-5 rows rotate the whole index cw first
+    (index.py:290-291), the digit walk runs from the home (face, ijk),
+    and overage adjusts on the Class II substrate — one pass for
+    hexagon bases, looped to fixpoint for pentagon bases with the
+    deleted-K corner rotation on leading-4 rows (index.py:303-316).
+    Returns (face, i, j, k, fallback); fallback is now always-False,
+    kept for caller compatibility. Integer math only — bit-exact vs
+    index.h3_to_face_ijk."""
     T = _decode_tables()
     c = np.asarray(cells, dtype=_I64)
     n = c.shape[0]
     res = ((c >> _I64(52)) & _I64(15)).astype(_I64)
     bc = ((c >> _I64(45)) & _I64(127)).astype(_I64)
-    fallback = T["is_pent"][np.clip(bc, 0, 121)]
+    pentb = T["is_pent"][np.clip(bc, 0, 121)]
+    lead = _leading_nonzero_digit_np(c, res)
+    rot5 = pentb & (lead == 5)
+    if rot5.any():
+        c = _rotate60_cw_index_np(c, res, rot5)
+        lead = np.where(rot5, _luts()["rot_pow"][5][lead], lead)
     face = T["home_face"][bc].copy()
     i = T["home_i"][bc].copy()
     j = T["home_j"][bc].copy()
     k = T["home_k"][bc].copy()
     # scalar rule (_h3_to_face_ijk_with_initialized): overage is
     # impossible for a non-pentagon when res==0 or the home coord is
-    # the face center; pentagon rows are fallback-routed anyway
-    possible = ~((res == 0) | ((i | j | k) == 0))
+    # the face center; pentagon bases can always overflow
+    possible = pentb | ~((res == 0) | ((i | j | k) == 0))
     for r in range(1, 16):
         m = res >= r
         if not m.any():
@@ -488,10 +579,41 @@ def decode_face_ijk_np(cells: np.ndarray):
         i = np.where(m, ni, i)
         j = np.where(m, nj, j)
         k = np.where(m, nk, k)
-    # ---- single overage adjustment (hexagons never loop) ----
-    eligible = possible & ~fallback
-    face, i, j, k, _still = _adjust_overage_np(face, i, j, k, res, eligible)
-    return face, i, j, k, fallback
+    # ---- overage: substrate-ify odd rows, adjust, un-substrate ----
+    odd = (res % 2) == 1
+    eff_res = res + odd.astype(_I64)
+    si = np.where(odd, 3 * i + k, i)
+    sj = np.where(odd, i + 3 * j, j)
+    sk = np.where(odd, j + 3 * k, k)
+    si, sj, sk = _ijk_normalize_np(si, sj, sk)
+    pl4 = pentb & (lead == 4)
+    face, si, sj, sk, adj = _adjust_overage_cii_core(
+        face, si, sj, sk, eff_res, possible, pl4=pl4
+    )
+    adjusted = adj.copy()
+    # pentagon bases loop to fixpoint (index.py:308-314); hexagons
+    # never re-overflow after one adjustment
+    for _ in range(4):
+        face, si, sj, sk, adj = _adjust_overage_cii_core(
+            face, si, sj, sk, eff_res, adjusted & pentb
+        )
+        if not adj.any():
+            break
+        adjusted |= adj
+    if adjusted.any():
+        # odd adjusted rows return to the cell grid via up_ap7r
+        ia = (si - sk).astype(np.float64)
+        ja = (sj - sk).astype(np.float64)
+        ui = _lround_np((2.0 * ia + ja) / 7.0)
+        uj = _lround_np((3.0 * ja - ia) / 7.0)
+        ui, uj, uk = _ijk_normalize_np(ui, uj, np.zeros_like(ui))
+        fi = np.where(odd, ui, si)
+        fj = np.where(odd, uj, sj)
+        fk = np.where(odd, uk, sk)
+        i = np.where(adjusted, fi, i)
+        j = np.where(adjusted, fj, j)
+        k = np.where(adjusted, fk, k)
+    return face, i, j, k, np.zeros(n, dtype=bool)
 
 
 def _adjust_overage_np(face, i, j, k, res, eligible=None):
@@ -664,7 +786,11 @@ def cell_to_boundary_np(cells: np.ndarray):
     c = np.asarray(cells, dtype=_I64)
     n = c.shape[0]
     res = ((c >> _I64(52)) & _I64(15)).astype(_I64)
-    face, i, j, k, fb = decode_face_ijk_np(c)
+    face, i, j, k, _fb = decode_face_ijk_np(c)
+    # actual pentagon CELLS keep the scalar 5-vertex path (deleted-K
+    # vertex set); pentagon-base hexagons go through the generic
+    # vertex kernel like libh3's hexagon boundary does
+    fb = _is_pentagon_np(c, res)
     odd = (res % 2) == 1
     # aperture-3x3r substrate: down_ap3 then down_ap3r (+ap7r if odd)
     i, j, k = _ijk_normalize_np(2 * i + j, 2 * j + k, i + 2 * k)
@@ -969,6 +1095,55 @@ def _disk_offset_arrays(k: int):
     return got
 
 
+def _disk_encode_group(
+    rows, rv, fi, fj, fk, faces, offs, od, m, k_min, fallback, counts,
+    groups,
+):
+    """Encode one cache-sized chunk of same-res disk rows: offset
+    expansion, vectorized overage translation, batch ijk->h3 encode,
+    dedup/pentagon bail-out marking, and per-row (cell, k) column
+    ordering. Mutates ``fallback``/``counts`` and appends to
+    ``groups`` (see grid_disk_distances_batch)."""
+    big_i = (fi[rows][:, None] + offs[:, 0][None, :]).ravel()
+    big_j = (fj[rows][:, None] + offs[:, 1][None, :]).ravel()
+    big_k = (fk[rows][:, None] + offs[:, 2][None, :]).ravel()
+    ii, jj, kk = _norm3(big_i, big_j, big_k)
+    bigf = np.repeat(faces[rows], m)
+    # face-crossing offsets translate onto the neighbor face's
+    # grid (vectorized adjust_overage_class_ii) instead of
+    # falling the whole row back to the scalar BFS; only double
+    # (corner) overage, pentagon hits, and duplicates still bail
+    bigf, ii, jj, kk, still = _adjust_overage_np(
+        bigf, ii, jj, kk, int(rv)
+    )
+    h, fb, padj = _ijk_to_h3(bigf, ii, jj, kk, int(rv))
+    # wedge-glued positions and actual pentagon outputs distort
+    # offset distances — those rows take the exact scalar BFS
+    fb |= still | padj
+    fb |= _is_pentagon_np(h, np.full(h.shape, int(rv), dtype=_I64))
+    H = h.reshape(-1, m)
+    bad = fb.reshape(-1, m).any(axis=1)
+    hs = np.sort(H, axis=1)
+    bad |= (hs[:, 1:] == hs[:, :-1]).any(axis=1)
+    good = ~bad
+    fallback[rows[bad]] = True
+    grows = rows[good]
+    if grows.size == 0:
+        return
+    G = H[good]
+    idx1 = np.argsort(G, axis=1, kind="stable")
+    G = np.take_along_axis(G, idx1, axis=1)
+    D = np.take_along_axis(
+        np.broadcast_to(od, G.shape), idx1, axis=1
+    )
+    idx2 = np.argsort(D, axis=1, kind="stable")
+    G = np.take_along_axis(G, idx2, axis=1)
+    D = np.take_along_axis(D, idx2, axis=1)
+    kcols = np.nonzero(D[0] >= k_min)[0]
+    counts[grows] = kcols.size
+    groups.append((grows, G[:, kcols], D[:, kcols]))
+
+
 def grid_disk_distances_batch(
     cells: np.ndarray, k_max: int, k_min: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1024,46 +1199,19 @@ def grid_disk_distances_batch(
             fk[t] = c
 
     groups: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    # chunk each res group so the m-wide expansion's temporaries stay
+    # cache-resident: beyond ~10^6 elements the encode's memory-bound
+    # array passes fall off L2/L3 and per-element cost TRIPLES
+    # (measured 20k rows x 37 offsets: 150us/row vs 460us/row at 200k)
+    chunk_rows = max(1, 250_000 // m)
     for rv in np.unique(res[decomp_rows]) if decomp_rows.size else ():
-        rows = decomp_rows[res[decomp_rows] == rv]
-        big_i = (fi[rows][:, None] + offs[:, 0][None, :]).ravel()
-        big_j = (fj[rows][:, None] + offs[:, 1][None, :]).ravel()
-        big_k = (fk[rows][:, None] + offs[:, 2][None, :]).ravel()
-        ii, jj, kk = _norm3(big_i, big_j, big_k)
-        bigf = np.repeat(faces[rows], m)
-        # face-crossing offsets translate onto the neighbor face's
-        # grid (vectorized adjust_overage_class_ii) instead of
-        # falling the whole row back to the scalar BFS; only double
-        # (corner) overage, pentagon hits, and duplicates still bail
-        bigf, ii, jj, kk, still = _adjust_overage_np(
-            bigf, ii, jj, kk, int(rv)
-        )
-        h, fb, padj = _ijk_to_h3(bigf, ii, jj, kk, int(rv))
-        # wedge-glued positions and actual pentagon outputs distort
-        # offset distances — those rows take the exact scalar BFS
-        fb |= still | padj
-        fb |= _is_pentagon_np(h, np.full(h.shape, int(rv), dtype=_I64))
-        H = h.reshape(-1, m)
-        bad = fb.reshape(-1, m).any(axis=1)
-        hs = np.sort(H, axis=1)
-        bad |= (hs[:, 1:] == hs[:, :-1]).any(axis=1)
-        good = ~bad
-        fallback[rows[bad]] = True
-        grows = rows[good]
-        if grows.size == 0:
-            continue
-        G = H[good]
-        idx1 = np.argsort(G, axis=1, kind="stable")
-        G = np.take_along_axis(G, idx1, axis=1)
-        D = np.take_along_axis(
-            np.broadcast_to(od, G.shape), idx1, axis=1
-        )
-        idx2 = np.argsort(D, axis=1, kind="stable")
-        G = np.take_along_axis(G, idx2, axis=1)
-        D = np.take_along_axis(D, idx2, axis=1)
-        kcols = np.nonzero(D[0] >= k_min)[0]
-        counts[grows] = kcols.size
-        groups.append((grows, G[:, kcols], D[:, kcols]))
+        res_rows = decomp_rows[res[decomp_rows] == rv]
+        for s in range(0, res_rows.size, chunk_rows):
+            rows = res_rows[s : s + chunk_rows]
+            _disk_encode_group(
+                rows, rv, fi, fj, fk, faces, offs, od, m, k_min,
+                fallback, counts, groups,
+            )
 
     fb_rows = np.nonzero(fallback)[0]
     # straight to the BFS: these rows were flagged precisely because

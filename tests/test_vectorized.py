@@ -80,25 +80,25 @@ def test_vector_decode_integer_parity_and_tolerance():
     cells = cells[cells != 0]
 
     face, i, j, k, fb = V.decode_face_ijk_np(cells)
-    n_checked = 0
+    # pentagon BASE cells decode vectorized too now (leading-5 index
+    # rotation + looped substrate overage with the deleted-K corner
+    # rotation): no scalar fallback remains anywhere in the decode
+    assert not fb.any()
+    has_pent_base = False
     for t, c in enumerate(cells):
-        if fb[t]:
-            continue
         f_s, coord = ix.h3_to_face_ijk(int(c))
         assert (f_s, coord) == (
             int(face[t]),
             (int(i[t]), int(j[t]), int(k[t])),
         ), hex(int(c))
-        n_checked += 1
-    assert n_checked > 2000
+        has_pent_base = has_pent_base or ix.get_base_cell(int(c)) in ix._PENT_SET
+    assert len(cells) > 2000 and has_pent_base
 
     la, ln = V.cell_to_latlng_np(cells)
     for t, c in enumerate(cells):
         a, b = ix.cell_to_latlng(int(c))
         assert abs(a - la[t]) < 1e-12, hex(int(c))
         assert abs(b - ln[t]) < 1e-12, hex(int(c))
-    # pentagon rows took the scalar path and are exact
-    assert fb.any()
 
 
 def test_vector_decode_invalid_rows_nan():
@@ -107,3 +107,31 @@ def test_vector_decode_invalid_rows_nan():
     )
     assert np.isnan(la[:3]).all() and np.isnan(ln[:3]).all()
     assert np.isfinite(la[3]) and np.isfinite(ln[3])
+
+
+def test_pentagon_base_decode_exhaustive_parity():
+    """Every res-3 descendant of all 12 pentagon base cells (covers
+    leading digits 0/4/5, the deleted-K corner rotation, and the
+    looped substrate overage) plus sampled res-5 children decode
+    bit-identically to the scalar h3_to_face_ijk."""
+    import h3ron_spark.h3core.index as ix
+    from h3ron_spark.h3core import cells as CM
+    from h3ron_spark.h3core import vectorized as V
+    from h3ron_spark.h3core.constants import PENTAGON_BASE_CELLS
+
+    battery = []
+    for pb in PENTAGON_BASE_CELLS:
+        pent0 = ix.init_cell(0) | (pb << 45)
+        kids = CM.cell_to_children(pent0, 3)
+        battery.extend(kids)
+        for c in kids[::97]:
+            battery.extend(CM.cell_to_children(c, 5)[::13])
+    arr = np.array(sorted(set(battery)), dtype=np.int64)
+    face, i, j, k, fb = V.decode_face_ijk_np(arr)
+    assert not fb.any()
+    for t in range(arr.size):
+        f_s, coord = ix.h3_to_face_ijk(int(arr[t]))
+        assert (f_s, coord) == (
+            int(face[t]),
+            (int(i[t]), int(j[t]), int(k[t])),
+        ), hex(int(arr[t]))
