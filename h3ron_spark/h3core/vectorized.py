@@ -119,19 +119,11 @@ def _luts() -> dict:
 
 
 def _norm3(i, j, k):
-    """Vectorized ijk_normalize (coords.py:27-41)."""
-    neg = i < 0
-    j = j - i * neg
-    k = k - i * neg
-    i = i * ~neg
-    neg = j < 0
-    i = i - j * neg
-    k = k - j * neg
-    j = j * ~neg
-    neg = k < 0
-    i = i - k * neg
-    j = j - k * neg
-    k = k * ~neg
+    """Vectorized ijk_normalize (coords.py:27-41). Every scalar
+    normalize step subtracts the SAME value from all three axes (a
+    uniform shift), so the staged negative-elimination composes to the
+    single closed form x - min(i, j, k) — 5 array passes instead of
+    ~18 (the encode kernel's hottest helper)."""
     m = np.minimum(np.minimum(i, j), k)
     return i - m, j - m, k - m
 
