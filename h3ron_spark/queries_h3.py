@@ -1303,6 +1303,46 @@ def geo_raster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_REAL_DECODE_ORACLE = """
+  SELECT * FROM (VALUES
+    ('audio', CAST(16 AS BIGINT), CAST(0.1667 AS DOUBLE),
+     CAST(0.25 AS DOUBLE), CAST(0.1942 AS DOUBLE),
+     CAST(0.2158 AS DOUBLE)),
+    ('image', CAST(16 AS BIGINT), CAST(47.5 AS DOUBLE),
+     CAST(32.0 AS DOUBLE), CAST(0.4037 AS DOUBLE),
+     CAST(0.2799 AS DOUBLE))
+  ) AS t(kind, n_assets, avg_f1, avg_f2, avg_f3, avg_f4)
+  ORDER BY kind
+"""
+
+
+@register("mm_real_decode", oracle=_MM_REAL_DECODE_ORACLE)
+def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end (no codec libraries): the fixture
+    table's payloads are actual PCM16 RIFF/WAVE and binary PPM
+    containers, decoded by the pure-Python parsers inside the Arrow
+    batch kernel — sample rates, durations, RMS/zero-cross rates for
+    audio; dimensions and pixel statistics for images. Compressed
+    formats remain the documented stub boundary."""
+    from h3ron_spark.pipeline import multimodal as MM
+
+    media = MM.synthetic_media_real(spark, 32)
+    feats = MM.extract_features(media, fake=False)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            *[
+                F.round(F.avg(F.element_at("feature", p + 1)), 4).alias(
+                    f"avg_f{p}"
+                )
+                for p in (1, 2, 3, 4)
+            ],
+        )
+        .orderBy("kind")
+    )
+
+
 _MM_FEATURES_ORACLE = """
   SELECT * FROM (VALUES
     ('audio', CAST(32 AS BIGINT), CAST(0.061309 AS DOUBLE)),

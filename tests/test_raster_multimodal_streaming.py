@@ -290,3 +290,34 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
 
     exp = {hashlib.md5(f"text-{i}".encode()).hexdigest() for i in range(20)}
     assert got == exp
+
+
+def test_wav_ppm_roundtrip_and_real_features():
+    s = np.arange(-500, 500, dtype=np.int16)
+    rate, back = MM.decode_wav(MM.wav_bytes(s, 16000))
+    assert rate == 16000 and (back == s).all()
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (MM.decode_ppm(MM.ppm_bytes(px)) == px).all()
+    f = MM.real_decode_features(MM.wav_bytes(s, 16000))
+    assert f[0] == 1.0 and abs(f[2] - 1000 / 16000) < 1e-12
+    f = MM.real_decode_features(MM.ppm_bytes(px))
+    assert f[:3] == [2.0, 3.0, 2.0] and f[5] == 3.0
+    with pytest.raises(NotImplementedError):
+        MM.real_decode_features(b"\x89PNG\r\n....")
+
+
+def test_real_ppm_resize_end_to_end(spark):
+    media = MM.synthetic_media_real(spark, 8)
+    out = MM.resize_media(media, 16, 12, fake=False)
+    rows = out.filter(out.kind == "image").collect()
+    assert rows
+    for r in rows:
+        px = MM.decode_ppm(bytes(r["payload"]))
+        assert px.shape == (12, 16, 3)
+        assert (r["meta"]["width"], r["meta"]["height"]) == (16, 12)
+
+
+def test_pgm_grayscale_decode():
+    payload = b"P5\n# comment\n4 2\n255\n" + bytes(range(8))
+    px = MM.decode_ppm(payload)
+    assert px.shape == (2, 4, 1) and px.ravel().tolist() == list(range(8))
