@@ -243,3 +243,36 @@ def test_paragraph_dedup_keep_first_and_null_when_empty(spark):
     assert out[2]["text"] == "gamma"
     assert (out[3]["n_lines"], out[3]["n_kept"]) == (2, 0)
     assert out[3]["text"] is None
+
+
+def test_paragraph_dedup_corpus_hot_key(spark):
+    """A boilerplate paragraph shared by EVERY document (the skew case
+    the groupBy-min design exists for): exactly one global survivor,
+    every doc keeps its unique lines, and no per-key window sort is in
+    the plan."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.pipeline import dedup as DD
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared boilerplate line\nunique-"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = DD.paragraph_dedup(docs)
+    agg = out.agg(
+        F.sum("n_lines").alias("nl"),
+        F.sum("n_kept").alias("nk"),
+        F.sum((F.col("n_kept") == 2).cast("int")).alias("full"),
+    ).collect()[0]
+    assert agg["nl"] == 4000
+    assert agg["nk"] == 2001  # 2000 unique + ONE boilerplate survivor
+    assert agg["full"] == 1   # only doc 0 keeps both lines
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Window" not in plan
