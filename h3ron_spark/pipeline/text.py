@@ -188,6 +188,30 @@ def top_bigram_fraction(text) -> Column:
     return with_tokens(text, build)
 
 
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style perplexity proxy: score each document by the mean
+    negative log-probability of its tokens under the corpus's own
+    unigram distribution (high = unusual/garbage tokens, low =
+    head-heavy text). Two passes, all JVM: (1) token counts — one
+    map-side-combinable aggregation; (2) explode + broadcast-join the
+    (vocabulary-sized) frequency table + per-doc mean. Returns
+    (id, n_tokens, mean_neg_logp)."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    freqs = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = tok.count()
+    scored = tok.join(F.broadcast(freqs), "tok").withColumn(
+        "_nlp", -F.log(F.col("_cnt") / F.lit(float(total)))
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_nlp"), 4).alias("mean_neg_logp"),
+    )
+
+
 def repetition_flags(
     text,
     max_top_token_fraction: float = 0.2,

@@ -455,6 +455,40 @@ def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIGRAM_ORACLE = r"""
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents
+  ), freqs AS (
+    SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+  ), total AS (
+    SELECT count(*)::DOUBLE AS n FROM tok
+  )
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         round(avg(-ln(f.cnt / total.n)), 4) AS mean_neg_logp
+  FROM tok t JOIN freqs f ON t.tok = f.tok, total
+  GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: per-document mean negative token
+    log-probability under the corpus's own unigram distribution — the
+    standard LM-lite quality gate. Pass 1 is one combinable count
+    aggregation; pass 2 broadcast-joins the vocabulary-sized frequency
+    table into the exploded tokens. No Python anywhere."""
+    from h3ron_spark.pipeline import text as TX
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents").repartition(par)
+    out = TX.unigram_logprob_scores(docs)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "mean_neg_logp"
+    ).orderBy("doc_id")
+
+
 _VOCAB_ORACLE = rf"""
   WITH tok AS (
     SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
