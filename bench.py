@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "text_decontaminate",
     "text_vocab_topk",
+    "text_unigram_logprob",
     "dedup_minhash_lsh",
     "ann_topk_cosine",
     "ann_lsh_topk",
