@@ -321,3 +321,37 @@ def test_pgm_grayscale_decode():
     payload = b"P5\n# comment\n4 2\n255\n" + bytes(range(8))
     px = MM.decode_ppm(payload)
     assert px.shape == (2, 4, 1) and px.ravel().tolist() == list(range(8))
+
+
+def test_wav_ppm_hypothesis_roundtrip_laws():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=400,
+        ),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def wav_law(samples, rate):
+        s = np.array(samples, dtype=np.int16)
+        r, back = MM.decode_wav(MM.wav_bytes(s, rate))
+        assert r == rate and (back == s).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=255),
+    )
+    def ppm_law(w, h, seed):
+        px = ((np.arange(h * w * 3) * 31 + seed) % 256).astype(
+            np.uint8
+        ).reshape(h, w, 3)
+        assert (MM.decode_ppm(MM.ppm_bytes(px)) == px).all()
+
+    wav_law()
+    ppm_law()
