@@ -1280,11 +1280,16 @@ def geo_ring_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def geo_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isochrone flood on the event line graph, min-merged over two
     origins; returns the reachable-cell histogram by integer cost."""
-    from h3ron_spark.graph import graph_nodes, within_weight_threshold
+    from h3ron_spark.graph import within_weight_threshold
 
     g = _event_line_graph(spark, sf_dir)
-    nodes = [r.cell for r in graph_nodes(g).orderBy("cell").limit(2).collect()]
-    iso = within_weight_threshold(g, nodes, 25.0, aggregate="min")
+    prepared = _prepared_line_graph(spark, g, (sf_dir, 40, 6))
+    # first two nodes in cell order, read off the prepared (sorted)
+    # node array — identical to graph_nodes().orderBy().limit(2)
+    nodes = [int(x) for x in prepared.value[6][:2]]
+    iso = within_weight_threshold(
+        g, nodes, 25.0, aggregate="min", prepared=prepared
+    )
     return (
         iso.select(F.col("weight").cast("int").alias("cost_bucket"))
         .groupBy("cost_bucket")
