@@ -40,6 +40,47 @@ def train_test_split(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shards: int = 64,
+) -> DataFrame:
+    """Sequence packing for pre-training batches: assign each document
+    to a (shard, bin) so bins hold ~``max_tokens`` tokens.
+
+    Docs hash deterministically into ``shards`` independent shards;
+    within a shard they are taken in hash order and binned by their
+    cumulative-token START offset (next-fit). A bin can overflow by at
+    most one document's tokens — the standard scalable approximation
+    (exact greedy packing is a sequential scan; per-shard windows keep
+    the sort parallel and the assignment stable as the corpus grows,
+    since a doc's shard and hash order never change).
+
+    Returns (key, n_tokens, shard, bin). Docs longer than
+    ``max_tokens`` still get a bin (they overflow alone — flag or
+    truncate upstream)."""
+    from h3ron_spark.pipeline.text import token_count
+
+    h = F.md5(F.col(key_col).cast("string"))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        token_count(text_col).alias("n_tokens"),
+        hash_bucket(key_col, shards).alias("shard"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", "key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.withColumn(
+        "bin", F.floor(start / max_tokens).cast("int")
+    ).drop("_h")
+
+
 def source_quota(
     df: DataFrame,
     source_col: str,

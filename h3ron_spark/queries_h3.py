@@ -489,6 +489,54 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_PACK_ORACLE = r"""
+  WITH base AS (
+    SELECT doc_id AS key,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 8 AS INT) AS shard,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+  ), packed AS (
+    SELECT key, n_tokens, shard,
+           CAST(floor(
+             (sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY h, key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - n_tokens) / 512.0
+           ) AS INT) AS bin
+    FROM base
+  )
+  SELECT shard, bin,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         min(key) AS min_key
+  FROM packed GROUP BY shard, bin ORDER BY shard, bin
+"""
+
+
+@register("pipeline_pack_sequences", oracle=_PACK_ORACLE)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pre-training batches: deterministic
+    hash-sharded next-fit binning at 512 tokens per bin — per-shard
+    window sums keep the sort parallel (no global ordered window) and
+    the assignment stable under corpus growth. Per-(shard, bin)
+    occupancy rows with an exact DuckDB oracle."""
+    from h3ron_spark.pipeline import sampling as SP
+
+    docs = load(spark, sf_dir, "documents")
+    packed = SP.pack_sequences(docs, 512, shards=8)
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("key").alias("min_key"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
 _VOCAB_ORACLE = rf"""
   WITH tok AS (
     SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
