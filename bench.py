@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "text_decontaminate",
     "text_vocab_topk",
     "text_unigram_logprob",
+    "pipeline_pack_sequences",
+    "pipeline_mixture_epoch",
     "dedup_minhash_lsh",
     "ann_topk_cosine",
     "ann_lsh_topk",

@@ -81,6 +81,42 @@ def pack_sequences(
     ).drop("_h")
 
 
+def mixture_epoch(
+    df: DataFrame,
+    weights: dict,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Materialize one training epoch under per-group mixture weights
+    (DoReMi-style domain re-weighting): weight w repeats each row
+    floor(w) times plus one more for the deterministic md5-fraction of
+    rows selected by frac(w) — no RNG, so the epoch is reproducible
+    and a row's multiplicity never changes as other groups grow.
+    Rows from groups absent in ``weights`` get ``default_weight``.
+    Output adds an ``epoch_copy`` index (0..copies-1)."""
+    w_expr = F.lit(float(default_weight))
+    for g, w in weights.items():
+        w_expr = F.when(F.col(group_col) == g, F.lit(float(w))).otherwise(
+            w_expr
+        )
+    base = F.floor(w_expr).cast("int")
+    frac = w_expr - F.floor(w_expr)
+    # uniform-ish [0,1) from the first 8 md5 hex chars of the key
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / float(0x100000000)
+    )
+    copies = base + (u < frac).cast("int")
+    return df.withColumn("_copies", copies).filter(
+        F.col("_copies") > 0
+    ).withColumn(
+        "epoch_copy",
+        F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)),
+    ).drop("_copies")
+
+
 def source_quota(
     df: DataFrame,
     source_col: str,

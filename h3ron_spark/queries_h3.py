@@ -489,6 +489,61 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_MIXTURE_ORACLE = """
+  WITH w AS (
+    SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                WHEN 'src2' THEN 1.0 ELSE 0.75 END AS wt,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+             / 4294967296.0 AS u
+    FROM documents
+  ), c AS (
+    SELECT doc_id, source,
+           CAST(floor(wt) AS INT)
+             + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS copies
+    FROM w
+  )
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(copies) AS BIGINT) AS epoch_rows,
+         round(avg(copies), 4) AS avg_copies
+  FROM c GROUP BY source ORDER BY source
+"""
+
+
+@register("pipeline_mixture_epoch", oracle=_MIXTURE_ORACLE)
+def pipeline_mixture_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain re-weighting (DoReMi-style mixing): materialize one
+    epoch with per-source weights {src0: 2.5x up, src1: 0.4x down,
+    src2: 1.0, others 0.75} via deterministic md5-fraction repetition
+    — reproducible, growth-stable, no RNG. Per-source epoch
+    multiplicities against an exact DuckDB oracle."""
+    from h3ron_spark.pipeline import sampling as SP
+
+    docs = load(spark, sf_dir, "documents")
+    epoch = SP.mixture_epoch(
+        docs,
+        {"src0": 2.5, "src1": 0.4, "src2": 1.0},
+        "source",
+        default_weight=0.75,
+    )
+    per_doc = epoch.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("copies")
+    )
+    all_docs = docs.select("doc_id", "source").join(
+        per_doc, ["doc_id", "source"], "left"
+    ).withColumn("copies", F.coalesce("copies", F.lit(0)))
+    return (
+        all_docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("copies").alias("epoch_rows"),
+            F.round(F.avg("copies"), 4).alias("avg_copies"),
+        )
+        .orderBy("source")
+    )
+
+
 _PACK_ORACLE = r"""
   WITH base AS (
     SELECT doc_id AS key,
