@@ -28,6 +28,7 @@ _LAZY_MODULES = {
     "dedup": "h3ron_spark.pipeline.dedup",
     "similarity": "h3ron_spark.pipeline.similarity",
     "text": "h3ron_spark.pipeline.text",
+    "sampling": "h3ron_spark.pipeline.sampling",
     "multimodal": "h3ron_spark.pipeline.multimodal",
     "h3core": "h3ron_spark.h3core",
 }

@@ -17,9 +17,12 @@ from h3ron_spark.graph.path import (  # noqa: F401
     path_linestring_wkt,
 )
 from h3ron_spark.graph.algorithms import (  # noqa: F401
+    backtrack_paths,
     covered_area,
     differential_shortest_path,
     nearest_graph_nodes,
+    prepare_routing_graph,
+    prepare_sssp_edges,
     shortest_path_many_to_many,
     sssp_frontier,
     within_weight_threshold,
