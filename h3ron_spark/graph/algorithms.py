@@ -526,9 +526,13 @@ def sssp_frontier(
     re-enter the frontier), so each round is a single shuffle job plus
     a cheap collect of the (small) frontier.
 
-    ``broadcast_frontier=False`` keeps the pure-DataFrame join
-    relaxation (one hop per round, no driver-side frontier): the
-    fallback when the frontier itself outgrows broadcast size.
+    ``broadcast_frontier=False`` relaxes one hop per round with a
+    pure-DataFrame broadcast join instead of the Python tile kernel —
+    the option when executor Python memory is the constraint. NOTE:
+    BOTH modes collect the frontier (the improved labels) to the
+    driver each round for tile pruning and the convergence check, so
+    the frontier working set must fit driver memory in either mode —
+    the same bound ``F.broadcast(frontier)`` already implies.
 
     Correctness: labels emitted by a tile-local Dijkstra are upper
     bounds given that round's seeds; the global min-merge keeps the
@@ -554,7 +558,14 @@ def sssp_frontier(
 
     if set(edges.columns) == {"_tile", "_u", "_v", "_w"}:
         e = edges
-        tile_fn = getattr(edges, "_sssp_tile_fn", None) or _default_tile
+        # the tile function rides on the PYTHON object; a transformed
+        # or re-read frame keeps the _tile COLUMN but loses the
+        # attribute. Guessing a default here would compute frontier
+        # tiles under a DIFFERENT function than the stored column and
+        # silently prune every edge away — so when the function is
+        # unknown (and not re-supplied via tile_expr), disable pruning
+        # entirely: correct, just without the scan cut.
+        tile_fn = tile_expr or getattr(edges, "_sssp_tile_fn", None)
     else:
         e = prepare_sssp_edges(edges, tile_expr)
         tile_fn = e._sssp_tile_fn
@@ -567,9 +578,12 @@ def sssp_frontier(
     ).localCheckpoint(eager=True)
     # each label carries the tile of its cell (a JVM expression) so
     # the next round can prune the edge scan to frontier tiles
+    tile_of = (
+        tile_fn(F.col("cell")) if tile_fn is not None else F.lit(None)
+    )
     front_rows = [
         (r["origin"], r["cell"], r["weight"], r["_tile"])
-        for r in dist.withColumn("_tile", tile_fn(F.col("cell"))).collect()
+        for r in dist.withColumn("_tile", tile_of).collect()
     ]
 
     sc = spark.sparkContext
@@ -593,10 +607,12 @@ def sssp_frontier(
     for _ in range(max_iter):
         if not front_rows:
             break
-        tiles = sorted({t for _o, _c, _w, t in front_rows})
+        tiles = sorted(
+            {t for _o, _c, _w, t in front_rows if t is not None}
+        )
         e_round = (
             e.filter(F.col("_tile").isin(tiles))
-            if len(tiles) <= max_pruned_tiles
+            if tile_fn is not None and len(tiles) <= max_pruned_tiles
             else e
         )
         front_b = None
@@ -662,7 +678,7 @@ def sssp_frontier(
         front_rows = [
             (r["origin"], r["cell"], r["weight"], r["_tile"])
             for r in merged.filter(F.col("_prio") == 1)
-            .withColumn("_tile", tile_fn(F.col("cell")))
+            .withColumn("_tile", tile_of)
             .select("origin", "cell", "weight", "_tile")
             .collect()
         ]
@@ -715,6 +731,12 @@ def backtrack_paths(dist: DataFrame, destinations, max_hops: int = 10_000):
                 # broken chain (shouldn't happen on a converged forest)
                 chains.pop(k)
                 del at[k]
+    if chains:
+        # a too-long path must not masquerade as unreachable
+        raise ValueError(
+            f"{len(chains)} chain(s) unresolved after max_hops="
+            f"{max_hops}; raise max_hops (paths exist but are longer)"
+        )
     return done
 
 

@@ -250,6 +250,7 @@ def uncompact_dataframe(
         )
     else:
         distinct = distinct.repartition(n_part)
+    join_hint_source = partition_res is not None
     mapping = distinct.withColumn(
         "_children", G.h3_change_resolution(cell_col, F.lit(target_res))
     ).filter(F.col("_children").isNotNull())
@@ -266,7 +267,17 @@ def uncompact_dataframe(
             B.h3_to_parent("_child", _res_of_literal(subset_parent))
             == F.lit(subset_parent)
         )
-    joined = df.join(
+    # with partition_res the subtree co-location of the mapping side
+    # MUST survive this join: force the source frame to broadcast so
+    # the mapping streams in place. Without the hint the planner may
+    # pick a SortMergeJoin once the source outgrows the auto-broadcast
+    # threshold, re-hashing children by _orig and SILENTLY breaking
+    # the assume_partitioned contract downstream. (Precondition: the
+    # pre-explosion source is broadcastable — which is the regime
+    # where uncompacting it into a huge child table makes sense; for
+    # a beyond-broadcast source use the default compact path.)
+    left = F.broadcast(df) if join_hint_source else df
+    joined = left.join(
         mapping, df[cell_col] == mapping["_orig"], "inner"
     ).drop(cell_col, "_orig")
     return joined.withColumnRenamed("_child", cell_col)

@@ -396,10 +396,17 @@ def paragraph_dedup(
     the pathological hot key (a boilerplate paragraph shared by
     millions of docs); the min-struct agg folds such keys map-side and
     AQE handles residual join skew. Reassembly is one shuffle on the
-    document id. No Python anywhere."""
+    document id. No Python anywhere.
+
+    ``sep`` is a LITERAL separator (regex metacharacters are escaped
+    before the split so splitting and rejoining agree)."""
+    import re
+
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep))
+        ).alias("idx", "line"),
     ).withColumn("_h", F.md5("line"))
     first = lines.groupBy("_h").agg(
         F.min(F.struct("id", "idx")).alias("_first")

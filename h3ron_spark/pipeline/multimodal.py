@@ -91,8 +91,8 @@ def wav_bytes(samples, sample_rate: int) -> bytes:
 
 def decode_wav(payload: bytes):
     """Parse a PCM RIFF/WAVE payload -> (sample_rate, int16 samples of
-    channel-interleaved data). Supports PCM 8/16-bit, any channel
-    count; walks RIFF chunks (fmt before data not assumed)."""
+    channel-interleaved data, n_channels). Supports PCM 8/16-bit, any
+    channel count; walks RIFF chunks (fmt before data not assumed)."""
     import struct
 
     import numpy as np
@@ -111,7 +111,7 @@ def decode_wav(payload: bytes):
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_fmt, _ch, rate, _bps, _align, bits = fmt
+    audio_fmt, ch, rate, _bps, _align, bits = fmt
     if audio_fmt != 1:
         raise NotImplementedError(f"non-PCM WAVE format {audio_fmt}")
     if bits == 16:
@@ -122,7 +122,7 @@ def decode_wav(payload: bytes):
         ) * 256
     else:
         raise NotImplementedError(f"{bits}-bit PCM")
-    return rate, samples
+    return rate, samples, max(1, ch)
 
 
 def ppm_bytes(pixels) -> bytes:
@@ -169,15 +169,21 @@ def real_decode_features(payload: bytes) -> list[float]:
     import numpy as np
 
     if payload[:4] == b"RIFF":
-        rate, s = decode_wav(bytes(payload))
-        sf = s.astype(np.float64) / 32768.0
-        zc = float(np.mean(np.signbit(sf[1:]) != np.signbit(sf[:-1]))) if s.size > 1 else 0.0
+        rate, s, ch = decode_wav(bytes(payload))
+        # duration counts FRAMES; per-sample stats use channel 0 so
+        # multi-channel files don't mix interleaved channels
+        c0 = s[::ch].astype(np.float64) / 32768.0
+        zc = (
+            float(np.mean(np.signbit(c0[1:]) != np.signbit(c0[:-1])))
+            if c0.size > 1
+            else 0.0
+        )
         return [
             1.0,
             rate / 48000.0,
-            s.size / rate,
-            float(np.mean(np.abs(sf))),
-            float(np.sqrt(np.mean(sf * sf))),
+            (s.size // ch) / rate,
+            float(np.mean(np.abs(c0))),
+            float(np.sqrt(np.mean(c0 * c0))),
             zc,
         ]
     if payload[:2] in (b"P6", b"P5"):

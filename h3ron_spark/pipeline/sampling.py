@@ -14,15 +14,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def hash_bucket(col, buckets: int = 100) -> Column:
-    """Deterministic [0, buckets) bucket from md5 of the column —
-    stable across engines/runs, unlike sample()/rand()."""
+def hash_u32(col) -> Column:
+    """Deterministic uint32 from the first 8 md5 hex chars of the
+    column — THE cross-engine hash recipe every oracle replicates
+    (('0x' || substr(md5(x), 1, 8))::BIGINT in DuckDB). All derived
+    hashes (buckets, fractions) must build on this one expression."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % buckets
-    ).cast("int")
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def hash_bucket(col, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket — stable across engines/runs,
+    unlike sample()/rand()."""
+    return (hash_u32(col) % buckets).cast("int")
+
+
+def hash_fraction(col) -> Column:
+    """Deterministic uniform-ish [0, 1) from the same u32 recipe."""
+    return hash_u32(col).cast("double") / float(0x100000000)
 
 
 def train_test_split(
@@ -102,13 +113,7 @@ def mixture_epoch(
         )
     base = F.floor(w_expr).cast("int")
     frac = w_expr - F.floor(w_expr)
-    # uniform-ish [0,1) from the first 8 md5 hex chars of the key
-    u = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / float(0x100000000)
-    )
-    copies = base + (u < frac).cast("int")
+    copies = base + (hash_fraction(key_col) < frac).cast("int")
     return df.withColumn("_copies", copies).filter(
         F.col("_copies") > 0
     ).withColumn(

@@ -201,8 +201,11 @@ def unigram_logprob_scores(
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     )
-    freqs = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt"))
-    total = tok.count()
+    # persist the vocabulary-sized table: the corpus tokenizes exactly
+    # twice (freq build + scoring join) — the token total comes from a
+    # cheap aggregate over the persisted freqs, NOT a third scan
+    freqs = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt")).persist()
+    total = freqs.agg(F.sum("_cnt")).collect()[0][0]
     scored = tok.join(F.broadcast(freqs), "tok").withColumn(
         "_nlp", -F.log(F.col("_cnt") / F.lit(float(total)))
     )

@@ -297,3 +297,34 @@ def test_assume_partitioned_compact_drops_child_shuffle(spark):
     assert sorted(r[0] for r in fast.collect()) == sorted(
         r[0] for r in slow.collect()
     )
+
+
+def test_assume_partitioned_survives_no_auto_broadcast(spark):
+    """The subtree co-location contract must not depend on the
+    auto-broadcast threshold: with auto-broadcast disabled the
+    partition_res uncompact still pins a broadcast of the (small)
+    source side, so compact(assume_partitioned=True) stays exact
+    (regression: a SortMergeJoin re-hashed children by source cell and
+    silently under-compacted)."""
+    from h3ron_spark.operators.compact import (
+        compact_dataframe,
+        uncompact_dataframe,
+    )
+    from h3ron_spark.util import local_df
+
+    import h3ron_spark.h3core as h3c
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        parent = h3c.latlng_to_cell(10.0, 20.0, 5)
+        srcs = h3c.cell_to_children(parent, 6)  # 7 sibling sources
+        df = local_df(spark, [(c,) for c in srcs], "cell long")
+        children = uncompact_dataframe(df, 8, "cell", partition_res=5)
+        fast = compact_dataframe(
+            children, "cell", partition_res=5, assume_partitioned=True
+        )
+        got = sorted(r[0] for r in fast.collect())
+        assert got == [parent]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -294,8 +294,8 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
 
 def test_wav_ppm_roundtrip_and_real_features():
     s = np.arange(-500, 500, dtype=np.int16)
-    rate, back = MM.decode_wav(MM.wav_bytes(s, 16000))
-    assert rate == 16000 and (back == s).all()
+    rate, back, ch = MM.decode_wav(MM.wav_bytes(s, 16000))
+    assert rate == 16000 and ch == 1 and (back == s).all()
     px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
     assert (MM.decode_ppm(MM.ppm_bytes(px)) == px).all()
     f = MM.real_decode_features(MM.wav_bytes(s, 16000))
@@ -338,8 +338,8 @@ def test_wav_ppm_hypothesis_roundtrip_laws():
     )
     def wav_law(samples, rate):
         s = np.array(samples, dtype=np.int16)
-        r, back = MM.decode_wav(MM.wav_bytes(s, rate))
-        assert r == rate and (back == s).all()
+        r, back, ch = MM.decode_wav(MM.wav_bytes(s, rate))
+        assert r == rate and ch == 1 and (back == s).all()
 
     @settings(max_examples=40, deadline=None)
     @given(
@@ -355,3 +355,25 @@ def test_wav_ppm_hypothesis_roundtrip_laws():
 
     wav_law()
     ppm_law()
+
+
+def test_stereo_wav_duration_uses_frames_not_samples():
+    """Multi-channel PCM: duration must count frames (samples per
+    channel), and stats must come from channel 0, not the interleaved
+    stream."""
+    import struct
+
+    rate, n = 8000, 4000  # 0.5 s stereo
+    left = (np.arange(n) % 100 - 50).astype(np.int16)
+    right = np.full(n, 30000, dtype=np.int16)
+    inter = np.empty(2 * n, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    data = inter.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 2, rate, rate * 4, 4, 16, b"data", len(data),
+    )
+    f = MM.real_decode_features(hdr + data)
+    assert abs(f[2] - 0.5) < 1e-12  # duration from frames
+    assert f[3] < 0.01  # channel-0 mean_abs, not right channel's 0.91
