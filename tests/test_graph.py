@@ -404,3 +404,38 @@ def test_backtrack_paths_from_parent_forest(spark):
         assert cells[0] == o and cells[-1] == d
         total = sum(ew[(a, b)] for a, b in zip(cells, cells[1:]))
         assert abs(total - lab[d]) < 1e-9
+
+
+def test_sssp_prepared_frame_without_tile_fn_stays_correct(spark):
+    """A prepared frame that lost its Python-side tile function (any
+    transformation drops the attribute) must disable pruning, not
+    prune with a mismatched default hash (regression: returned only
+    the origin labels)."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.graph.algorithms import (
+        prepare_sssp_edges,
+        sssp_frontier,
+    )
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    n = 12
+
+    def tile(o):
+        return ((o / n).cast("long") / 3).cast("long") * 4 + (
+            (o % n) / 3
+        ).cast("long")
+
+    edges = torus_grid_graph(spark, n, directions=4)
+    prepared = prepare_sssp_edges(edges, tile)
+    expected = {
+        (r["cell"], r["weight"])
+        for r in sssp_frontier(prepared, [0], threshold=3.0).collect()
+    }
+    assert len(expected) == 25  # 1 + 4 + 8 + 12
+    stripped = prepared.filter(F.lit(True))  # drops _sssp_tile_fn
+    got = {
+        (r["cell"], r["weight"])
+        for r in sssp_frontier(stripped, [0], threshold=3.0).collect()
+    }
+    assert got == expected
