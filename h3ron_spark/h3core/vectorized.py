@@ -379,8 +379,10 @@ def latlng_to_cell_batch(lat_deg, lng_deg, res):
 # <= 1 ulp. The VECTOR path is the canonical decode (the scalar kernel
 # is the cross-check, compared under tolerance in tests/test_vectorized
 # — the round-1 bit-exact cross-kernel contract is retired). Pentagon
-# base cells (12/122) route through the scalar kernel: they need the
-# leading-5 rotation and an unbounded overage loop.
+# base cells (12/122) decode in-batch too (leading-5 index rotation +
+# the bounded substrate-overage fixpoint loop); only rows that would
+# exceed the loop's pass budget — never observed — flag for the
+# callers' scalar rescue paths.
 
 _DECODE_T: dict | None = None
 
@@ -427,11 +429,8 @@ def _decode_tables() -> dict:
     return T
 
 
-def _ijk_normalize_np(i, j, k):
-    """Vector ijk normalize: each scalar step is a uniform shift of all
-    three axes, so the closed form is x - min(i, j, k)."""
-    m = np.minimum(np.minimum(i, j), k)
-    return i - m, j - m, k - m
+# _norm3 collapsed to the same closed form; keep one implementation
+_ijk_normalize_np = _norm3
 
 
 def _ijk_rotate60_ccw_np(i, j, k):
@@ -532,20 +531,26 @@ def decode_face_ijk_np(cells: np.ndarray):
     and overage adjusts on the Class II substrate — one pass for
     hexagon bases, looped to fixpoint for pentagon bases with the
     deleted-K corner rotation on leading-4 rows (index.py:303-316).
-    Returns (face, i, j, k, fallback); fallback is now always-False,
-    kept for caller compatibility. Integer math only — bit-exact vs
-    index.h3_to_face_ijk."""
+    Returns (face, i, j, k, fallback); fallback marks only rows still
+    overflowing after the bounded adjustment loop (never observed —
+    callers route them to their scalar rescue paths). Integer math
+    only — bit-exact vs index.h3_to_face_ijk."""
     T = _decode_tables()
     c = np.asarray(cells, dtype=_I64)
     n = c.shape[0]
     res = ((c >> _I64(52)) & _I64(15)).astype(_I64)
     bc = ((c >> _I64(45)) & _I64(127)).astype(_I64)
     pentb = T["is_pent"][np.clip(bc, 0, 121)]
-    lead = _leading_nonzero_digit_np(c, res)
-    rot5 = pentb & (lead == 5)
-    if rot5.any():
-        c = _rotate60_cw_index_np(c, res, rot5)
-        lead = np.where(rot5, _luts()["rot_pow"][5][lead], lead)
+    if pentb.any():
+        # the leading digit only matters for pentagon-base rows —
+        # skip the 15-pass digit scan for the ~98.6% all-hexagon case
+        lead = _leading_nonzero_digit_np(c, res)
+        rot5 = pentb & (lead == 5)
+        if rot5.any():
+            c = _rotate60_cw_index_np(c, res, rot5)
+            lead = np.where(rot5, _luts()["rot_pow"][5][lead], lead)
+    else:
+        lead = np.zeros(n, dtype=_I64)
     face = T["home_face"][bc].copy()
     i = T["home_i"][bc].copy()
     j = T["home_j"][bc].copy()
@@ -592,6 +597,15 @@ def decode_face_ijk_np(cells: np.ndarray):
         if not adj.any():
             break
         adjusted |= adj
+    # safety net for the bounded loop: any row STILL overflowing after
+    # 5 total passes is flagged for the callers' scalar rescue paths
+    # instead of returning silently-wrong coords. Empirically the
+    # scalar loop never needs more than 3 passes (instrumented over
+    # exhaustive pentagon-descendant + deep random batteries), so this
+    # mask is expected to stay all-False.
+    fallback = adjusted & (
+        (si + sj + sk) > T["max_dim"][eff_res]
+    )
     if adjusted.any():
         # odd adjusted rows return to the cell grid via up_ap7r
         ia = (si - sk).astype(np.float64)
@@ -605,7 +619,7 @@ def decode_face_ijk_np(cells: np.ndarray):
         i = np.where(adjusted, fi, i)
         j = np.where(adjusted, fj, j)
         k = np.where(adjusted, fk, k)
-    return face, i, j, k, np.zeros(n, dtype=bool)
+    return face, i, j, k, fallback
 
 
 def _adjust_overage_np(face, i, j, k, res, eligible=None):
@@ -629,42 +643,27 @@ def _adjust_overage_np(face, i, j, k, res, eligible=None):
     sj = np.where(odd, i + 3 * j, j)
     sk = np.where(odd, j + 3 * k, k)
     si, sj, sk = _ijk_normalize_np(si, sj, sk)
-    maxd = T["max_dim"][eff_res]
-    over = (si + sj + sk) > maxd
-    if eligible is not None:
-        over &= eligible
-    still_over = np.zeros(face.shape, dtype=bool)
+    elig = (
+        eligible
+        if eligible is not None
+        else np.ones(face.shape, dtype=bool)
+    )
+    # single-pass class II adjustment — shared core with the decode's
+    # fixpoint loop
+    face, si, sj, sk, over = _adjust_overage_cii_core(
+        face, si, sj, sk, eff_res, elig
+    )
+    still_over = over & ((si + sj + sk) > T["max_dim"][eff_res])
     if over.any():
-        dir_idx = np.where(sk > 0, np.where(sj > 0, 2, 1), 0)
-        nf = T["fn_face"][face, dir_idx]
-        rot = T["fn_rot"][face, dir_idx]
-        ti = T["fn_trans"][face, dir_idx, 0]
-        tj = T["fn_trans"][face, dir_idx, 1]
-        tk = T["fn_trans"][face, dir_idx, 2]
-        oi, oj, ok_ = si.copy(), sj.copy(), sk.copy()
-        for step in range(5):
-            rm = over & (rot > step)
-            if not rm.any():
-                break
-            ri, rj, rk = _ijk_rotate60_ccw_np(oi, oj, ok_)
-            oi = np.where(rm, ri, oi)
-            oj = np.where(rm, rj, oj)
-            ok_ = np.where(rm, rk, ok_)
-        scale = T["unit_scale"][eff_res]
-        oi, oj, ok_ = _ijk_normalize_np(
-            oi + ti * scale, oj + tj * scale, ok_ + tk * scale
-        )
-        still_over = over & ((oi + oj + ok_) > maxd)
         # odd rows return to the cell grid via up_ap7r (C lround)
-        ia = (oi - ok_).astype(np.float64)
-        ja = (oj - ok_).astype(np.float64)
+        ia = (si - sk).astype(np.float64)
+        ja = (sj - sk).astype(np.float64)
         ui = _lround_np((2.0 * ia + ja) / 7.0)
         uj = _lround_np((3.0 * ja - ia) / 7.0)
         ui, uj, uk = _ijk_normalize_np(ui, uj, np.zeros_like(ui))
-        fi = np.where(odd, ui, oi)
-        fj = np.where(odd, uj, oj)
-        fk = np.where(odd, uk, ok_)
-        face = np.where(over, nf, face)
+        fi = np.where(odd, ui, si)
+        fj = np.where(odd, uj, sj)
+        fk = np.where(odd, uk, sk)
         i = np.where(over, fi, i)
         j = np.where(over, fj, j)
         k = np.where(over, fk, k)
@@ -672,8 +671,9 @@ def _adjust_overage_np(face, i, j, k, res, eligible=None):
 
 
 def cell_to_latlng_np(cells: np.ndarray):
-    """Vectorized cell -> (lat_rad, lng_rad). Valid cells only;
-    pentagon-base rows fall back to the scalar kernel."""
+    """Vectorized cell -> (lat_rad, lng_rad). Valid cells only; the
+    decode handles pentagon bases in-batch, and the (never-observed)
+    decode-fallback rows are rescued scalar below."""
     from h3ron_spark.h3core.constants import (
         EPSILON,
         M_2PI,
@@ -781,8 +781,9 @@ def cell_to_boundary_np(cells: np.ndarray):
     face, i, j, k, _fb = decode_face_ijk_np(c)
     # actual pentagon CELLS keep the scalar 5-vertex path (deleted-K
     # vertex set); pentagon-base hexagons go through the generic
-    # vertex kernel like libh3's hexagon boundary does
-    fb = _is_pentagon_np(c, res)
+    # vertex kernel like libh3's hexagon boundary does. Any decode-
+    # fallback row (never observed) is rescued scalar too.
+    fb = _is_pentagon_np(c, res) | _fb
     odd = (res % 2) == 1
     # aperture-3x3r substrate: down_ap3 then down_ap3r (+ap7r if odd)
     i, j, k = _ijk_normalize_np(2 * i + j, 2 * j + k, i + 2 * k)
