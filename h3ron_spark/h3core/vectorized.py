@@ -478,6 +478,21 @@ def _rotate60_cw_index_np(c, res, mask):
     return out
 
 
+def _substrate_to_cell_np(odd, si, sj, sk):
+    """Return odd (Class III) rows from the aperture-7r substrate to
+    the cell grid via up_ap7r (C lround); even rows pass through."""
+    ia = (si - sk).astype(np.float64)
+    ja = (sj - sk).astype(np.float64)
+    ui = _lround_np((2.0 * ia + ja) / 7.0)
+    uj = _lround_np((3.0 * ja - ia) / 7.0)
+    ui, uj, uk = _ijk_normalize_np(ui, uj, np.zeros_like(ui))
+    return (
+        np.where(odd, ui, si),
+        np.where(odd, uj, sj),
+        np.where(odd, uk, sk),
+    )
+
+
 def _adjust_overage_cii_core(face, si, sj, sk, eff_res, eligible, pl4=None):
     """One pass of index.adjust_overage_class_ii (substrate=False) in
     ALREADY-substrate coordinates, vectorized: rows in ``eligible``
@@ -607,15 +622,7 @@ def decode_face_ijk_np(cells: np.ndarray):
         (si + sj + sk) > T["max_dim"][eff_res]
     )
     if adjusted.any():
-        # odd adjusted rows return to the cell grid via up_ap7r
-        ia = (si - sk).astype(np.float64)
-        ja = (sj - sk).astype(np.float64)
-        ui = _lround_np((2.0 * ia + ja) / 7.0)
-        uj = _lround_np((3.0 * ja - ia) / 7.0)
-        ui, uj, uk = _ijk_normalize_np(ui, uj, np.zeros_like(ui))
-        fi = np.where(odd, ui, si)
-        fj = np.where(odd, uj, sj)
-        fk = np.where(odd, uk, sk)
+        fi, fj, fk = _substrate_to_cell_np(odd, si, sj, sk)
         i = np.where(adjusted, fi, i)
         j = np.where(adjusted, fj, j)
         k = np.where(adjusted, fk, k)
@@ -655,15 +662,7 @@ def _adjust_overage_np(face, i, j, k, res, eligible=None):
     )
     still_over = over & ((si + sj + sk) > T["max_dim"][eff_res])
     if over.any():
-        # odd rows return to the cell grid via up_ap7r (C lround)
-        ia = (si - sk).astype(np.float64)
-        ja = (sj - sk).astype(np.float64)
-        ui = _lround_np((2.0 * ia + ja) / 7.0)
-        uj = _lround_np((3.0 * ja - ia) / 7.0)
-        ui, uj, uk = _ijk_normalize_np(ui, uj, np.zeros_like(ui))
-        fi = np.where(odd, ui, si)
-        fj = np.where(odd, uj, sj)
-        fk = np.where(odd, uk, sk)
+        fi, fj, fk = _substrate_to_cell_np(odd, si, sj, sk)
         i = np.where(over, fi, i)
         j = np.where(over, fj, j)
         k = np.where(over, fk, k)
@@ -833,6 +832,10 @@ def cell_to_boundary_np(cells: np.ndarray):
             vi = np.where(over, ri, vi)
             vj = np.where(over, rj, vj)
             vk = np.where(over, rk, vk)
+        # same safety net as the decode's bounded loop: a vertex still
+        # overflowing after the pass budget (never observed) must take
+        # the scalar path, not return silently-wrong coordinates
+        fb = fb | ((vi + vj + vk) > maxd)
         from h3ron_spark.h3core.constants import M_SQRT3_2
 
         ia = (vi - vk).astype(np.float64)
@@ -1182,7 +1185,9 @@ def grid_disk_distances_batch(
         fi[decomp_rows] = di_
         fj[decomp_rows] = dj_
         fk[decomp_rows] = dk_
-        # pentagon-BASE-CELL hexagons decompose scalar (rare)
+        # scalar rescue for decode-fallback rows (the bounded overage
+        # loop's never-observed safety net — pentagon-base hexagons
+        # themselves decode in-batch now)
         h3_to_face_ijk = ixm.h3_to_face_ijk
         for t in decomp_rows[dfb]:
             f, (a, b, c) = h3_to_face_ijk(int(cells_np[t]))
