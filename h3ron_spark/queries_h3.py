@@ -592,6 +592,79 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_GATE_ORACLE = f"""
+  WITH t AS (
+    SELECT doc_id, source,
+           string_split_regex(trim(text), '\\s+') AS toks
+    FROM documents
+  ), s AS (
+    SELECT doc_id, source, len(toks) AS n,
+           round(list_max(list_transform(list_distinct(toks),
+                 x -> len(list_filter(toks, y -> y = x))))::DOUBLE
+                 / len(toks), 4) AS top_tok
+    FROM t
+  ), b AS (
+    SELECT DISTINCT unnest(list_distinct({_SHINGLES})) AS gram
+    FROM documents WHERE doc_id % 97 = 0
+  ), g AS (
+    SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS gram
+    FROM documents
+  ), contam AS (
+    SELECT g.doc_id,
+           round(count(b.gram)::DOUBLE / count(*), 4) AS contamination
+    FROM g LEFT JOIN b ON g.gram = b.gram
+    GROUP BY g.doc_id
+  )
+  SELECT s.source,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN s.n BETWEEN 35 AND 58
+                        AND s.top_tok <= 0.09
+                        AND c.contamination <= 0.02
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         round(avg(c.contamination), 4) AS avg_contamination
+  FROM s JOIN contam c ON s.doc_id = c.doc_id
+  GROUP BY s.source ORDER BY s.source
+"""
+
+
+@register("pipeline_quality_gate", oracle=_QUALITY_GATE_ORACLE)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality gate composing three filter families in one
+    pass: token-length band (35-58), Gopher-style top-token repetition
+    (<= 0.09), and benchmark decontamination (3-gram overlap <= 0.02
+    vs the held-out eval set). Per-source keep counts — the composed
+    keep/drop decision a real corpus filter ships."""
+    from h3ron_spark.pipeline import text as TX
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents").repartition(par)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    contam = DD.ngram_contamination(docs, bench).select(
+        F.col("id").alias("doc_id"), "contamination"
+    )
+    stats = docs.select(
+        "doc_id",
+        "source",
+        TX.token_count("text").alias("n"),
+        TX.top_token_fraction("text").alias("top_tok"),
+    )
+    joined = stats.join(contam, "doc_id")
+    keep = (
+        F.col("n").between(35, 58)
+        & (F.col("top_tok") <= 0.09)
+        & (F.col("contamination") <= 0.02)
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("int")).cast("long").alias("n_keep"),
+            F.round(F.avg("contamination"), 4).alias("avg_contamination"),
+        )
+        .orderBy("source")
+    )
+
+
 _VOCAB_ORACLE = rf"""
   WITH tok AS (
     SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
