@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "text_unigram_logprob",
     "pipeline_pack_sequences",
     "pipeline_mixture_epoch",
+    "pipeline_quality_gate",
     "dedup_minhash_lsh",
     "ann_topk_cosine",
     "ann_lsh_topk",
