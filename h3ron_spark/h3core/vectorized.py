@@ -135,6 +135,16 @@ def _lround(x):
     ).astype(_I64)
 
 
+def _lround_div7(p):
+    """Exact integer lround(p / 7) for int arrays — identical to the
+    float path: p/7 is never within 1/14 of a half-integer (7 is odd),
+    and double error (~1e-16) cannot bridge that gap, so the rational
+    rounding floor((2|p|+7)/14) matches C lround bit-for-bit while
+    skipping the int->float->int round trip of the hot lattice step."""
+    q = (2 * np.abs(p) + 7) // 14
+    return np.where(p >= 0, q, -q)
+
+
 def _hex2d_to_ijk(x, y):
     """Vectorized hex-rounding case analysis (coords.py:141-181)."""
     a1 = np.abs(x)
@@ -247,13 +257,13 @@ def _ijk_to_h3(face, i, j, k, res: int):
         ia = li - lk
         ja = lj - lk
         if rv % 2 == 1:  # Class III: up_ap7 / down_ap7
-            ni = _lround((3.0 * ia - ja) / 7.0)
-            nj = _lround((ia + 2.0 * ja) / 7.0)
+            ni = _lround_div7(3 * ia - ja)
+            nj = _lround_div7(ia + 2 * ja)
             i, j, k = _norm3(ni, nj, np.zeros_like(ni))
             ci, cj, ck = _norm3(3 * i + j, 3 * j + k, i + 3 * k)
         else:  # Class II: up_ap7r / down_ap7r
-            ni = _lround((2.0 * ia + ja) / 7.0)
-            nj = _lround((3.0 * ja - ia) / 7.0)
+            ni = _lround_div7(2 * ia + ja)
+            nj = _lround_div7(3 * ja - ia)
             i, j, k = _norm3(ni, nj, np.zeros_like(ni))
             ci, cj, ck = _norm3(3 * i + k, i + 3 * j, j + 3 * k)
         di, dj, dk = _norm3(li - ci, lj - cj, lk - ck)
@@ -480,11 +490,12 @@ def _rotate60_cw_index_np(c, res, mask):
 
 def _substrate_to_cell_np(odd, si, sj, sk):
     """Return odd (Class III) rows from the aperture-7r substrate to
-    the cell grid via up_ap7r (C lround); even rows pass through."""
-    ia = (si - sk).astype(np.float64)
-    ja = (sj - sk).astype(np.float64)
-    ui = _lround_np((2.0 * ia + ja) / 7.0)
-    uj = _lround_np((3.0 * ja - ia) / 7.0)
+    the cell grid via up_ap7r (exact integer lround); even rows pass
+    through."""
+    ia = si - sk
+    ja = sj - sk
+    ui = _lround_div7(2 * ia + ja)
+    uj = _lround_div7(3 * ja - ia)
     ui, uj, uk = _ijk_normalize_np(ui, uj, np.zeros_like(ui))
     return (
         np.where(odd, ui, si),
