@@ -429,9 +429,17 @@ def _decode_tables() -> dict:
             fnf[f, d_idx] = fo.face
             fnr[f, d_idx] = fo.ccw_rot60
             fnt[f, d_idx] = fo.translate
-    T["fn_face"], T["fn_rot"], T["fn_trans"] = fnf, fnr, fnt
-    T["max_dim"] = np.array(MAX_DIM_BY_CII_RES, dtype=_I64)
-    T["unit_scale"] = np.array(UNIT_SCALE_BY_CII_RES, dtype=_I64)
+    # int32: all table values fit with huge margin; int32 tables keep
+    # int32 coordinate pipelines from silently promoting back to
+    # int64 mid-kernel (int64 callers are unaffected — mixing
+    # promotes to their width)
+    T["fn_face"], T["fn_rot"], T["fn_trans"] = (
+        fnf.astype(np.int32),
+        fnr.astype(np.int32),
+        fnt.astype(np.int32),
+    )
+    T["max_dim"] = np.array(MAX_DIM_BY_CII_RES, dtype=np.int32)
+    T["unit_scale"] = np.array(UNIT_SCALE_BY_CII_RES, dtype=np.int32)
     T["face_lat"] = np.array([g[0] for g in FACE_CENTER_GEO])
     T["face_lng"] = np.array([g[1] for g in FACE_CENTER_GEO])
     T["face_az"] = np.array(FACE_AXES_AZ_0)
@@ -1111,11 +1119,16 @@ def _disk_encode_group(
     dedup/pentagon bail-out marking, and per-row (cell, k) column
     ordering. Mutates ``fallback``/``counts`` and appends to
     ``groups`` (see grid_disk_distances_batch)."""
-    big_i = (fi[rows][:, None] + offs[:, 0][None, :]).ravel()
-    big_j = (fj[rows][:, None] + offs[:, 1][None, :]).ravel()
-    big_k = (fk[rows][:, None] + offs[:, 2][None, :]).ravel()
+    # int32 lattice arithmetic: every coordinate this pipeline can
+    # produce is bounded by ~4 * max_dim[16] ~ 4.6e7 (60x inside
+    # int32), and halving the element width halves the memory traffic
+    # of the ~300 array passes in the encode walk
+    i32 = np.int32
+    big_i = (fi[rows][:, None] + offs[:, 0][None, :]).ravel().astype(i32)
+    big_j = (fj[rows][:, None] + offs[:, 1][None, :]).ravel().astype(i32)
+    big_k = (fk[rows][:, None] + offs[:, 2][None, :]).ravel().astype(i32)
     ii, jj, kk = _norm3(big_i, big_j, big_k)
-    bigf = np.repeat(faces[rows], m)
+    bigf = np.repeat(faces[rows], m).astype(i32)
     # face-crossing offsets translate onto the neighbor face's
     # grid (vectorized adjust_overage_class_ii) instead of
     # falling the whole row back to the scalar BFS; only double
