@@ -76,12 +76,15 @@ def main() -> None:
     registry = Q.queries()
     timings: dict[str, float] = {}
     total = 0.0
-    # two runs per query, report the min: the first execution of each
-    # plan shape is dominated by Catalyst analysis + whole-stage
-    # codegen JIT (measured up to 4x the steady-state on small SFs);
+    # three runs per query, report the min: the first execution of
+    # each plan shape is dominated by Catalyst analysis + whole-stage
+    # codegen JIT (measured up to 4x the steady-state on small SFs) —
     # a long-lived cluster session pays that once, so steady-state is
-    # the number that scales
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # the number that scales — and min-of-3 additionally shields the
+    # official record from co-tenant machine noise (r2 recorded a
+    # 2.4x outlier on geo_route_line whose isolated steady-state was
+    # FASTER than the r1 baseline)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in BENCH_QUERIES:
         if name not in registry:
             continue

@@ -408,6 +408,40 @@ def h3_from_string(s) -> Column:
     return F.conv(_c(s), 16, 10).cast("long")
 
 
+def h3_parse_numeric(s) -> Column:
+    """S28 numeric parse forms with the reference's precedence
+    (`h3ron/src/cell.rs:375-397`): try the hex form first, then a
+    decimal u64 — each accepted only when the parsed value is a valid
+    H3 cell, otherwise fall through; NULL when neither form yields a
+    valid cell. Pure JVM expressions (regexp guard + conv/cast), so
+    this stays inside whole-stage codegen.
+
+    The coordinate form (``"x,y,resolution"``, cell.rs:425-437) needs
+    the encode kernel — :func:`h3ron_spark.functions.geo.h3_parse`
+    layers it on top of this function.
+
+    Note: an all-digit string like ``"617700169518678015"`` is tried
+    as hex FIRST (matching the reference, where stringToH3 runs before
+    the u64 parse) — the decimal reading only wins when the hex
+    reading is not a valid cell index.
+    """
+    t = F.trim(_c(s).cast("string"))
+    hex_ok = t.rlike("^[0-9a-fA-F]{1,16}$")
+    # conv() yields the UNSIGNED decimal string; >= 2^63 overflows the
+    # long cast (ANSI) — try_cast sends those to NULL, and bit-63-set
+    # values are invalid cells anyway
+    hex_val = F.when(hex_ok, F.conv(t, 16, 10).try_cast("long"))
+    # 19 digits caps at 9.99e18 > 2^63; the cast overflows to NULL via
+    # try-semantics below, and bit-63-set values are invalid cells
+    dec_ok = t.rlike("^[0-9]{1,19}$")
+    dec_val = F.when(dec_ok, t.try_cast("long"))
+    return (
+        F.when(h3_is_valid_cell(hex_val), hex_val)
+        .when(h3_is_valid_cell(dec_val), dec_val)
+        .otherwise(F.lit(None).cast("long"))
+    )
+
+
 # ---------------------------------------------------------------- builders
 
 def h3_build_cell(base_cell, digits, res: int) -> Column:

@@ -35,8 +35,10 @@ from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql.functions import arrow_udf
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import arrow_udf
 
 import h3ron_spark.h3core as h3c
 
@@ -862,3 +864,50 @@ def h3_cells_to_linestring_wkt(cells: pa.Array) -> pa.Array:
             + ")"
         )
     return pa.array(out, _STR)
+
+
+# ------------------------------------------------------------ string parse
+
+# nom-style float: optional sign, digits with optional fraction (or bare
+# fraction), optional exponent (cell.rs:425-437 uses nom's `double`)
+_COORD_NUM = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+# "x<sep>y<sep>res" with "," or ";" separators, optional ascii blanks,
+# 1-2 digit resolution; trailing characters are ignored exactly like the
+# reference's nom parser (it discards the unparsed rest of the string)
+_COORD_RE = (
+    rf"^\s*({_COORD_NUM})\s*[,;]\s*({_COORD_NUM})\s*[,;]\s*(\d{{1,2}})"
+)
+
+
+def h3_parse(s) -> Column:
+    """Full S28 ``FromStr`` parse (`h3ron/src/cell.rs:375-397`): hex
+    form, then decimal u64, then the ``"x,y,resolution"`` coordinate
+    form (x = longitude, y = latitude, cell.rs:425-437 via
+    ``from_coordinate``); NULL when no form yields a valid cell.
+
+    The numeric forms are pure JVM expressions
+    (:func:`h3ron_spark.functions.bits.h3_parse_numeric`); the
+    coordinate form routes the extracted (lat, lng, res) through the
+    vectorized encode kernel — rows that already matched a numeric
+    form reach the kernel as NULL coordinates and cost nothing.
+    """
+    from h3ron_spark.functions import bits as B
+
+    t = F.trim(_c_str(s))
+    num = B.h3_parse_numeric(t)
+    matched = t.rlike(_COORD_RE)
+    x = F.regexp_extract(t, _COORD_RE, 1).try_cast("double")  # longitude
+    y = F.regexp_extract(t, _COORD_RE, 2).try_cast("double")  # latitude
+    r = F.regexp_extract(t, _COORD_RE, 3).try_cast("int")
+    res_ok = matched & r.isNotNull() & (r <= 15)
+    coord = h3_latlng_to_cell(
+        F.when(res_ok & num.isNull(), y),
+        F.when(res_ok & num.isNull(), x),
+        F.when(res_ok & num.isNull(), r),
+    )
+    return F.coalesce(num, coord)
+
+
+def _c_str(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string")

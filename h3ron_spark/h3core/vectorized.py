@@ -1119,10 +1119,13 @@ def _disk_encode_group(
     dedup/pentagon bail-out marking, and per-row (cell, k) column
     ordering. Mutates ``fallback``/``counts`` and appends to
     ``groups`` (see grid_disk_distances_batch)."""
-    # int32 lattice arithmetic: every coordinate this pipeline can
-    # produce is bounded by ~4 * max_dim[16] ~ 4.6e7 (60x inside
-    # int32), and halving the element width halves the memory traffic
-    # of the ~300 array passes in the encode walk
+    # int32 lattice arithmetic: the raw coordinates are bounded by
+    # ~4 * max_dim[16] ~ 4.6e7, but the compound expressions inside
+    # the /7 lattice steps (2*(3*j - i) on substrate coords via
+    # _substrate_to_cell_np -> _lround_div7) reach ~1.4e9 worst case —
+    # only ~1.5x inside int32, so any growth in k_max or substrate
+    # scaling must re-run this bound. Halving the element width halves
+    # the memory traffic of the ~300 array passes in the encode walk.
     i32 = np.int32
     big_i = (fi[rows][:, None] + offs[:, 0][None, :]).ravel().astype(i32)
     big_j = (fj[rows][:, None] + offs[:, 1][None, :]).ravel().astype(i32)

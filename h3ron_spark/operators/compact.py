@@ -233,6 +233,15 @@ def uncompact_dataframe(
     ``compact_dataframe(..., assume_partitioned=True)`` can then skip
     re-shuffling the (huge) child rows — the pipeline shuffles the
     parents once, never the children.
+
+    PRECONDITION (``partition_res`` only): the *pre-explosion* source
+    frame must be broadcastable — it is force-broadcast so the child
+    mapping streams in place and the subtree co-location survives the
+    join (a silent SortMergeJoin fallback would re-hash the children
+    and break the ``assume_partitioned`` contract downstream). That is
+    the regime where uncompacting a frame into a much larger child
+    table makes sense; for a beyond-broadcast source leave
+    ``partition_res`` unset and use the default compact path.
     """
     # re-spread after distinct: AQE coalesces the (tiny-in-bytes)
     # distinct shuffle to few partitions, which would serialize the

@@ -201,13 +201,24 @@ def unigram_logprob_scores(
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     )
-    # persist the vocabulary-sized table: the corpus tokenizes exactly
-    # twice (freq build + scoring join) — the token total comes from a
-    # cheap aggregate over the persisted freqs, NOT a third scan
-    freqs = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt")).persist()
+    # materialize the vocabulary-sized table once (localCheckpoint,
+    # not persist: checkpoint blocks are reclaimed by the context
+    # cleaner when the frame is dereferenced, so repeated calls in a
+    # long session don't accumulate executor cache): the corpus
+    # tokenizes exactly twice (freq build + scoring join) — the token
+    # total comes from a cheap aggregate over the materialized freqs,
+    # NOT a third scan
+    freqs = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = freqs.agg(F.sum("_cnt")).collect()[0][0]
+    # empty corpus: sum() is NULL — any positive total keeps the
+    # (empty) scored frame well-defined instead of raising on float()
+    total = float(total or 1)
     scored = tok.join(F.broadcast(freqs), "tok").withColumn(
-        "_nlp", -F.log(F.col("_cnt") / F.lit(float(total)))
+        "_nlp", -F.log(F.col("_cnt") / F.lit(total))
     )
     return scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -551,27 +551,42 @@ _VALID_SQL = (
 @register(
     "h3_string_roundtrip",
     oracle=_BITS_CELL_SQL
-    + """
+    + f"""
       SELECT event_id, cell,
              printf('%x', cell) AS cell_hex,
              cell               AS parsed,
-             (cell = cell)      AS roundtrip_ok
+             (cell = cell)      AS roundtrip_ok,
+             CASE WHEN {_VALID_SQL} THEN cell END AS parsed_dec,
+             CASE WHEN {_VALID_SQL} THEN cell END AS parsed_coord
       FROM cells
     """,
 )
 def h3_string_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S28 hex format/parse (`h3ron/src/cell.rs:342-437`): canonical
-    lowercase-hex string form and its inverse, both pure JVM string
-    expressions (no UDF), proven lossless per-row. The oracle emits the
-    identity for `parsed` — the Spark side genuinely re-parses."""
+    """S28 string forms (`h3ron/src/cell.rs:342-437`): canonical
+    lowercase-hex format/parse (pure JVM string expressions), plus the
+    reference's two extra ``FromStr`` forms — decimal u64
+    (cell.rs:387-389) and ``"x,y,resolution"`` (cell.rs:391-397,
+    via the vectorized encode kernel) — each proven lossless per-row.
+    The oracle emits the identity for the parsed columns (guarded by
+    cell validity for the validating forms) — the Spark side genuinely
+    formats and re-parses every row."""
+    from h3ron_spark.functions import geo as G
+
     cells = h3_bits_accessors(spark, sf_dir).select("event_id", "cell")
     s = B.h3_to_string("cell")
+    dec_s = F.col("cell").cast("string")
+    ll = G.h3_cell_to_latlng("cell")
+    coord_s = F.format_string(
+        "%.12f,%.12f,%d", ll["lng"], ll["lat"], B.h3_get_resolution("cell")
+    )
     return cells.select(
         "event_id",
         "cell",
         s.alias("cell_hex"),
         B.h3_from_string(s).alias("parsed"),
         (B.h3_from_string(s) == F.col("cell")).alias("roundtrip_ok"),
+        B.h3_parse_numeric(dec_s).alias("parsed_dec"),
+        G.h3_parse(coord_s).alias("parsed_coord"),
     )
 
 

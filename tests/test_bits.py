@@ -116,6 +116,47 @@ def test_string_roundtrip(spark):
     assert one_value(spark, B.h3_from_string(F.lit(s))) == c
 
 
+def test_parse_numeric_forms(spark):
+    """S28 FromStr precedence (cell.rs:375-397): hex first, then
+    decimal u64, each gated on cell validity."""
+    c = make_cell(20, [3, 5], 2)
+    hex_s = format(c, "x")
+    assert one_value(spark, B.h3_parse_numeric(F.lit(hex_s))) == c
+    assert one_value(spark, B.h3_parse_numeric(F.lit(str(c)))) == c
+    # doc example (cell.rs:363-371): the decimal form of a real cell
+    assert (
+        one_value(spark, B.h3_parse_numeric(F.lit("617700169518678015")))
+        == 0x89283080DDBFFFF
+    )
+    # invalid everything -> NULL
+    for bad in ["zzz", "", "123", str((1 << 63) + 5), "ffffffffffffffff"]:
+        assert one_value(spark, B.h3_parse_numeric(F.lit(bad))) is None
+
+
+def test_parse_coordinate_form(spark):
+    """S28 "x,y,res" form (cell.rs:425-437): x=lng, y=lat, "," or ";"
+    separators, optional blanks, trailing rest ignored (nom parity)."""
+    from h3ron_spark.functions import geo as G
+    from h3ron_spark.h3core import cells as h3c
+
+    expect = h3c.latlng_to_cell(12.3, 23.3, 6)
+    for s in [
+        "23.3,12.3,6",
+        " 23.3 ; 12.3 , 6",
+        "23.3,12.3,6 with trailing garbage",
+    ]:
+        assert one_value(spark, G.h3_parse(F.lit(s))) == expect
+    # numeric forms via the combined parser
+    c = make_cell(20, [3, 5], 2)
+    assert one_value(spark, G.h3_parse(F.lit(format(c, "x")))) == c
+    assert one_value(spark, G.h3_parse(F.lit(str(c)))) == c
+    # res out of range / missing fields -> NULL
+    for bad in ["1,2,99", "12,34", "a,b,5", None]:
+        assert (
+            one_value(spark, G.h3_parse(F.lit(bad).cast("string"))) is None
+        )
+
+
 def test_edge_bits(spark):
     origin = make_cell(33, [1, 2], 2)
     edge = (origin & ~(15 << 59)) | (2 << 59) | (3 << 56)
