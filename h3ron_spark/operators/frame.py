@@ -61,17 +61,46 @@ def partition_by_resolution(
     return out
 
 
-def bounding_rect(df: DataFrame, cell_col: str = "cell"):
-    """D8: aggregate bbox (min/max lat/lng of cell centroids) over the
-    frame. One partial+final agg, no shuffle of data rows."""
-    # single UDF evaluation, then cheap field extraction
-    return df.select(
-        G.h3_cell_to_latlng(cell_col).alias("_ll")
-    ).select(
-        F.col("_ll.lat").alias("_lat"), F.col("_ll.lng").alias("_lng")
+def bounding_rect(df: DataFrame, cell_col: str = "cell", use: str = "boundary"):
+    """D8: aggregate bbox over the frame. One partial+final agg, no
+    shuffle of data rows.
+
+    ``use="boundary"`` (default) merges per-cell *polygon* bboxes —
+    min/max over every boundary vertex — matching the reference's
+    ``to_polygon().bounding_rect()`` merge
+    (h3ron-polars/src/algorithm/bounding_rect.rs:11-40).
+    ``use="centroid"`` is the cheaper centroid min/max (one decode
+    instead of a 6-vertex boundary per cell); both are single-pass.
+    """
+    if use == "centroid":
+        # single UDF evaluation, then cheap field extraction
+        return df.select(
+            G.h3_cell_to_latlng(cell_col).alias("_ll")
+        ).select(
+            F.col("_ll.lat").alias("_lat"), F.col("_ll.lng").alias("_lng")
+        ).agg(
+            F.min("_lat").alias("min_lat"),
+            F.max("_lat").alias("max_lat"),
+            F.min("_lng").alias("min_lng"),
+            F.max("_lng").alias("max_lng"),
+        )
+    if use != "boundary":
+        raise ValueError(f"use must be 'boundary' or 'centroid', got {use!r}")
+    # one boundary UDF evaluation per row; per-cell vertex min/max via
+    # JVM array HOFs, so the aggregate input stays one row per cell
+    b = df.select(G.h3_cell_to_boundary(cell_col).alias("_b")).filter(
+        F.col("_b").isNotNull()
+    )
+    lats = F.transform("_b", lambda p: p["lat"])
+    lngs = F.transform("_b", lambda p: p["lng"])
+    return b.select(
+        F.array_min(lats).alias("_lo_lat"),
+        F.array_max(lats).alias("_hi_lat"),
+        F.array_min(lngs).alias("_lo_lng"),
+        F.array_max(lngs).alias("_hi_lng"),
     ).agg(
-        F.min("_lat").alias("min_lat"),
-        F.max("_lat").alias("max_lat"),
-        F.min("_lng").alias("min_lng"),
-        F.max("_lng").alias("max_lng"),
+        F.min("_lo_lat").alias("min_lat"),
+        F.max("_hi_lat").alias("max_lat"),
+        F.min("_lo_lng").alias("min_lng"),
+        F.max("_hi_lng").alias("max_lng"),
     )

@@ -1300,3 +1300,234 @@ def golden_neighbor_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("variant", "n_rows", "sum_neighbor_value", "sum_cell_value")
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------
+# S27: the 122 res-0 base cells — full per-row oracle computed in SQL
+# ---------------------------------------------------------------------
+
+_RES0_ORACLE = """
+  SELECT ((1::BIGINT << 59) | (range::BIGINT << 45) | ((1::BIGINT << 45) - 1))
+           AS cell,
+         CAST(0 AS INT) AS res,
+         range::INT AS base_cell,
+         (range IN (4,14,24,38,49,58,63,72,83,97,107,117)) AS is_pentagon
+  FROM range(122)
+"""
+
+
+@register("golden_res0_cells", oracle=_RES0_ORACLE)
+def golden_res0_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27 res0_cells (h3ron/src/lib.rs:134-144): the 122 base cells
+    with their accessors. The oracle *constructs* all 122 res-0
+    indexes independently from the public bit layout (mode 1, base
+    cell b, all digits 7), so every row is hash-checked — including
+    the 12 pentagon flags."""
+    from h3ron_spark.sources import res0_cells_table
+
+    t = res0_cells_table(spark)
+    return t.select(
+        "cell",
+        B.h3_get_resolution("cell").alias("res"),
+        B.h3_get_base_cell("cell").alias("base_cell"),
+        B.h3_is_pentagon("cell").alias("is_pentagon"),
+    )
+
+
+# ---------------------------------------------------------------------
+# D8: boundary-merge bounding rect over a pinned disk (+ far outlier)
+# ---------------------------------------------------------------------
+
+_BRECT_ORACLE = """
+  SELECT * FROM (VALUES (
+    CAST(-45.00139103 AS DOUBLE), CAST(37.819020588 AS DOUBLE),
+    CAST(-122.419459559 AS DOUBLE), CAST(100.001809414 AS DOUBLE)
+  )) AS t(min_lat, max_lat, min_lng, max_lng)
+"""
+
+
+@register("golden_bounding_rect", oracle=_BRECT_ORACLE)
+def golden_bounding_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 bounding_rect (h3ron-polars/src/algorithm/bounding_rect.rs:
+    11-40): per-cell polygon bboxes merged over the frame — computed
+    over grid_disk(0x89283080ddbffff, 2) plus one far southern cell,
+    so the merge provably tracks boundary vertices (not centroids)
+    and spans disjoint regions. Values pinned from the parity-tested
+    boundary kernel, rounded 9 dp."""
+    from h3ron_spark.operators.frame import bounding_rect
+
+    cells = list(h3c.grid_disk(_CELL, 2)) + [
+        h3c.latlng_to_cell(-45.0, 100.0, 9)
+    ]
+    df = local_df(spark, [(c,) for c in cells], "cell long")
+    box = bounding_rect(df, "cell")
+    return box.select(
+        *[F.round(c, 9).alias(c) for c in box.columns]
+    )
+
+
+# ---------------------------------------------------------------------
+# G7: aligned dissolve of the donut ring (to_aligned_linked_polygons)
+# ---------------------------------------------------------------------
+
+_ALIGNED_DISSOLVE_ORACLE = """
+  SELECT * FROM (VALUES
+    ('846b1d1ffffffff', CAST(7 AS BIGINT), CAST(1 AS BIGINT),
+     CAST(23 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+    ('846b1d5ffffffff', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+     CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+    ('846b1d9ffffffff', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+     CAST(11 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+    ('846b1ddffffffff', CAST(26 AS BIGINT), CAST(1 AS BIGINT),
+     CAST(39 AS BIGINT), CAST(1 AS BIGINT), CAST(7 AS BIGINT))
+  ) AS t(align_hex, n_cells, n_polygons, exterior_coords,
+         n_interiors, interior_coords)
+  ORDER BY align_hex
+"""
+
+
+@register("golden_aligned_dissolve", oracle=_ALIGNED_DISSOLVE_ORACLE)
+def golden_aligned_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 to_aligned_linked_polygons (h3ron-polars/src/algorithm/
+    to_geo.rs — align variant of the donut test at h3ron/src/
+    to_geo.rs:252-263): the k=1..2 band around the pinned (23.3,12.3)
+    res-6 cell, dissolved per res-3 parent. Per align group: cell
+    count, polygon/ring statistics (closed-ring convention)."""
+    from h3ron_spark.operators.dissolve import dissolve_ring_stats_df
+
+    center = h3c.latlng_to_cell(12.3, 23.3, 6)
+    band = [
+        c
+        for k in (1, 2, 3)
+        for c in h3c.grid_ring(center, k)
+    ]
+    df = local_df(spark, [(c,) for c in band], "cell long").withColumn(
+        "align_cell", B.h3_to_parent("cell", 4)
+    )
+    stats = dissolve_ring_stats_df(df, "cell", group_cols=["align_cell"])
+    counts = df.groupBy("align_cell").agg(F.count(F.lit(1)).alias("n_cells"))
+    return (
+        stats.join(counts, "align_cell")
+        .select(
+            B.h3_to_string("align_cell").alias("align_hex"),
+            "n_cells",
+            "n_polygons",
+            "exterior_coords",
+            "n_interiors",
+            "interior_coords",
+        )
+        .orderBy("align_hex")
+    )
+
+
+# ---------------------------------------------------------------------
+# P10: differential route on a pinned two-path graph
+# ---------------------------------------------------------------------
+
+_DIFF_ROUTE_ORACLE = """
+  SELECT * FROM (VALUES
+    ('cut',    CAST(0 AS INT), CAST(50.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+    ('cut',    CAST(1 AS INT), CAST(80.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+    ('detour', CAST(0 AS INT), CAST(50.0 AS DOUBLE), CAST(75.0 AS DOUBLE)),
+    ('detour', CAST(1 AS INT), CAST(80.0 AS DOUBLE), CAST(105.0 AS DOUBLE)),
+    ('noop',   CAST(0 AS INT), CAST(50.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),
+    ('noop',   CAST(1 AS INT), CAST(80.0 AS DOUBLE), CAST(80.0 AS DOUBLE))
+  ) AS t(variant, is_far_dest, cost_before, cost_after)
+  ORDER BY variant, is_far_dest
+"""
+
+
+def _diff_route_graph(spark: SparkSession):
+    """The isochrone line graph (within_weight_threshold.rs fixture)
+    plus a weight-15 three-hop bypass around seq[3] (through two
+    off-line neighbors of seq[3], each hop H3-adjacent) — so excluding
+    seq[3] reroutes (cost +25) instead of disconnecting, and excluding
+    a non-path cell is a no-op."""
+    from h3ron_spark.graph import edge_graph_from_cell_pairs
+    from h3ron_spark.h3core.regions import line_to_cells
+
+    seq = line_to_cells([(20.0, 10.0), (20.0, 20.0)], 4)
+    # bypass path seq[2] -> b1 -> b2 -> seq[4]: walk the ring around
+    # seq[3]; every hop must be a real H3 neighbor pair so the edge
+    # builder accepts it
+    on_line = set(seq)
+    ring = [c for c in h3c.grid_ring(seq[3], 1) if c not in on_line]
+    b1 = next(c for c in ring if h3c.grid_distance(c, seq[2]) == 1)
+    b2 = next(
+        c
+        for c in ring
+        if c != b1
+        and h3c.grid_distance(c, b1) == 1
+        and h3c.grid_distance(c, seq[4]) == 1
+    )
+    pairs = [(a, b, 10.0) for a, b in zip(seq, seq[1:])]
+    pairs += [(seq[2], b1, 15.0), (b1, b2, 15.0), (b2, seq[4], 15.0)]
+    df = local_df(
+        spark, pairs, "origin long, destination long, weight double"
+    )
+    return edge_graph_from_cell_pairs(df, bidirectional=False), seq, (b1, b2)
+
+
+@register("golden_differential_route", oracle=_DIFF_ROUTE_ORACLE)
+def golden_differential_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 DifferentialShortestPath (h3ron-graph/src/algorithm/
+    differential_shortest_path.rs:32-139): origin seq[0] to dests
+    {seq[5], seq[8]} with cell set {seq[3]} removed — both routes
+    detour over the weight-15 bypass (cost +10); removing a cell off
+    every path (the far southern cell) changes nothing; removing
+    seq[1] (before the bypass splits) disconnects both (NULL
+    cost_after)."""
+    from h3ron_spark.graph import differential_shortest_path
+
+    g, seq, _bypass = _diff_route_graph(spark)
+    g = g.localCheckpoint(eager=True)
+    far = h3c.latlng_to_cell(-45.0, 100.0, 4)
+
+    def leg(variant, excl):
+        out = differential_shortest_path(
+            g, [seq[0]], [seq[5], seq[8]], excl
+        )
+        return out.select(
+            F.lit(variant).alias("variant"),
+            (
+                F.col("destination") == F.lit(seq[8])
+            ).cast("int").alias("is_far_dest"),
+            F.round("cost_before", 4).alias("cost_before"),
+            F.round("cost_after", 4).alias("cost_after"),
+        )
+
+    out = (
+        leg("detour", [seq[3]])
+        .unionByName(leg("noop", [far]))
+        .unionByName(leg("cut", [seq[1]]))
+    )
+    return out.orderBy("variant", "is_far_dest")
+
+
+# ---------------------------------------------------------------------
+# P12: covered area of the pinned line graph
+# ---------------------------------------------------------------------
+
+_COVERED_AREA_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(10 AS INT), CAST(41 AS INT), 'MULTIPOLYGON (')
+  ) AS t(n_cells, n_wkt_points, wkt_prefix)
+"""
+
+
+@register("golden_covered_area", oracle=_COVERED_AREA_ORACLE)
+def golden_covered_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 CoveredArea (h3ron-graph/src/algorithm/covered_area.rs:
+    13-52): node coverage of the pinned line graph dissolved at
+    reduce_res 3 — polygon count, total covered parent cells, and the
+    WKT vertex count of the dissolved outline (deterministic ring
+    walk)."""
+    from h3ron_spark.graph import covered_area
+
+    g, _seq, _bypass = _diff_route_graph(spark)
+    out = covered_area(g, 3)
+    return out.select(
+        F.col("n_cells"),
+        F.size(F.split("geometry_wkt", ",")).alias("n_wkt_points"),
+        F.substring("geometry_wkt", 1, 14).alias("wkt_prefix"),
+    )

@@ -118,10 +118,22 @@ def test_partition_by_resolution(spark, disk_df):
 
 
 def test_bounding_rect(spark, disk_df):
-    r = OPS.bounding_rect(disk_df.filter(F.col("v") == "a"), "cell").collect()[0]
+    sub = disk_df.filter(F.col("v") == "a")
+    r = OPS.bounding_rect(sub, "cell", use="centroid").collect()[0]
     lats, lngs = zip(*[h3c.cell_to_latlng(c) for c in h3c.grid_disk(SEED, 10)])
     assert abs(r.min_lat - min(lats)) < 1e-12
     assert abs(r.max_lng - max(lngs)) < 1e-12
+    # boundary mode (reference parity, bounding_rect.rs:11-40): the
+    # merged per-cell polygon bbox over all boundary vertices
+    rb = OPS.bounding_rect(sub, "cell").collect()[0]
+    blats, blngs = [], []
+    for c in h3c.grid_disk(SEED, 10):
+        for la, ln in h3c.cell_to_boundary(c):
+            blats.append(la)
+            blngs.append(ln)
+    assert abs(rb.min_lat - min(blats)) < 1e-12
+    assert abs(rb.max_lng - max(blngs)) < 1e-12
+    assert rb.min_lat < r.min_lat and rb.max_lng > r.max_lng
 
 
 def test_cell_clusters_two_components(spark):
