@@ -42,6 +42,14 @@ from pyspark.sql.types import (
 from h3ron_spark.util import local_df
 
 _BROADCAST_EDGE_LIMIT = 5_000_000
+# sssp_frontier tuning knobs (module-level so tests can pin a path):
+# beyond this many distinct active tiles an isin() literal stops
+# paying for itself — switch to a broadcast semi-join prune
+_MAX_ISIN_TILES = 10_000
+# below this many frontier labels a round seeds the kernel with a
+# torrent-broadcast JOIN of the frontier frame; above it, the cogroup
+# path keeps the frontier fully distributed end to end
+_MAX_BROADCAST_FRONTIER = 2_000_000
 
 
 def _csr_from_arrays(u, v, e, w):
@@ -475,26 +483,103 @@ def _default_tile(col):
 def prepare_sssp_edges(
     edges: DataFrame, tile_expr=None, num_partitions: int | None = None
 ) -> DataFrame:
-    """Partition the edge table by a spatial tile key and checkpoint
-    it for repeated :func:`sssp_frontier` floods. ``tile_expr``: maps
-    a cell Column to a tile id (coarse H3 parent for cell graphs;
-    falls back to a hash — correct but without multi-hop locality or
-    tile pruning). The tile function rides along on the returned
-    frame so floods can prune the edge scan to frontier tiles."""
+    """Partition the edge table by a spatial tile key, sort it by the
+    key within partitions, and cache it for repeated
+    :func:`sssp_frontier` floods. ``tile_expr``: maps a cell Column to
+    a tile id (coarse H3 parent for cell graphs; falls back to a hash
+    — correct but without multi-hop locality or tile pruning). The
+    tile function rides along on the returned frame so floods can
+    prune the edge scan to frontier tiles.
+
+    cache() rather than localCheckpoint: the in-memory relation
+    PRESERVES the hash partitioning and the within-partition sort, so
+    each flood round's tile cogroup reuses the layout — only the
+    (small) frontier side exchanges per round, the edge side does
+    not re-shuffle or re-sort. A checkpointed RDD scan would hide the
+    partitioning from Catalyst and force a full edge Exchange+Sort
+    every round."""
     npart = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
     tile_fn = tile_expr if tile_expr is not None else _default_tile
+    # two-level key: _tile (fine, for the per-round isin scan prune)
+    # and _bucket (coarse, tiles hashed into npart buckets) — the
+    # cogroup keys on _bucket so the Python kernel runs once per
+    # PARTITION-sized group, not once per tile
+    tile_col = tile_fn(F.col("origin"))
     e = (
         edges.select(
-            tile_fn(F.col("origin")).alias("_tile"),
+            tile_col.alias("_tile"),
+            F.pmod(F.hash(tile_col), F.lit(npart)).alias("_bucket"),
             F.col("origin").alias("_u"),
             F.col("destination").alias("_v"),
             F.col("weight").alias("_w"),
         )
-        .repartition(npart, "_tile")
-        .localCheckpoint(eager=True)
+        .repartition(npart, "_bucket")
+        .sortWithinPartitions("_bucket")
+        .persist()
     )
+    e.count()  # materialize eagerly, like the checkpoint did
     e._sssp_tile_fn = tile_fn
+    e._sssp_npart = npart
     return e
+
+
+def _make_tile_relax(thr, track_parents, label_cols):
+    """Build the cogroup kernel for one flood: (edges_pdf, front_pdf)
+    -> candidate labels of a tile-local multi-source Dijkstra."""
+
+    def relax(edges_pdf, front_pdf):
+        import pandas as pd
+
+        if len(front_pdf) == 0 or len(edges_pdf) == 0:
+            return pd.DataFrame(columns=list(label_cols))
+        seeds = list(
+            zip(
+                front_pdf["origin"].tolist(),
+                front_pdf["cell"].tolist(),
+                front_pdf["weight"].tolist(),
+            )
+        )
+        rows = _tile_dijkstra(
+            _local_csr([edges_pdf]), seeds, thr, track_parents=track_parents
+        )
+        return pd.DataFrame(rows, columns=list(label_cols))
+
+    return relax
+
+
+def _make_seeded_relax(thr, track_parents, label_cols):
+    """Build the mapInPandas kernel for the broadcast-join seeding
+    path: batches of (_u, _v, _w, _so, _sw) where seed labels ride on
+    their cell's edge rows (NULL _so on non-seed edges)."""
+
+    def relax(batches):
+        import pandas as pd
+
+        frames = list(batches)
+        if not frames:
+            yield pd.DataFrame(columns=list(label_cols))
+            return
+        seeds: dict = {}
+        for pdf in frames:
+            so = pdf["_so"]
+            hit = so.notna()
+            if hit.any():
+                for o, c, w in zip(
+                    so[hit].astype("int64").tolist(),
+                    pdf["_u"][hit].tolist(),
+                    pdf["_sw"][hit].tolist(),
+                ):
+                    seeds[(o, c)] = w
+        if not seeds:
+            yield pd.DataFrame(columns=list(label_cols))
+            return
+        seed_rows = [(o, c, w) for (o, c), w in seeds.items()]
+        rows = _tile_dijkstra(
+            _local_csr(frames), seed_rows, thr, track_parents=track_parents
+        )
+        yield pd.DataFrame(rows, columns=list(label_cols))
+
+    return relax
 
 
 def sssp_frontier(
@@ -512,27 +597,42 @@ def sssp_frontier(
 
     Execution (default, ``broadcast_frontier=True``): the edge table
     is partitioned ONCE by ``tile_expr(origin)`` (a spatial key — for
-    H3 graphs a coarse parent cell; hash of the node id when None) and
-    cached. Each global round broadcasts the improved-label frontier
-    (exactly the data volume ``F.broadcast(frontier)`` would ship) and
-    one ``mapInPandas`` pass runs a LOCAL multi-source Dijkstra per
-    partition over its tile's edges, settling every label reachable
-    inside the tile in a single round. Global rounds therefore scale
-    with the TILE-graph diameter, not the cell-graph hop radius — the
-    property that keeps round count flat as the graph grows 100x.
-    The merge is one (origin, cell) min-aggregation; the frontier is
-    extracted from the same aggregate via a min(struct(weight, prio))
-    tag (ties keep the old label, so equal-cost rediscoveries do not
-    re-enter the frontier), so each round is a single shuffle job plus
-    a cheap collect of the (small) frontier.
+    H3 graphs a coarse parent cell; hash of the node id when None),
+    sorted and cached with that layout. Each global round seeds a
+    LOCAL multi-source Dijkstra with the improved-label frontier and
+    settles every label reachable inside a tile group in one round, so
+    global rounds scale with the TILE-graph diameter, not the
+    cell-graph hop radius — the property that keeps round count flat
+    as the graph grows 100x. Seeding adapts to the frontier size:
+
+    - frontier <= ``_MAX_BROADCAST_FRONTIER`` labels: the frontier
+      FRAME is torrent-broadcast and attached to its cells' edge rows
+      with a broadcast hash join — neither side shuffles or sorts,
+      and the kernel runs once per edge partition (``mapInPandas``);
+    - larger frontiers: a by-bucket ``cogroup(...).applyInPandas``
+      (co-partitioned join) — the cached edge side keeps its layout,
+      only the frontier shuffles, and the frontier stays distributed
+      END TO END with no broadcast bound at all.
+
+    The merge is one (origin, cell) min-aggregation; the frontier for
+    the next round is extracted from the same aggregate via a
+    min(struct(weight, prio)) tag (ties keep the old label, so
+    equal-cost rediscoveries do not re-enter the frontier).
+
+    NOTHING label-sized ever reaches the driver: per round the driver
+    collects only (tile id, label count) rows — used for the edge-scan
+    prune, the seeding-path choice, and the convergence check. The
+    edge scan is pruned with an ``isin`` on the active tiles while
+    they number <= ``_MAX_ISIN_TILES``; beyond that a broadcast
+    semi-join against the distinct active tiles prunes with no
+    tile-count ceiling.
 
     ``broadcast_frontier=False`` relaxes one hop per round with a
-    pure-DataFrame broadcast join instead of the Python tile kernel —
-    the option when executor Python memory is the constraint. NOTE:
-    BOTH modes collect the frontier (the improved labels) to the
-    driver each round for tile pruning and the convergence check, so
-    the frontier working set must fit driver memory in either mode —
-    the same bound ``F.broadcast(frontier)`` already implies.
+    pure-DataFrame broadcast join of the frontier FRAME instead of the
+    Python tile kernel — the option when executor Python memory is the
+    constraint. The broadcast bound applies to the frontier frame (the
+    same bound ``F.broadcast(frontier)`` always implied), but there is
+    no driver-side row materialization in this mode either.
 
     Correctness: labels emitted by a tile-local Dijkstra are upper
     bounds given that round's seeds; the global min-merge keeps the
@@ -543,32 +643,81 @@ def sssp_frontier(
     ``edges`` may be a frame returned by :func:`prepare_sssp_edges`
     (detected by its marker columns), in which case the one-time
     partition + checkpoint is skipped — amortize it across repeated
-    floods of the same graph.
+    floods of the same graph. If the frame still carries its tile
+    function, passing a DIFFERENT ``tile_expr`` raises (pruning under
+    a mismatched function would silently truncate the flood); a frame
+    that lost the attribute (any transformation drops it) derives the
+    label->tile mapping from the stored ``_tile`` column itself via a
+    distinct (cell, tile) side table, so pruning stays exact.
 
     ``track_parents=True`` adds a ``parent`` column: the predecessor
     cell on the best-known path (NULL at the origins). The converged
     frame is the distributed predecessor forest — the scalable
     representation of the reference's Path objects (path.rs) when the
-    graph is beyond broadcast; individual paths backtrack through it,
-    and the parent rides inside the same min-struct so the winning
-    label's predecessor is selected atomically with its weight."""
+    graph is beyond broadcast; individual paths backtrack through it
+    (:func:`backtrack_paths`), and the parent rides inside the same
+    min-struct so the winning label's predecessor is selected
+    atomically with its weight."""
     spark = edges.sparkSession
     if not isinstance(origins, DataFrame):
         origins = local_df(spark, [(c,) for c in origins], "cell long")
 
-    if set(edges.columns) == {"_tile", "_u", "_v", "_w"}:
+    if set(edges.columns) == {"_tile", "_bucket", "_u", "_v", "_w"}:
         e = edges
-        # the tile function rides on the PYTHON object; a transformed
-        # or re-read frame keeps the _tile COLUMN but loses the
-        # attribute. Guessing a default here would compute frontier
-        # tiles under a DIFFERENT function than the stored column and
-        # silently prune every edge away — so when the function is
-        # unknown (and not re-supplied via tile_expr), disable pruning
-        # entirely: correct, just without the scan cut.
-        tile_fn = tile_expr or getattr(edges, "_sssp_tile_fn", None)
+        stored = getattr(edges, "_sssp_tile_fn", None)
+        if (
+            stored is not None
+            and tile_expr is not None
+            and tile_expr is not stored
+        ):
+            raise ValueError(
+                "conflicting tile_expr: this prepared frame already "
+                "carries the tile function that computed its _tile "
+                "column; pass tile_expr=None (or the identical function "
+                "object). Pruning under a different function would drop "
+                "edges and silently truncate the flood."
+            )
+        tile_fn = stored or tile_expr
     else:
         e = prepare_sssp_edges(edges, tile_expr)
         tile_fn = e._sssp_tile_fn
+
+    # label -> tile id. With a known tile function this is a free JVM
+    # expression; otherwise derive the mapping from the edge table
+    # itself (distinct (_u, _tile), built once per call) — exact under
+    # ANY stored tile column. Cells with no outgoing edges drop out of
+    # the seeding either way (their labels cannot relax anything) but
+    # keep their rows in the result.
+    npart = getattr(e, "_sssp_npart", None)
+    if tile_fn is not None and npart is not None:
+
+        def tiled(labels: DataFrame) -> DataFrame:
+            t = tile_fn(F.col("cell"))
+            return labels.withColumn("_tile", t).withColumn(
+                "_bucket", F.pmod(F.hash(t), F.lit(npart))
+            )
+
+    else:
+        # alias the key columns on the way out: the cogroup below
+        # pairs this mapping's descendants with the edge frame itself,
+        # and shared attribute ids would trip the ambiguous-self-join
+        # check
+        cell_tiles = (
+            e.select(
+                F.col("_u").alias("cell"),
+                F.col("_tile").alias("_ct"),
+                F.col("_bucket").alias("_cb"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        def tiled(labels: DataFrame) -> DataFrame:
+            return (
+                labels.join(cell_tiles, "cell")
+                .withColumnRenamed("_ct", "_tile")
+                .withColumnRenamed("_cb", "_bucket")
+            )
 
     dist = origins.select(
         F.col("cell").alias("origin"),
@@ -576,17 +725,8 @@ def sssp_frontier(
         F.lit(0.0).alias("weight"),
         *([F.lit(None).cast("long").alias("parent")] if track_parents else []),
     ).localCheckpoint(eager=True)
-    # each label carries the tile of its cell (a JVM expression) so
-    # the next round can prune the edge scan to frontier tiles
-    tile_of = (
-        tile_fn(F.col("cell")) if tile_fn is not None else F.lit(None)
-    )
-    front_rows = [
-        (r["origin"], r["cell"], r["weight"], r["_tile"])
-        for r in dist.withColumn("_tile", tile_of).collect()
-    ]
+    frontier = dist
 
-    sc = spark.sparkContext
     thr = None if threshold is None else float(threshold)
     cand_fields = [
         StructField("origin", LongType()),
@@ -600,53 +740,68 @@ def sssp_frontier(
         ["parent"] if track_parents else []
     )
     struct_cols = ["weight", "_prio"] + (["parent"] if track_parents else [])
-    # beyond this many distinct frontier tiles an isin() pushdown
-    # stops paying for itself — stream the whole (cached) table
-    max_pruned_tiles = 10_000
 
     for _ in range(max_iter):
-        if not front_rows:
+        front = tiled(frontier.select("origin", "cell", "weight"))
+        # the ONLY per-round driver traffic: (tile id, label count)
+        # rows — bounded by tile cardinality, never label cardinality.
+        # The same probe doubles as the convergence check, so a round
+        # costs exactly two jobs: this one and the merge checkpoint.
+        tile_rows = front.groupBy("_tile").count().collect()
+        if not tile_rows:
             break
-        tiles = sorted(
-            {t for _o, _c, _w, t in front_rows if t is not None}
-        )
-        e_round = (
-            e.filter(F.col("_tile").isin(tiles))
-            if tile_fn is not None and len(tiles) <= max_pruned_tiles
-            else e
-        )
-        front_b = None
-        if broadcast_frontier:
-            # serialization per round is proportional to the edge
-            # volume of ACTIVE tiles, not the graph: the kernel input
-            # was tile-pruned JVM-side above
-            front_b = sc.broadcast(
-                [(o, c, w) for o, c, w, _t in front_rows]
-            )
-
-            def relax(batches, _fb=front_b, _thr=thr, _tp=track_parents):
-                import pandas as pd
-
-                rows = _tile_dijkstra(
-                    _local_csr(batches), _fb.value, _thr, track_parents=_tp
-                )
-                yield pd.DataFrame(rows, columns=label_cols)
-
-            cand = e_round.mapInPandas(relax, cand_schema)
+        n_front = sum(r["count"] for r in tile_rows)
+        tiles = [r["_tile"] for r in tile_rows if r["_tile"] is not None]
+        if len(tiles) == len(tile_rows) and len(tiles) <= _MAX_ISIN_TILES:
+            e_round = e.filter(F.col("_tile").isin(tiles))
         else:
-            frontier = local_df(
-                spark,
-                [(o, c, w) for o, c, w, _t in front_rows],
-                "origin long, cell long, weight double",
-            )
+            active = front.select("_tile").distinct()
+            e_round = e.join(F.broadcast(active), "_tile", "semi")
+
+        if broadcast_frontier:
+            if n_front <= _MAX_BROADCAST_FRONTIER:
+                # fast path: torrent-broadcast the frontier FRAME and
+                # attach each seed label to its cell's edge rows via a
+                # broadcast hash join — no shuffle or sort on either
+                # side, and the kernel keeps per-PARTITION granularity
+                seeds_df = front.select(
+                    F.col("cell").alias("_u"),
+                    F.col("origin").alias("_so"),
+                    F.col("weight").alias("_sw"),
+                )
+                seeded = e_round.select("_u", "_v", "_w").join(
+                    F.broadcast(seeds_df), "_u", "left"
+                )
+                relax = _make_seeded_relax(
+                    thr, track_parents, tuple(label_cols)
+                )
+                cand = seeded.mapInPandas(relax, cand_schema)
+            else:
+                # beyond-broadcast frontier: co-partitioned cogroup by
+                # bucket — the frontier shuffles, the cached edge side
+                # does not. cogroup contract: exactly (left, right);
+                # round-invariant settings ride in the closure
+                relax = _make_tile_relax(
+                    thr, track_parents, tuple(label_cols)
+                )
+                cand = (
+                    e_round.groupby("_bucket")
+                    .cogroup(front.groupby("_bucket"))
+                    .applyInPandas(relax, cand_schema)
+                )
+        else:
             cand = (
-                F.broadcast(frontier)
-                .join(e_round, frontier.cell == e_round._u)
+                F.broadcast(front)
+                .join(e_round, front["cell"] == e_round["_u"])
                 .select(
-                    "origin",
-                    F.col("_v").alias("cell"),
-                    (F.col("weight") + F.col("_w")).alias("weight"),
-                    *([F.col("_u").alias("parent")] if track_parents else []),
+                    front["origin"].alias("origin"),
+                    e_round["_v"].alias("cell"),
+                    (front["weight"] + e_round["_w"]).alias("weight"),
+                    *(
+                        [e_round["_u"].alias("parent")]
+                        if track_parents
+                        else []
+                    ),
                 )
             )
             if thr is not None:
@@ -675,15 +830,7 @@ def sssp_frontier(
             .localCheckpoint(eager=True)
         )
         dist = merged.select(*label_cols)
-        front_rows = [
-            (r["origin"], r["cell"], r["weight"], r["_tile"])
-            for r in merged.filter(F.col("_prio") == 1)
-            .withColumn("_tile", tile_of)
-            .select("origin", "cell", "weight", "_tile")
-            .collect()
-        ]
-        if front_b is not None:
-            front_b.destroy()
+        frontier = merged.filter(F.col("_prio") == 1).select(*label_cols)
     return dist
 
 

@@ -312,6 +312,63 @@ def test_sssp_frontier_torus_nonuniform_weights(spark):
     assert len({o for o, _c, _w in got_f}) == 2
 
 
+def test_sssp_frontier_distributed_paths_match(spark, monkeypatch):
+    """Pin the beyond-broadcast code paths: force the frontier-cogroup
+    kernel (frontier 'too big' for the torrent-broadcast join) and the
+    semi-join scan prune ('too many' active tiles for isin), and
+    require bit-identical labels vs the default fast path."""
+    from h3ron_spark.graph import algorithms as GR
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    def w(x, y, dx, dy):
+        return 1.0 + ((x * 5 + y * 11 + (dx + 1) * 2 + (dy + 1)) % 4) / 3.0
+
+    edges = torus_grid_graph(spark, 16, directions=4, weight_expr=w)
+    origins = [0, 5 * 16 + 3]
+
+    def flood():
+        return {
+            (r.origin, r.cell, round(r.weight, 9))
+            for r in GR.sssp_frontier(
+                edges, origins, threshold=4.0
+            ).collect()
+        }
+
+    expected = flood()
+    assert expected
+    monkeypatch.setattr(GR, "_MAX_BROADCAST_FRONTIER", 0)
+    assert flood() == expected  # cogroup kernel path
+    monkeypatch.setattr(GR, "_MAX_ISIN_TILES", 0)
+    assert flood() == expected  # cogroup + semi-join prune
+    monkeypatch.setattr(GR, "_MAX_BROADCAST_FRONTIER", 2_000_000)
+    assert flood() == expected  # broadcast join + semi-join prune
+
+
+def test_sssp_prepared_conflicting_tile_expr_raises(spark):
+    """ADVICE r2: a prepared frame carrying its tile function must
+    reject a DIFFERENT tile_expr instead of silently pruning under
+    mismatched tile ids."""
+    import pytest as _pytest
+
+    from h3ron_spark.graph import algorithms as GR
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    edges = torus_grid_graph(spark, 8, directions=4)
+
+    def tile_a(o):
+        return (o / 8).cast("long")
+
+    def tile_b(o):
+        return (o % 8).cast("long")
+
+    prepared = GR.prepare_sssp_edges(edges, tile_a)
+    with _pytest.raises(ValueError, match="conflicting tile_expr"):
+        GR.sssp_frontier(prepared, [0], threshold=2.0, tile_expr=tile_b)
+    # the identical function object is allowed
+    out = GR.sssp_frontier(prepared, [0], threshold=2.0, tile_expr=tile_a)
+    assert out.count() > 0
+
+
 def test_graph_sssp_frontier_query_histogram(spark):
     """Registry query at the sf0.001 grid: ring sizes are the
     closed-form 1, 4d for d=1..8 (the DuckDB oracle) — exactness of
