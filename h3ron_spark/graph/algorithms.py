@@ -836,55 +836,74 @@ def sssp_frontier(
 
 def backtrack_paths(dist: DataFrame, destinations, max_hops: int = 10_000):
     """Extract explicit cell paths from a ``track_parents`` forest
-    (:func:`sssp_frontier`) for a SMALL destination set. One filtered
-    scan of the (checkpointed) forest per hop level: cost scales with
-    path length x |forest partitions|, so use it for bounded floods /
-    few destinations; for bulk analysis read the forest relationally
-    instead — it IS the scalable path representation.
+    (:func:`sssp_frontier`) for a SMALL destination set.
+
+    Distributed walk: each hop is ONE inner join of the active chain
+    heads (|destinations| rows, broadcast) against the forest — the
+    forest itself is never collected or filtered driver-side; the only
+    rows that reach the driver are finished chains, i.e. the
+    function's return value. Cost scales with path length x one join
+    per hop, so use it for bounded floods / few destinations; for bulk
+    analysis read the forest relationally instead — it IS the scalable
+    path representation.
 
     Returns {(origin, destination): [cells origin..destination]};
     unreachable destinations are absent."""
     if "parent" not in dist.columns:
         raise ValueError("dist must come from sssp_frontier(track_parents=True)")
+    spark = dist.sparkSession
     d = dist.select("origin", "cell", "parent")
-    dest_set = {int(x) for x in destinations}
-    # chains under construction: (origin, dest) -> [dest, ..., cur]
-    seed = [
-        (r["origin"], r["cell"], r["parent"])
-        for r in d.filter(F.col("cell").isin([int(x) for x in dest_set]))
-        .collect()
-    ]
-    chains = {(o, c): [c] for o, c, _p in seed}
-    at = {(o, c): p for o, c, p in seed}  # next parent to resolve
-    done: dict = {}
-    for _ in range(max_hops):
-        pending = {k: p for k, p in at.items() if p is not None}
-        for k in list(at.keys()):
-            if at[k] is None:  # reached the origin label
-                done[k] = list(reversed(chains.pop(k)))
-                del at[k]
-        if not pending:
-            break
-        need_cells = sorted({p for p in pending.values()})
-        fetched = {
-            (r["origin"], r["cell"]): r["parent"]
-            for r in d.filter(F.col("cell").isin(need_cells)).collect()
-        }
-        for k, p in pending.items():
-            o, _dest = k
-            chains[k].append(p)
-            at[k] = fetched.get((o, p))
-            if (o, p) not in fetched:
-                # broken chain (shouldn't happen on a converged forest)
-                chains.pop(k)
-                del at[k]
-    if chains:
-        # a too-long path must not masquerade as unreachable
-        raise ValueError(
-            f"{len(chains)} chain(s) unresolved after max_hops="
-            f"{max_hops}; raise max_hops (paths exist but are longer)"
+    dest_list = sorted({int(x) for x in destinations})
+    dests = local_df(spark, [(c,) for c in dest_list], "cell long")
+    # chains grow dest -> origin; reversed on return
+    active = (
+        d.join(F.broadcast(dests), "cell")
+        .select(
+            "origin",
+            F.col("cell").alias("destination"),
+            F.array("cell").alias("path"),
+            F.col("parent").alias("_next"),
         )
-    return done
+        .localCheckpoint(eager=True)
+    )
+    forest = d.select(
+        F.col("origin").alias("_o"),
+        F.col("cell").alias("_c"),
+        F.col("parent").alias("_p"),
+    )
+    out: dict = {}
+    for _ in range(max_hops + 1):
+        # chains whose next parent is NULL have reached their origin —
+        # these rows ARE the result, so collecting them is the output
+        # path, not an intermediate materialization
+        for r in active.filter(F.col("_next").isNull()).collect():
+            out[(r["origin"], r["destination"])] = list(
+                reversed(r["path"])
+            )
+        pending = active.filter(F.col("_next").isNotNull())
+        # one broadcast join per hop: the (tiny) chain heads probe the
+        # forest for their parents' labels. Inner join: a missing
+        # parent label (broken chain — cannot happen on a converged
+        # forest) drops the chain, matching the driver-loop semantics.
+        step = F.broadcast(pending).join(
+            forest,
+            (pending["origin"] == forest["_o"])
+            & (pending["_next"] == forest["_c"]),
+            "inner",
+        ).select(
+            pending["origin"],
+            pending["destination"],
+            F.concat("path", F.array("_next")).alias("path"),
+            forest["_p"].alias("_next"),
+        )
+        active = step.localCheckpoint(eager=True)
+        if active.isEmpty():
+            return out
+    # a too-long path must not masquerade as unreachable
+    raise ValueError(
+        f"chain(s) unresolved after max_hops={max_hops}; "
+        "raise max_hops (paths exist but are longer)"
+    )
 
 
 def covered_area(
