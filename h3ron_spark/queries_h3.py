@@ -592,6 +592,22 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _avg_e4(col) -> "F.Column":
+    """Cross-engine-exact 4-dp average of already-4dp-rounded values.
+
+    ``round(avg(x), 4)`` is a decimal-boundary trap: Spark rounds the
+    shortest decimal repr (HALF_UP) while DuckDB rounds in binary, so
+    an average landing on a .00005 boundary flips between engines (the
+    oracle-fuzz slices caught two real cases). Scaling each value to an
+    e4 INTEGER first makes the sum exact; the only remaining halfway
+    cases (sum/count hitting x.5) are binary-exact doubles on which
+    both engines' round agree.
+    """
+    e4 = F.round(F.col(col) * 10000, 0).cast("long")
+    avg_int = F.round(F.sum(e4) / F.count(F.lit(1)), 0).cast("long")
+    return avg_int / F.lit(10000.0)
+
+
 _QUALITY_GATE_ORACLE = f"""
   WITH t AS (
     SELECT doc_id, source,
@@ -621,7 +637,9 @@ _QUALITY_GATE_ORACLE = f"""
                         AND s.top_tok <= 0.09
                         AND c.contamination <= 0.02
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-         round(avg(c.contamination), 4) AS avg_contamination
+         CAST(round(sum(CAST(round(c.contamination * 10000, 0) AS BIGINT))
+                    ::DOUBLE / count(*), 0) AS BIGINT) / 10000.0
+           AS avg_contamination
   FROM s JOIN contam c ON s.doc_id = c.doc_id
   GROUP BY s.source ORDER BY s.source
 """
@@ -659,7 +677,7 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(keep.cast("int")).cast("long").alias("n_keep"),
-            F.round(F.avg("contamination"), 4).alias("avg_contamination"),
+            _avg_e4("contamination").alias("avg_contamination"),
         )
         .orderBy("source")
     )
@@ -2207,8 +2225,12 @@ _REPETITION_ORACLE = """
   )
   SELECT source,
          count(*) AS n_docs,
-         round(avg(top_tok), 4) AS avg_top_token_frac,
-         round(avg(top_bg), 4) AS avg_top_bigram_frac,
+         CAST(round(sum(CAST(round(top_tok * 10000, 0) AS BIGINT))::DOUBLE
+                    / count(*), 0) AS BIGINT) / 10000.0
+           AS avg_top_token_frac,
+         CAST(round(sum(CAST(round(top_bg * 10000, 0) AS BIGINT))::DOUBLE
+                    / count(*), 0) AS BIGINT) / 10000.0
+           AS avg_top_bigram_frac,
          CAST(sum(CASE WHEN top_tok <= 0.2 AND top_bg <= 0.18
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
   FROM s GROUP BY source ORDER BY source
@@ -2237,8 +2259,8 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("top_tok"), 4).alias("avg_top_token_frac"),
-            F.round(F.avg("top_bg"), 4).alias("avg_top_bigram_frac"),
+            _avg_e4("top_tok").alias("avg_top_token_frac"),
+            _avg_e4("top_bg").alias("avg_top_bigram_frac"),
             F.sum(F.col("ok").cast("long")).alias("n_pass"),
         )
         .orderBy("source")
