@@ -73,6 +73,12 @@ def main() -> None:
     spark = get_spark(app_name="h3ron_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    bench_queries = BENCH_QUERIES
+    # scale runs (BASELINE.md sf1 table) pick their own subset
+    override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if override:
+        bench_queries = [q.strip() for q in override.split(",") if q.strip()]
+
     registry = Q.queries()
     timings: dict[str, float] = {}
     total = 0.0

@@ -2066,6 +2066,8 @@ def _sssp_grid_n(sf_dir: str) -> int:
         sf = float(tag)
     except ValueError:
         sf = 0.01
+    if sf >= 1:
+        return 3800  # 57.76M edges — the 10x scale-proof point
     if sf >= 0.1:
         return 1200
     if sf >= 0.01:

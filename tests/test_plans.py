@@ -181,6 +181,63 @@ def test_sssp_round_broadcasts_frontier_not_edges(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_sssp_cogroup_round_reuses_cached_edge_layout(spark):
+    """The beyond-broadcast cogroup round must reuse the prepared
+    edge cache's hash layout and within-partition sort: exactly ONE
+    hash exchange in the round plan (the small frontier side), zero
+    on the edge side, and the edge scan reads the in-memory
+    relation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from h3ron_spark.graph import algorithms as A
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    def tile(o):
+        return (o / 8).cast("long")
+
+    e = A.prepare_sssp_edges(torus_grid_graph(spark, 8), tile)
+    front = (
+        spark.createDataFrame(
+            [(0, 0, 0.0)], "origin long, cell long, weight double"
+        )
+        .withColumn("_tile", tile(F.col("cell")))
+        .withColumn(
+            "_bucket",
+            F.pmod(F.hash(tile(F.col("cell"))), F.lit(e._sssp_npart)),
+        )
+    )
+    schema = StructType(
+        [
+            StructField("origin", LongType()),
+            StructField("cell", LongType()),
+            StructField("weight", DoubleType()),
+        ]
+    )
+    relax = A._make_tile_relax(None, False, ("origin", "cell", "weight"))
+    cand = (
+        e.filter(F.col("_tile").isin([0, 1]))
+        .groupby("_bucket")
+        .cogroup(front.groupby("_bucket"))
+        .applyInPandas(relax, schema)
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # exactly one round-inserted exchange (ENSURE_REQUIREMENTS = the
+    # frontier side); the cached build plan's REPARTITION_BY_NUM
+    # exchanges are one-time prepare cost, not per-round
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+    try:
+        e.unpersist()
+    except Exception:
+        pass
+
+
 def test_star_join_broadcasts_all_dimensions(spark):
     """The five-table star join must broadcast every dimension (4
     BroadcastHashJoins) and push the region/size filters to the
