@@ -91,7 +91,7 @@ def main() -> None:
     # 2.4x outlier on geo_route_line whose isolated steady-state was
     # FASTER than the r1 baseline)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         if name not in registry:
             continue
         fn = registry[name]
