@@ -73,13 +73,18 @@ def main() -> None:
     spark = get_spark(app_name="h3ron_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    registry = Q.queries()
+
     bench_queries = BENCH_QUERIES
     # scale runs (BASELINE.md sf1 table) pick their own subset
     override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if override:
         bench_queries = [q.strip() for q in override.split(",") if q.strip()]
-
-    registry = Q.queries()
+        unknown = [q for q in bench_queries if q not in registry]
+        if unknown:
+            # fail loudly: a silently dropped name would record a
+            # partial total that reads as a complete scale run
+            raise SystemExit(f"unknown bench queries: {unknown}")
     timings: dict[str, float] = {}
     total = 0.0
     # three runs per query, report the min: the first execution of

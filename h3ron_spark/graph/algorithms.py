@@ -561,11 +561,14 @@ def _make_seeded_relax(thr, track_parents, label_cols):
             return
         seeds: dict = {}
         for pdf in frames:
-            so = pdf["_so"]
-            hit = so.notna()
+            # _so/_sw are COALESCED (non-null) on the JVM side so the
+            # Arrow batch keeps exact int64 — a nullable long column
+            # would arrive as float64 and round origin ids above 2^53
+            # (every real H3 cell id). _hit is the real match flag.
+            hit = pdf["_hit"]
             if hit.any():
                 for o, c, w in zip(
-                    so[hit].astype("int64").tolist(),
+                    pdf["_so"][hit].tolist(),
                     pdf["_u"][hit].tolist(),
                     pdf["_sw"][hit].tolist(),
                 ):
@@ -662,6 +665,7 @@ def sssp_frontier(
     if not isinstance(origins, DataFrame):
         origins = local_df(spark, [(c,) for c in origins], "cell long")
 
+    owns_prepared = False
     if set(edges.columns) == {"_tile", "_bucket", "_u", "_v", "_w"}:
         e = edges
         stored = getattr(edges, "_sssp_tile_fn", None)
@@ -681,6 +685,7 @@ def sssp_frontier(
     else:
         e = prepare_sssp_edges(edges, tile_expr)
         tile_fn = e._sssp_tile_fn
+        owns_prepared = True
 
     # label -> tile id. With a known tile function this is a free JVM
     # expression; otherwise derive the mapping from the edge table
@@ -755,8 +760,15 @@ def sssp_frontier(
         if len(tiles) == len(tile_rows) and len(tiles) <= _MAX_ISIN_TILES:
             e_round = e.filter(F.col("_tile").isin(tiles))
         else:
-            active = front.select("_tile").distinct()
-            e_round = e.join(F.broadcast(active), "_tile", "semi")
+            # null-SAFE equality: a frontier label whose tile id is
+            # NULL (a tile_expr that can null out) must still match
+            # the NULL-tile edge rows instead of silently losing them
+            act = front.select(F.col("_tile").alias("_t2")).distinct()
+            e_round = e.join(
+                F.broadcast(act),
+                F.col("_tile").eqNullSafe(F.col("_t2")),
+                "semi",
+            )
 
         if broadcast_frontier:
             if n_front <= _MAX_BROADCAST_FRONTIER:
@@ -769,8 +781,16 @@ def sssp_frontier(
                     F.col("origin").alias("_so"),
                     F.col("weight").alias("_sw"),
                 )
-                seeded = e_round.select("_u", "_v", "_w").join(
-                    F.broadcast(seeds_df), "_u", "left"
+                seeded = (
+                    e_round.select("_u", "_v", "_w")
+                    .join(F.broadcast(seeds_df), "_u", "left")
+                    # keep _so exact int64 through Arrow: nullable
+                    # longs arrive in pandas as float64, corrupting
+                    # ids above 2^53 — flag the match separately and
+                    # fill the gaps with 0
+                    .withColumn("_hit", F.col("_so").isNotNull())
+                    .withColumn("_so", F.coalesce("_so", F.lit(0)))
+                    .withColumn("_sw", F.coalesce("_sw", F.lit(0.0)))
                 )
                 relax = _make_seeded_relax(
                     thr, track_parents, tuple(label_cols)
@@ -831,6 +851,12 @@ def sssp_frontier(
         )
         dist = merged.select(*label_cols)
         frontier = merged.filter(F.col("_prio") == 1).select(*label_cols)
+    if owns_prepared:
+        # a flood that prepared its own edge cache releases it — the
+        # labels are checkpointed, so nothing downstream re-reads it.
+        # (Caller-prepared frames stay cached for reuse across floods;
+        # the caller owns their unpersist.)
+        e.unpersist()
     return dist
 
 

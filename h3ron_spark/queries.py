@@ -758,11 +758,8 @@ _DRIVER_ORDER_FIRST = [
 
 def _ordered_names() -> list[str]:
     rank = {n: i for i, n in enumerate(_DRIVER_ORDER_FIRST)}
-    names = list(REGISTRY)
-    return sorted(
-        names,
-        key=lambda n: (rank.get(n, len(rank)), names.index(n)),
-    )
+    # stable sort: unlisted names keep registration order
+    return sorted(REGISTRY, key=lambda n: rank.get(n, len(rank)))
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1390,9 +1390,10 @@ _ALIGNED_DISSOLVE_ORACLE = """
 def golden_aligned_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7 to_aligned_linked_polygons (h3ron-polars/src/algorithm/
     to_geo.rs — align variant of the donut test at h3ron/src/
-    to_geo.rs:252-263): the k=1..2 band around the pinned (23.3,12.3)
-    res-6 cell, dissolved per res-3 parent. Per align group: cell
-    count, polygon/ring statistics (closed-ring convention)."""
+    to_geo.rs:252-263): the k=1..3 band around the pinned (23.3,12.3)
+    res-6 cell, dissolved per res-4 parent (four discriminating align
+    groups). Per align group: cell count, polygon/ring statistics
+    (closed-ring convention)."""
     from h3ron_spark.operators.dissolve import dissolve_ring_stats_df
 
     center = h3c.latlng_to_cell(12.3, 23.3, 6)

@@ -1731,8 +1731,10 @@ def geo_cell_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("geo_bounding_rect")
 def geo_bounding_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D8 bbox aggregate over the res-5 event cells (centroid min/max,
-    rounded 6 dp)."""
+    """D8 bbox aggregate over the res-5 event cells: boundary-merge
+    semantics (per-cell polygon bbox merged over the frame — the
+    reference's bounding_rect.rs default, switched from centroid
+    min/max in r3), rounded 6 dp."""
     from h3ron_spark.operators.frame import bounding_rect
 
     cells = _event_cells(spark, sf_dir, 5)

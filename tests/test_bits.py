@@ -155,6 +155,14 @@ def test_parse_coordinate_form(spark):
         assert (
             one_value(spark, G.h3_parse(F.lit(bad).cast("string"))) is None
         )
+    # nom parity quirk, pinned deliberately: u8_str is
+    # take_while_m_n(1, 2, digit) (cell.rs:419-423) — it consumes AT
+    # MOST two digits and the rest is ignored trailing input, so
+    # "...,015" parses res "01" = 1 and "...,123" parses res 12
+    r1 = h3c.latlng_to_cell(12.3, 23.3, 1)
+    r12 = h3c.latlng_to_cell(12.3, 23.3, 12)
+    assert one_value(spark, G.h3_parse(F.lit("23.3,12.3,015"))) == r1
+    assert one_value(spark, G.h3_parse(F.lit("23.3,12.3,123"))) == r12
 
 
 def test_edge_bits(spark):

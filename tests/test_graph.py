@@ -344,6 +344,28 @@ def test_sssp_frontier_distributed_paths_match(spark, monkeypatch):
     assert flood() == expected  # broadcast join + semi-join prune
 
 
+def test_sssp_frontier_h3_scale_ids_exact(spark):
+    """Regression (r3 review): the broadcast-join seeding path must
+    carry origin ids above 2^53 exactly — a nullable long reaching
+    pandas as float64 silently rounds real H3 cell ids. Flood a chain
+    graph whose node ids are actual res-9 cell values."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.graph import algorithms as GR
+
+    base = 0x89283080DDBFFFF  # canonical res-9 cell, > 2^59
+    nodes = [base + 16 * i for i in range(6)]  # distinct odd longs
+    edges = spark.createDataFrame(
+        [(a, b, 1.5) for a, b in zip(nodes, nodes[1:])],
+        "origin long, destination long, weight double",
+    )
+    out = GR.sssp_frontier(edges, [nodes[0]], threshold=10.0).collect()
+    got = {(r.origin, r.cell): r.weight for r in out}
+    assert set(got) == {(nodes[0], n) for n in nodes}
+    for i, n in enumerate(nodes):
+        assert got[(nodes[0], n)] == 1.5 * i
+
+
 def test_sssp_prepared_conflicting_tile_expr_raises(spark):
     """ADVICE r2: a prepared frame carrying its tile function must
     reject a DIFFERENT tile_expr instead of silently pruning under
