@@ -236,3 +236,81 @@ def repetition_flags(
     return (top_token_fraction(text) <= max_top_token_fraction) & (
         top_bigram_fraction(text) <= max_top_bigram_fraction
     )
+
+
+def winnow_fingerprints(text, w: int = 16, window: int = 8) -> Column:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): md5 every character ``w``-gram of the normalized
+    text, keep the lexicographic minimum of each sliding ``window`` of
+    gram hashes, and return the sorted distinct minima
+    (array<string>). Guarantee: any shared substring of length
+    >= w + window - 1 between two documents yields at least one shared
+    fingerprint — the partial-overlap detector exact dedup cannot be.
+
+    All higher-order JVM expressions (sequence + transforms), no
+    Python; md5-hex strings order identically in Spark and DuckDB, so
+    the oracle replicates this exactly with no integer conversions.
+    The normalized text and the gram array are each bound ONCE as
+    lambda variables (see :func:`with_tokens` for why).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+    def over_grams(g):
+        n_win = F.size(g) - F.lit(window - 1)
+        mins = F.when(n_win >= 1, F.transform(
+            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+            lambda j: F.array_min(F.slice(g, j, window)),
+        )).otherwise(F.array().cast("array<string>"))
+        return F.array_sort(F.array_distinct(mins))
+
+    def over_text(t):
+        n_grams = F.length(t) - F.lit(w - 1)
+        grams = F.when(n_grams >= 1, F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.md5(F.substring(t, i, F.lit(w))),
+        )).otherwise(F.array().cast("array<string>"))
+        return F.element_at(F.transform(F.array(grams), over_grams), 1)
+
+    return F.element_at(F.transform(F.array(norm), over_text), 1)
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 16,
+    window: int = 8,
+    max_doc_freq: int = 20,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Partial-overlap dedup candidates via shared winnowing
+    fingerprints: explode per-doc fingerprints, drop fingerprints
+    appearing in more than ``max_doc_freq`` documents (boilerplate —
+    the skew cap that keeps the self-join linear in true overlap
+    pairs, the same discipline as the LSH band-bucket caps), self-join
+    on the fingerprint, and keep ordered pairs sharing at least
+    ``min_shared`` fingerprints.
+
+    Returns (doc_a, doc_b, n_shared). Scale shape: the only shuffles
+    are keyed on the fingerprint hash (well spread by construction)
+    and the (doc_a, doc_b) pair aggregation; nothing is quadratic in
+    corpus size — candidate volume is bounded by
+    max_doc_freq^2 per fingerprint.
+    """
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(text_col, w, window)).alias("fp"),
+    )
+    freq_w = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    kept = fps.join(
+        freq_w.filter(F.col("_df") <= max_doc_freq).select("fp"), "fp"
+    )
+    a = kept.select(F.col("fp"), F.col("id").alias("doc_a"))
+    b = kept.select(F.col("fp").alias("fp2"), F.col("id").alias("doc_b"))
+    pairs = a.join(
+        b, (a["fp"] == b["fp2"]) & (a["doc_a"] < b["doc_b"])
+    ).groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_shared"))
+    return pairs.filter(F.col("n_shared") >= min_shared)

@@ -745,6 +745,8 @@ _DRIVER_ORDER_FIRST = [
     "golden_aligned_dissolve",
     "golden_differential_route",
     "golden_covered_area",
+    "text_winnow_fingerprint",
+    "dedup_winnow_overlap",
     # operators whose implementation changed this round
     "text_unigram_logprob",
     "golden_germany_route",

@@ -2504,3 +2504,89 @@ def rel_supplier_part_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_n")
         .orderBy("p_brand", "p_type")
     )
+
+
+# =====================================================================
+# Winnowing fingerprints (MOSS-style partial-overlap dedup)
+# =====================================================================
+
+_WINNOW_FPS_SQL = r"""
+  WITH wt AS (
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+    FROM documents
+  ), wg AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(length(norm) - 15, 0) + 1),
+                          i -> md5(substr(norm, i, 16))) AS grams
+    FROM wt
+  ), wf AS (
+    SELECT doc_id,
+           list_sort(list_distinct(
+             list_transform(range(1, greatest(len(grams) - 7, 0) + 1),
+                            j -> list_aggregate(grams[j : j + 7], 'min'))))
+             AS fp
+    FROM wg
+  )
+"""
+
+_WINNOW_FP_ORACLE = _WINNOW_FPS_SQL + """
+  SELECT doc_id,
+         CAST(len(fp) AS INT) AS n_fps,
+         fp[1] AS min_fp,
+         fp[len(fp)] AS max_fp
+  FROM wf
+"""
+
+
+@register("text_winnow_fingerprint", oracle=_WINNOW_FP_ORACLE)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the rolling-hash fingerprint family): per document
+    the distinct window-minima of md5'd character 16-grams, summarized
+    as (count, lexicographic min, max). One JVM higher-order pass per
+    row; the oracle re-derives every fingerprint in DuckDB (md5-hex
+    ordering is engine-identical, so the comparison is exact)."""
+    from h3ron_spark.pipeline import text as TX
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents").repartition(par)
+    fps = docs.select(
+        "doc_id", TX.winnow_fingerprints("text").alias("_fp")
+    )
+    return fps.select(
+        "doc_id",
+        F.size("_fp").alias("n_fps"),
+        F.try_element_at("_fp", F.lit(1)).alias("min_fp"),
+        F.try_element_at("_fp", F.size("_fp")).alias("max_fp"),
+    )
+
+
+_WINNOW_PAIRS_ORACLE = _WINNOW_FPS_SQL + """
+  , we AS (
+    SELECT doc_id, unnest(fp) AS fp FROM wf
+  ), wq AS (
+    SELECT fp FROM we GROUP BY fp HAVING count(*) <= 20
+  ), wk AS (
+    SELECT we.doc_id, we.fp FROM we JOIN wq USING (fp)
+  )
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared
+  FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+  HAVING count(*) >= 3
+"""
+
+
+@register("dedup_winnow_overlap", oracle=_WINNOW_PAIRS_ORACLE)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap dedup candidates from shared winnowing
+    fingerprints — catches documents that EMBED copied passages, which
+    exact/MinHash whole-document dedup misses. Fingerprints appearing
+    in >20 docs are dropped (boilerplate cap: bounds the per-key join
+    fan-out like the LSH band-bucket caps, so candidate volume scales
+    with true overlap pairs, never quadratically with the corpus)."""
+    from h3ron_spark.pipeline import text as TX
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents").repartition(par)
+    return TX.winnow_overlap_pairs(docs)
