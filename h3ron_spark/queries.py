@@ -275,17 +275,22 @@ def h3_bits_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def h3_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical H3 rollup: filter valid -> parent -> aggregate.
     Parent extraction is bit math, so Catalyst keeps the whole pipeline
-    in one codegen stage; the groupBy count is partial-agg'd map-side
-    (D6 + S6 + §2.7 aggregate parity)."""
+    in one codegen stage (D6 + S6 + §2.7 aggregate parity).
+
+    count + countDistinct in one agg would plan an Expand that doubles
+    every row through the wide shuffle; pre-aggregating by
+    (parent, cell) instead dedups map-side, so the first shuffle
+    carries only distinct pairs and the second is 92 groups."""
     ev = h3_bits_accessors(spark, sf_dir).select("cell", "is_valid")
-    return (
+    pre = (
         ev.filter(F.col("is_valid"))
         .select(B.h3_to_parent("cell", 1).alias("parent1"), "cell")
-        .groupBy("parent1")
-        .agg(
-            F.count(F.lit(1)).alias("n_cells"),
-            F.countDistinct("cell").alias("n_distinct"),
-        )
+        .groupBy("parent1", "cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return pre.groupBy("parent1").agg(
+        F.sum("_n").alias("n_cells"),
+        F.count(F.lit(1)).alias("n_distinct"),
     )
 
 
