@@ -53,6 +53,13 @@ def compact_dataframe(
     final bounded pass to finish merges above the partition roots.
     Identical results to the single-array path.
 
+    NOTE: the two-phase path evaluates the input frame TWICE (the
+    fine-subtree branch and the coarse-boundary branch are separate
+    scans). If the input's lineage is expensive (an uncompact explode,
+    a long transform chain), ``localCheckpoint()`` it first — the
+    checkpoint preserves physical partitions, so it composes with
+    ``assume_partitioned``.
+
     ``assume_partitioned`` (with ``partition_res``, keyless only):
     declare that the input is ALREADY partitioned so that no
     res-``partition_res`` subtree is split across partitions (e.g. it
