@@ -2530,12 +2530,12 @@ _WINNOW_FPS_SQL = r"""
   WITH wt AS (
     SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
     FROM documents
-  ), wg AS (
+  ), wg AS MATERIALIZED (
     SELECT doc_id,
            list_transform(range(1, greatest(length(norm) - 15, 0) + 1),
                           i -> md5(substr(norm, i, 16))) AS grams
     FROM wt
-  ), wf AS (
+  ), wf AS MATERIALIZED (
     SELECT doc_id,
            list_sort(list_distinct(
              list_transform(range(1, greatest(len(grams) - 7, 0) + 1),
@@ -2578,7 +2578,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINNOW_PAIRS_ORACLE = _WINNOW_FPS_SQL + """
-  , we AS (
+  , we AS MATERIALIZED (
     SELECT doc_id, unnest(fp) AS fp FROM wf
   ), wq AS (
     SELECT fp FROM we GROUP BY fp HAVING count(*) <= 20
