@@ -518,3 +518,72 @@ def test_sssp_prepared_frame_without_tile_fn_stays_correct(spark):
         for r in sssp_frontier(stripped, [0], threshold=3.0).collect()
     }
     assert got == expected
+
+
+def test_sssp_frontier_random_graph_parity(spark):
+    """Property check over randomized graphs: sssp_frontier labels ==
+    a driver-side reference Dijkstra, and backtracked paths sum to the
+    labels exactly — on H3-scale node ids, random fan-out, random
+    weights, several seeds (deterministic PRNG, no test-time flake)."""
+    import heapq
+    import random
+
+    from h3ron_spark.graph import algorithms as GR
+
+    base = 0x0890000000000000  # H3-magnitude (>2^53), bit 63 clear
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n = rng.randint(8, 24)
+        nodes = [base + 8 * i for i in range(n)]
+        edges = []
+        for u in nodes:
+            for v in rng.sample(nodes, rng.randint(1, 4)):
+                if v != u:
+                    edges.append((u, v, round(rng.uniform(0.5, 3.0), 3)))
+        # reference: plain driver Dijkstra per origin with threshold
+        def ref(origin, thr):
+            adj = {}
+            for u, v, w in edges:
+                adj.setdefault(u, []).append((v, w))
+            dist = {origin: 0.0}
+            h = [(0.0, origin)]
+            done = set()
+            while h:
+                d, u = heapq.heappop(h)
+                if u in done:
+                    continue
+                done.add(u)
+                for v, w in adj.get(u, []):
+                    nd = d + w
+                    if nd <= thr and nd < dist.get(v, float("inf")):
+                        dist[v] = nd
+                        heapq.heappush(h, (nd, v))
+            return dist
+
+        thr = rng.uniform(2.0, 6.0)
+        origins = rng.sample(nodes, 2)
+        df = spark.createDataFrame(
+            edges, "origin long, destination long, weight double"
+        )
+        out = GR.sssp_frontier(
+            df, origins, threshold=thr, track_parents=True
+        )
+        rows = out.collect()
+        got = {(r.origin, r.cell): r.weight for r in rows}
+        want = {
+            (o, c): w for o in origins for c, w in ref(o, thr).items()
+        }
+        assert set(got) == set(want), f"seed {seed}: reached sets differ"
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, f"seed {seed}: {k}"
+        # backtrack three destinations per origin; path sums == labels
+        ew = {(u, v): w for u, v, w in edges}
+        dests = sorted({c for (_o, c) in want if c not in origins})[:3]
+        if dests:
+            paths = GR.backtrack_paths(out, dests)
+            for (o, d), cells in paths.items():
+                assert cells[0] == o and cells[-1] == d
+                total = sum(
+                    ew[(a, b)] for a, b in zip(cells, cells[1:])
+                )
+                assert abs(total - want[(o, d)]) < 1e-9
