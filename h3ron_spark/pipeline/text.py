@@ -298,10 +298,14 @@ def winnow_overlap_pairs(
     corpus size — candidate volume is bounded by
     max_doc_freq^2 per fingerprint.
     """
+    # materialize the exploded fingerprint table once: the frequency
+    # cap and BOTH sides of the self-join read it, and without the
+    # checkpoint Catalyst re-runs the md5 gram scan four times (same
+    # localCheckpoint-not-persist rationale as unigram_logprob_scores)
     fps = df.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprints(text_col, w, window)).alias("fp"),
-    )
+    ).localCheckpoint(eager=True)
     freq_w = fps.groupBy("fp").agg(
         F.count(F.lit(1)).alias("_df")
     )
