@@ -236,6 +236,26 @@ def h3_to_parent(cell, parent_res) -> Column:
     return F.when(h3_get_resolution(c) >= pr, parent)
 
 
+def h3_ancestors(cell) -> Column:
+    """Every coarser ancestor of the cell (res-1 down to 0) as an
+    array<long> — pure bit math, empty for res-0 cells, NULL for
+    invalid input. The building block for containment set-algebra
+    (purge_children, ancestor semi-joins) without any geodesic work."""
+    c = _c(cell)
+    res = h3_get_resolution(c)
+    return F.when(
+        ~h3_is_valid_cell(c), F.lit(None).cast("array<long>")
+    ).otherwise(
+        F.when(
+            res > 0,
+            F.transform(
+                F.sequence(res - 1, F.lit(0), F.lit(-1)),
+                lambda r: h3_to_parent(c, r),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+    )
+
+
 def h3_to_center_child(cell, child_res) -> Column:
     """Center child at ``child_res`` (S8). NULL when child_res < res(cell).
 

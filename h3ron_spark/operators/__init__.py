@@ -7,6 +7,7 @@ from h3ron_spark.operators.compact import (  # noqa: F401
 )
 from h3ron_spark.operators.frame import (  # noqa: F401
     bounding_rect,
+    purge_children,
     change_resolution_dataframe,
     filter_h3_is_valid,
     partition_by_resolution,

@@ -61,6 +61,26 @@ def partition_by_resolution(
     return out
 
 
+def purge_children(df: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """CompactedCellVec.purge_children parity (parents swallow
+    children, h3ron/src/collections/compactedcellvec.rs:244-276):
+    drop every row whose cell has ANY coarser ancestor present in the
+    frame's own cell set.
+
+    Scale shape: ancestors are <=15 pure-bit-math values per row
+    (h3_ancestors), membership is one semi-join of the exploded
+    ancestors against the distinct cell set, and the final anti-join
+    removes the swallowed rows — no geodesic kernel, no Python,
+    shuffles keyed on well-spread cell ids at any scale."""
+    cells = df.select(F.col(cell_col).alias("_pc")).distinct()
+    ancs = df.select(
+        F.col(cell_col),
+        F.explode(B.h3_ancestors(cell_col)).alias("_pc"),
+    )
+    doomed = ancs.join(cells, "_pc", "semi").select(cell_col).distinct()
+    return df.join(doomed, cell_col, "left_anti")
+
+
 def bounding_rect(df: DataFrame, cell_col: str = "cell", use: str = "boundary"):
     """D8: aggregate bbox over the frame. One partial+final agg, no
     shuffle of data rows.

@@ -654,6 +654,58 @@ def h3_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "h3_purge_children",
+    oracle=_BITS_CELL_SQL
+    + f""",
+      valid AS (SELECT event_id, cell FROM cells WHERE {_VALID_SQL}),
+      pars AS (
+        SELECT DISTINCT
+               ((cell | ((1::BIGINT << 42) - 1)) & {~(15 << 52)})
+                 | (1::BIGINT << 52) AS cell
+        FROM valid WHERE event_id % 5 = 0
+      ),
+      surv AS (
+        SELECT cell FROM valid
+        WHERE ((cell | ((1::BIGINT << 42) - 1)) & {~(15 << 52)})
+                | (1::BIGINT << 52) NOT IN (SELECT cell FROM pars)
+        UNION ALL
+        SELECT cell FROM pars
+      )
+      SELECT ((cell >> 52) & 15)::INT AS res,
+             count(*) AS n_rows,
+             bit_xor(cell) AS checksum
+      FROM surv GROUP BY res
+    """,
+)
+def h3_purge_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompactedCellVec.purge_children parity (SURVEY §1.4,
+    compactedcellvec.rs:244-276): parents swallow children. The
+    battery's valid cells are unioned with the res-1 parents of every
+    5th event's cell; rows whose ancestor is present drop, the
+    injected parents survive. The oracle replicates the full ancestor
+    semantics in pure SQL (only the res-1 level can match for this
+    input — the set holds res-3 and res-1 cells only), aggregated as
+    per-resolution row counts + bit_xor checksums."""
+    from h3ron_spark.operators.frame import purge_children
+
+    acc = h3_bits_accessors(spark, sf_dir)
+    valid = acc.filter(F.col("is_valid")).select("event_id", "cell")
+    pars = (
+        valid.filter(F.col("event_id") % 5 == 0)
+        .select(B.h3_to_parent("cell", 1).alias("cell"))
+        .distinct()
+    )
+    u = valid.select("cell").unionByName(pars)
+    out = purge_children(u, "cell")
+    return out.groupBy(
+        B.h3_get_resolution("cell").alias("res")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(cell)").alias("checksum"),
+    )
+
+
+@register(
     "rel_event_sessions",
     oracle="""
     WITH e AS (
@@ -752,6 +804,7 @@ _DRIVER_ORDER_FIRST = [
     "golden_covered_area",
     "text_winnow_fingerprint",
     "dedup_winnow_overlap",
+    "h3_purge_children",
     # operators whose implementation changed this round
     "text_unigram_logprob",
     "golden_germany_route",

@@ -293,3 +293,34 @@ def test_keyed_two_phase_compact_matches_plain(spark):
         ).collect()
     }
     assert pa_ == tw
+
+
+def test_purge_children(spark):
+    """CompactedCellVec.purge_children (compactedcellvec.rs:244-276):
+    rows with any present ancestor drop; parents and unrelated cells
+    survive; duplicates of survivors are preserved."""
+    parent = h3c.latlng_to_cell(37.0, -122.0, 4)
+    child = h3c.cell_to_children(parent, 6)[3]
+    unrelated = h3c.latlng_to_cell(-20.0, 60.0, 6)
+    df = spark.createDataFrame(
+        [(parent,), (child,), (child,), (unrelated,)], "cell long"
+    )
+    got = sorted(r.cell for r in OPS.purge_children(df, "cell").collect())
+    assert got == sorted([parent, unrelated])
+    # deep ancestor (res-2) also swallows the res-6 child
+    deep = h3c.cell_to_parent(parent, 2)
+    df2 = spark.createDataFrame([(deep,), (child,)], "cell long")
+    got2 = {r.cell for r in OPS.purge_children(df2, "cell").collect()}
+    assert got2 == {deep}
+
+
+def test_h3_ancestors_column(spark):
+    from h3ron_spark.functions import bits as B
+
+    c = h3c.latlng_to_cell(37.0, -122.0, 3)
+    rows = spark.createDataFrame(
+        [(c,), (h3c.latlng_to_cell(37.0, -122.0, 0),), (7,)], "cell long"
+    ).select(B.h3_ancestors("cell").alias("a")).collect()
+    assert rows[0].a == [h3c.cell_to_parent(c, r) for r in (2, 1, 0)]
+    assert rows[1].a == []   # res 0: no ancestors
+    assert rows[2].a is None  # invalid -> NULL
