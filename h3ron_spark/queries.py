@@ -805,6 +805,7 @@ _DRIVER_ORDER_FIRST = [
     "text_winnow_fingerprint",
     "dedup_winnow_overlap",
     "h3_purge_children",
+    "text_length_quantiles",
     # operators whose implementation changed this round
     "text_unigram_logprob",
     "golden_germany_route",

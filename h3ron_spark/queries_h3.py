@@ -2606,3 +2606,52 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").repartition(par)
     return TX.winnow_overlap_pairs(docs)
+
+
+# =====================================================================
+# Corpus token-length distribution (exact quantiles)
+# =====================================================================
+
+_LENGTH_QUANTILES_ORACLE = r"""
+  WITH q AS (
+    SELECT source,
+           count(*) AS n_docs,
+           quantile_cont(len(string_split_regex(trim(text), '\s+')),
+                         [0.5, 0.9, 0.99]) AS qs
+    FROM documents GROUP BY source
+  )
+  SELECT source, n_docs,
+         round(qs[1], 4) AS p50_tokens,
+         round(qs[2], 4) AS p90_tokens,
+         round(qs[3], 4) AS p99_tokens
+  FROM q ORDER BY source
+"""
+
+
+@register("text_length_quantiles", oracle=_LENGTH_QUANTILES_ORACLE)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution: EXACT interpolated
+    p50/p90/p99 (the standard corpus-audit report before setting
+    length filters). ``F.percentile`` and DuckDB ``quantile_cont``
+    share the linear-interpolation definition, so the oracle is exact.
+    One scan + a 20-group sort-based aggregate; at 100 TB exact
+    per-group quantiles sort only within groups (hot groups can switch
+    to percentile_approx — the plan shape is unchanged)."""
+    from h3ron_spark.pipeline import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    q = (
+        docs.select("source", TX.token_count("text").alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile("n", F.lit([0.5, 0.9, 0.99])).alias("_q"),
+        )
+    )
+    return q.select(
+        "source",
+        "n_docs",
+        F.round(F.element_at("_q", 1), 4).alias("p50_tokens"),
+        F.round(F.element_at("_q", 2), 4).alias("p90_tokens"),
+        F.round(F.element_at("_q", 3), 4).alias("p99_tokens"),
+    ).orderBy("source")
