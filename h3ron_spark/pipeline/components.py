@@ -1,0 +1,134 @@
+"""Connected components over near-duplicate pair graphs.
+
+Dedup at cluster granularity: MinHash/SimHash/embedding candidate
+pairs form an undirected graph whose connected components are the
+duplicate *families*; keeping one canonical document per family (the
+minimum id — deterministic) is the standard corpus-dedup contract
+(same rule as the exact-dedup keep-first and the reference's
+deterministic min-label clustering in
+h3ron/src/algorithm/cell_clusters.rs:12-116, which our
+operators/clusters.py mirrors for cells).
+
+Spark-first design (same shape as operators/clusters.py, generalized
+to an arbitrary id pair frame):
+
+- small graphs (bounded edge count) run a driver-side union-find over
+  one Arrow collect — the per-round Spark job overhead dominates at
+  fixture scale, and duplicate-pair graphs are tiny relative to the
+  corpus (only docs with >=1 near-dup appear);
+- larger graphs use iterative min-label propagation WITH pointer
+  jumping (label-of-label each round), so rounds are O(log diameter).
+  Each round is a join + min-agg shuffling on the id — the same
+  partitioning every round, which AQE reuses. Near-dup families have
+  tiny diameter in practice (2-3 rounds); the log bound protects the
+  adversarial chain case.
+
+At 100 TB: the pair graph is orders of magnitude smaller than the
+corpus (it only contains duplicated docs), but it can still exceed
+driver memory — the distributed path never collects labels, and
+convergence is decided with a count() on the changed-label frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_UNION_FIND_EDGE_LIMIT = 2_000_000
+
+
+def label_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+    edge_limit: int = _UNION_FIND_EDGE_LIMIT,
+) -> DataFrame:
+    """Label connected components of an undirected pair graph.
+
+    Returns (id, component) for every id appearing in ``pairs``;
+    ``component`` is the minimum id of the component (deterministic
+    label, stable under re-partitioning).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+
+    # guarded-bounded probe: pull up to limit+1 edges in ONE action —
+    # if under the limit we already hold the edge list for union-find
+    epdf = pairs.select(id_a, id_b).limit(edge_limit + 1).toPandas()
+    if len(epdf) <= edge_limit:
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(epdf[id_a].tolist(), epdf[id_b].tolist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id keeps the deterministic label rule
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        from h3ron_spark.util import local_df
+
+        rows = [(x, find(x)) for x in parent]
+        return local_df(spark, rows, "id long, component long")
+
+    edges = sym.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(
+                labels.select(F.col("id").alias("_d"), "component"),
+                edges["dst"] == F.col("_d"),
+            )
+            .select(F.col("src").alias("id"), "component")
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("_new"))
+        )
+        # pointer jumping: take the label OF my label too (labels are
+        # member ids, so the target row exists) — halves the label-tree
+        # height per round.
+        tgt = prop.select(F.col("id").alias("_t"), F.col("_new").alias("_tn"))
+        jump = (
+            prop.join(tgt, prop["_new"] == tgt["_t"], "left")
+            .select("id", F.least("_new", "_tn").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jump.join(labels.withColumnRenamed("component", "_old"), "id")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels = jump
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_members(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(id, cluster, is_canonical) per duplicated document: cluster =
+    min id of the near-dup family, canonical = the kept copy."""
+    comps = label_components(pairs, id_a, id_b)
+    return comps.select(
+        F.col("id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

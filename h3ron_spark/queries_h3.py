@@ -174,14 +174,17 @@ def _band_keys_sql() -> list[str]:
     return keys
 
 
-def _minhash_oracle(threshold: float) -> str:
+def _minhash_pair_ctes() -> str:
+    """The shared CTE chain sh_t -> sig_t -> band_t -> cand -> j
+    (signatures, banding, candidate pairs, exact Jaccard refine) —
+    reused by the pair query and the cluster query's recursive
+    component oracle."""
     sigs = ",\n           ".join(
         f"{s} AS m{k}" for k, s in enumerate(_minhash_sig_sql())
     )
     sig_arr = ", ".join(f"m{k}" for k in range(DD.MINHASH_PERMS))
     bands = ", ".join(_band_keys_sql())
-    return rf"""
-  WITH sh_t AS (
+    return rf"""sh_t AS (
     SELECT doc_id, {_SHINGLES} AS sh FROM documents
   ), sig_t AS (
     SELECT doc_id, sh,
@@ -202,7 +205,12 @@ def _minhash_oracle(threshold: float) -> str:
     FROM cand c
     JOIN sh_t sa ON sa.doc_id = c.id_a
     JOIN sh_t sb ON sb.doc_id = c.id_b
-  )
+  )"""
+
+
+def _minhash_oracle(threshold: float) -> str:
+    return rf"""
+  WITH {_minhash_pair_ctes()}
   SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
 """
 
@@ -216,6 +224,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").repartition(par)
     return DD.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+_MINHASH_CLUSTER_ORACLE = rf"""
+  WITH RECURSIVE {{ctes}},
+  e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.5),
+  sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+  walk(id, lab) AS (
+    SELECT DISTINCT a AS id, a AS lab FROM sym
+    UNION
+    SELECT s.a AS id, w.lab FROM sym s JOIN walk w ON w.id = s.b
+  ),
+  comp AS (SELECT id, min(lab) AS cluster FROM walk GROUP BY id)
+  SELECT cluster, count(*) AS n_docs, sum(id)::BIGINT AS sum_doc_ids,
+         max(id) AS max_doc
+  FROM comp GROUP BY cluster
+"""
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=_MINHASH_CLUSTER_ORACLE.format(ctes=_minhash_pair_ctes()),
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate FAMILIES: connected components of the refined
+    MinHash pair graph, one summary row per family. The cluster label
+    is the minimum member doc_id — the canonical document a
+    cluster-granularity corpus dedup keeps (pair lists alone
+    over-delete: a~b, b~c must drop ONE of b/c, not both).
+
+    Scale: the pair graph holds only documents with >=1 near-dup —
+    orders of magnitude smaller than the corpus. Components are
+    labeled by a guarded driver union-find under 2M edges and by
+    pointer-jumping min-label propagation (O(log diameter) rounds,
+    one co-partitioned join+agg per round) beyond it. The oracle
+    walks the identical closure with a recursive CTE over the same
+    md5-permutation pair CTEs."""
+    from h3ron_spark.pipeline import components as CP
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents").repartition(par)
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.5)
+    comps = CP.label_components(pairs)
+    return comps.groupBy(F.col("component").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("id").alias("sum_doc_ids"),
+        F.max("id").alias("max_doc"),
+    )
 
 
 def _simhash_oracle(bits: int = 32) -> str:
