@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "pipeline_mixture_epoch",
     "pipeline_quality_gate",
     "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
+    "dedup_substring_spans",
+    "rel_events_asof",
+    "text_tfidf_keywords",
+    "pipeline_corpus_curation",
     "ann_topk_cosine",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -860,6 +860,7 @@ _DRIVER_ORDER_FIRST = [
     "rel_supplier_part_pricing",
     # new this round (late additions — session 2)
     "dedup_minhash_clusters",
+    "dedup_embedding_clusters",
     "rel_events_asof",
     "dedup_substring_spans",
     "text_tfidf_keywords",

@@ -1240,14 +1240,16 @@ def _session_key(spark: SparkSession) -> str:
 _EMB_DUP_THRESHOLD = 0.25
 
 
-def _emb_dup_oracle() -> str:
+def _emb_blocking_ctes() -> str:
+    """The shared e -> mem0 -> mem blocking chain (double-cast
+    vectors, banded hyperplane buckets, per-bucket cap) — reused by
+    the pair query and the cluster query's recursive closure."""
     buckets = _band_bucket_sql("v")
     mem = "\n    UNION ALL ".join(
         f"SELECT vec_id, v, {band} AS band, ({b}) AS bucket FROM e"
         for band, b in enumerate(buckets)
     )
-    return f"""
-  WITH e AS (
+    return f"""e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   ), mem0 AS (
     {mem}
@@ -1257,7 +1259,12 @@ def _emb_dup_oracle() -> str:
                                    ORDER BY vec_id) AS rn
       FROM mem0
     ) WHERE rn <= {_BUCKET_CAP}
-  )
+  )"""
+
+
+def _emb_dup_oracle() -> str:
+    return f"""
+  WITH {_emb_blocking_ctes()}
   SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
          {_COSINE.format(a="a.v", b="c.v")} AS cosine
   FROM mem a JOIN mem c ON a.band = c.band AND a.bucket = c.bucket
@@ -1282,6 +1289,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=_PLANES,
         bands=_BANDS,
         bucket_cap=_BUCKET_CAP,
+    )
+
+
+def _emb_cluster_oracle() -> str:
+    return f"""
+  WITH RECURSIVE {_emb_blocking_ctes()},
+  prs AS (
+    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+    FROM mem a JOIN mem c ON a.band = c.band AND a.bucket = c.bucket
+                         AND a.vec_id < c.vec_id
+    WHERE {_COSINE.format(a="a.v", b="c.v")} >= {_EMB_DUP_THRESHOLD}
+  ),
+  sym AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION ALL SELECT id_b AS a, id_a AS b FROM prs),
+  walk(id, lab) AS (
+    SELECT DISTINCT a AS id, a AS lab FROM sym
+    UNION
+    SELECT s.a AS id, w.lab FROM sym s JOIN walk w ON w.id = s.b
+  ),
+  comp AS (SELECT id, min(lab) AS cluster FROM walk GROUP BY id)
+  SELECT cluster, count(*) AS n_vecs, sum(id)::BIGINT AS sum_vec_ids,
+         max(id) AS max_vec
+  FROM comp GROUP BY cluster
+"""
+
+
+@register("dedup_embedding_clusters", oracle=_emb_cluster_oracle())
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate FAMILIES: connected components of the
+    embedding-cosine near-dup pair graph (same LSH blocking as
+    dedup_embedding_cosine), one row per family labeled by the
+    minimum member — the canonical vector an embedding-level dedup
+    keeps. Same component machinery as dedup_minhash_clusters
+    (pipeline/components.py); the oracle closes the identical pair
+    set with a recursive CTE."""
+    from h3ron_spark.pipeline import components as CP
+
+    par = spark.sparkContext.defaultParallelism
+    emb = load(spark, sf_dir, "embeddings").repartition(par)
+    pairs = SIM.embedding_near_dup_pairs(
+        emb,
+        _EMB_DUP_THRESHOLD,
+        dim=_DIM,
+        planes=_PLANES,
+        bands=_BANDS,
+        bucket_cap=_BUCKET_CAP,
+    ).select("id_a", "id_b")
+    comps = CP.label_components(pairs)
+    return comps.groupBy(F.col("component").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("id").alias("sum_vec_ids"),
+        F.max("id").alias("max_vec"),
     )
 
 
