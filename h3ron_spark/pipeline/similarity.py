@@ -598,3 +598,186 @@ def kmeans_fit(
         new = {int(r["list_id"]): [float(x) for x in r["cv"]] for r in means}
         cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
     return cents
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN path
+# ---------------------------------------------------------------------
+
+def pq_init_books(
+    corpus: DataFrame,
+    m: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic PQ codebook init: the subvectors of the corpus
+    vectors with id < k (same convention as ivf_centroid_rows), one
+    independent codebook per subspace. Returns m lists of (cid,
+    centroid) with centroids of length dim/m."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+        .filter(F.col("cid") < k)
+        .orderBy("cid")
+        .collect()
+    )
+    dim = len(rows[0].v)
+    sub = dim // m
+    return [
+        [
+            (r.cid, [float(t) for t in r.v[s * sub : (s + 1) * sub]])
+            for r in rows
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_assign_arrow(books: list[list[tuple[int, list[float]]]]):
+    """Arrow-kernel PQ encoding: per subspace, the code (centroid id)
+    minimizing the 6-dp-rounded squared L2 distance, ties to the
+    smaller cid. One batched numpy pass per Arrow batch; the
+    (m, k, dim/m) codebook rides in the closure — map-side only, no
+    shuffle, the encode path a 100-TB corpus compresses through.
+
+    The per-subspace distance accumulates coordinate-by-coordinate
+    (left-to-right) to match the SQL oracle's explicit `+` chain."""
+    cb = np.array(
+        [[cv for _, cv in book] for book in books], dtype=np.float64
+    )  # (m, k, sub)
+    cids = np.array([[cid for cid, _ in book] for book in books])
+    m, k, sub = cb.shape
+
+    @arrow_udf(ArrayType(LongType()))
+    def kernel(vec: pa.Array) -> pa.Array:
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        n = len(vec)
+        if n == 0:
+            return pa.array([], pa.list_(pa.int64()))
+        flat = np.asarray(
+            vec.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        M = flat.reshape(n, m, sub)
+        d = np.zeros((n, m, k), dtype=np.float64)
+        for i in range(sub):
+            diff = M[:, :, None, i] - cb[None, :, :, i]
+            d += diff * diff
+        d = np.round(d, 6)
+        idx = np.argmin(d, axis=2)  # first min = smallest cid (cid-sorted)
+        out = np.take_along_axis(
+            np.broadcast_to(cids[None], (n, m, k)), idx[:, :, None], axis=2
+        )[:, :, 0]
+        offsets = np.arange(0, (n + 1) * m, m, dtype=np.int32)
+        return pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(out.ravel().astype(np.int64))
+        )
+
+    return kernel
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic per-subspace Lloyd's for PQ codebooks (the same
+    bit-reproducible recipe as kmeans_fit: 6-dp-rounded assignment
+    distance with smaller-cid ties, per-coordinate means rounded to
+    6 dp, empty codes keep their previous centroid — so the DuckDB
+    oracle can unroll the identical iterations).
+
+    Scale shape: assignment is the map-side Arrow kernel; the means
+    are one (subspace, code, coord) partial-agg'd groupBy per
+    iteration (m*k*dim/m rows to the driver — model-sized)."""
+    books = pq_init_books(corpus, m, k, id_col, vec_col)
+    sub = len(books[0][0][1])
+    for _ in range(n_iter):
+        kern = pq_assign_arrow(books)
+        pos_s = F.expr(f"pos div {sub}").cast("int")
+        assigned = corpus.select(
+            kern(vec_col).alias("codes"),
+            F.posexplode(vec_col).alias("pos", "val"),
+        ).select(
+            pos_s.alias("s"),
+            F.element_at("codes", (pos_s + 1).cast("int")).alias("code"),
+            F.expr(f"pos % {sub}").cast("int").alias("i"),
+            "val",
+        )
+        means = (
+            assigned.groupBy("s", "code", "i")
+            .agg(F.round(F.avg("val"), 6).alias("mv"))
+            .collect()
+        )
+        new = {(int(r.s), int(r.code), int(r.i)): float(r.mv) for r in means}
+        books = [
+            [
+                (
+                    cid,
+                    [
+                        new.get((s, cid, i), cv[i])
+                        for i in range(sub)
+                    ],
+                )
+                for cid, cv in book
+            ]
+            for s, book in enumerate(books)
+        ]
+    return books
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: candidates are
+    scored by the squared L2 between the raw query and each
+    candidate's RECONSTRUCTED codeword chain — the compressed-domain
+    scan that makes billion-vector rerank feasible (codes are m small
+    ints instead of dim floats; at 100 TB this pairs with IVF list
+    pruning, here it scans all candidates to keep the oracle exact).
+
+    Output: (query_id, vec_id, adc_dist, rank), rank by
+    (6-dp-rounded distance asc, vec_id asc)."""
+    m = len(books)
+    sub = len(books[0][0][1])
+    kern = pq_assign_arrow(books)
+    enc = corpus.select(
+        F.col(id_col).alias("vec_id"), kern(vec_col).alias("codes")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    # cid -> positional index per subspace for the literal lookup
+    dist = None
+    for s, book in enumerate(books):
+        cid_arr = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in book])
+        cb_s = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in book]
+        )
+        pos = F.array_position(cid_arr, F.element_at("codes", s + 1).cast("int"))
+        cw = F.element_at(cb_s, pos.cast("int"))
+        for i in range(sub):
+            diff = F.element_at("qv", s * sub + i + 1) - F.element_at(cw, i + 1)
+            term = diff * diff
+            dist = term if dist is None else dist + term
+    scored = (
+        q.join(F.broadcast(enc), F.col(query_id_col) != F.col("vec_id"))
+        .withColumn("adc_dist", F.round(dist, 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(query_id_col, "vec_id", "adc_dist", "rank")
+    )

@@ -861,6 +861,7 @@ _DRIVER_ORDER_FIRST = [
     # new this round (late additions — session 2)
     "dedup_minhash_clusters",
     "dedup_embedding_clusters",
+    "ann_pq_adc_topk",
     "rel_events_asof",
     "dedup_substring_spans",
     "text_tfidf_keywords",

@@ -2856,6 +2856,125 @@ def _kmeans_oracle() -> str:
     return "".join(parts)
 
 
+_PQ_M, _PQ_K, _PQ_ITERS = 8, 16, 2
+
+
+def _pq_l2_sql(vec: str, cent: str, s: int, sub: int) -> str:
+    """Explicit left-assoc squared-L2 chain between a vector slice and
+    a subspace centroid — the exact term order the Spark kernel and
+    ADC expression accumulate in."""
+    off = s * sub
+    terms = []
+    for j in range(1, sub + 1):
+        a = f"{vec}[{off + j}]"
+        b = f"{cent}.cv[{j}]"
+        terms.append(f"({a} - {b}) * ({a} - {b})")
+    return " + ".join(terms)
+
+
+def _pq_oracle() -> str:
+    """Unrolled per-subspace Lloyd's + PQ encode + ADC rerank, all as
+    chained CTEs: an independent DuckDB recomputation of pq_fit
+    (6-dp-rounded assignment distances with smaller-cid ties, 6-dp
+    per-coordinate means, empty codes keep the previous centroid)
+    followed by the asymmetric-distance top-5."""
+    m, k, iters = _PQ_M, _PQ_K, _PQ_ITERS
+    sub = _DIM // m
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    ]
+    for s in range(m):
+        off = s * sub
+        parts.append(
+            f", cs0_{s} AS (SELECT vec_id AS cid,"
+            f" v[{off + 1}:{off + sub}] AS cv FROM e WHERE vec_id < {k})"
+        )
+    for it in range(1, iters + 1):
+        for s in range(m):
+            prev = f"cs{it - 1}_{s}"
+            off = s * sub
+            l2 = _pq_l2_sql("e.v", "c", s, sub)
+            parts.append(f"""
+  , a{it}_{s} AS (
+    SELECT vec_id, cid AS code FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({l2}, 6) ASC, c.cid ASC) AS rn
+      FROM e CROSS JOIN {prev} c) WHERE rn = 1
+  ), cs{it}_{s}_new AS (
+    SELECT code AS cid, list(mv ORDER BY i) AS cv FROM (
+      SELECT a.code, t.i, round(avg(e2.v[{off} + t.i]), 6) AS mv
+      FROM a{it}_{s} a JOIN e e2 USING (vec_id), range(1, {sub + 1}) t(i)
+      GROUP BY a.code, t.i)
+    GROUP BY code
+  ), cs{it}_{s} AS (
+    SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN cs{it}_{s}_new n ON n.cid = p.cid
+  )""")
+    for s in range(m):
+        l2 = _pq_l2_sql("e.v", "c", s, sub)
+        parts.append(f"""
+  , enc_{s} AS (
+    SELECT vec_id, cid AS code FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({l2}, 6) ASC, c.cid ASC) AS rn
+      FROM e CROSS JOIN cs{iters}_{s} c) WHERE rn = 1
+  )""")
+    dist_terms = []
+    joins = []
+    for s in range(m):
+        joins.append(
+            f"JOIN enc_{s} x{s} ON x{s}.vec_id = x.vec_id "
+            f"JOIN cs{iters}_{s} c{s} ON c{s}.cid = x{s}.code"
+        )
+        off = s * sub
+        for j in range(1, sub + 1):
+            a = f"q.qv[{off + j}]"
+            b = f"c{s}.cv[{j}]"
+            dist_terms.append(f"({a} - {b}) * ({a} - {b})")
+    dist = " + ".join(dist_terms)
+    parts.append(f"""
+  , qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0)
+  , scored AS (
+    SELECT q.query_id, x.vec_id, round({dist}, 6) AS adc_dist
+    FROM qs q CROSS JOIN e x
+    {" ".join(joins)}
+    WHERE x.vec_id <> q.query_id
+  )
+  SELECT query_id, vec_id, adc_dist, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist ASC, vec_id ASC) AS rank
+    FROM scored) WHERE rank <= 5""")
+    return "".join(parts)
+
+
+@register("ann_pq_adc_topk", oracle=_pq_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace Lloyd-trained codebooks
+    (8 subspaces x 16 codes over the 64-dim vectors), map-side Arrow
+    encode to 8 small ints per vector, then asymmetric-distance (ADC)
+    top-5 — raw query against reconstructed codewords. This is the
+    compressed-domain scan of IVF-PQ systems (Jegou et al. 2011):
+    codes are 32x smaller than the vectors, so the rerank table
+    broadcasts/filters at corpus scales where raw embeddings cannot;
+    at 100 TB it composes with the IVF list pruning already in
+    ann_ivf_topk. The oracle independently re-trains the codebooks by
+    unrolling every Lloyd iteration per subspace in SQL, so training,
+    encoding, and ADC are all hash-checked end to end."""
+    par = spark.sparkContext.defaultParallelism
+    emb = load(spark, sf_dir, "embeddings").repartition(par)
+    ckey = (_session_key(spark), sf_dir, "pq", _PQ_M, _PQ_K, _PQ_ITERS)
+    books = _IVF_CENT_CACHE.get(ckey)
+    if books is None:
+        books = SIM.pq_fit(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITERS)
+        _IVF_CENT_CACHE[ckey] = books
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.pq_adc_topk(emb, queries, books, k_top=5)
+
+
 @register("ann_ivf_trained_topk", oracle=_kmeans_oracle())
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k on a TRAINED coarse quantizer: deterministic Lloyd's

@@ -189,3 +189,47 @@ def test_kmeans_fit_trains_and_improves(spark):
         tuple(a[1]) != tuple(b[1]) for a, b in zip(init, trained)
     )
     assert inertia(trained) <= inertia(init) + 1e-9
+
+
+def _pq_quant_error(vecs, books):
+    """Mean squared reconstruction error of encoding vecs with books."""
+    import numpy as np
+
+    cb = np.array([[cv for _, cv in b] for b in books])  # (m, k, sub)
+    m, k, sub = cb.shape
+    X = np.array(vecs, dtype=np.float64).reshape(len(vecs), m, sub)
+    d = ((X[:, :, None, :] - cb[None]) ** 2).sum(-1)  # (n, m, k)
+    return float(d.min(axis=2).sum(axis=1).mean())
+
+
+def test_pq_codes_shape_and_cid_domain(spark, emb):
+    books = SIM.pq_fit(emb, m=8, k=16, n_iter=1)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    kern = SIM.pq_assign_arrow(books)
+    rows = emb.select(kern("embedding").alias("c")).collect()
+    cids = {cid for b in books for cid, _ in b}
+    assert all(len(r.c) == 8 and set(r.c) <= cids for r in rows)
+
+
+def test_pq_training_reduces_quantization_error(spark, emb):
+    vecs = [r.embedding for r in emb.select("embedding").collect()]
+    untrained = SIM.pq_init_books(emb, m=8, k=16)
+    trained = SIM.pq_fit(emb, m=8, k=16, n_iter=2)
+    assert _pq_quant_error(vecs, trained) < _pq_quant_error(vecs, untrained)
+
+
+def test_pq_adc_topk_is_deterministic_and_ranked(spark, emb):
+    books = SIM.pq_fit(emb, m=8, k=16, n_iter=1)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.pq_adc_topk(emb, queries, books, k_top=3).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.adc_dist, r.vec_id))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r[1] for r in rows]
+        assert dists == sorted(dists)
+        assert all(r[2] != q for r in rows)
