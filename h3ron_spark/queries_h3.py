@@ -1579,6 +1579,107 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SESS_ORACLE = """
+  WITH src AS (
+    SELECT user_id, event_id AS ts_s
+    FROM events WHERE event_id < 4000
+  ), flagged AS (
+    SELECT user_id, ts_s,
+           CASE WHEN lag(ts_s) OVER w IS NULL
+                     OR ts_s - lag(ts_s) OVER w > 30
+                THEN 1 ELSE 0 END AS is_new
+    FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+  ), sess AS (
+    SELECT user_id, ts_s,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+  )
+  SELECT user_id,
+         min(ts_s)      AS session_start_s,
+         max(ts_s) + 30 AS session_end_s,
+         count(*)       AS n_events
+  FROM sess GROUP BY user_id, sid
+"""
+
+
+@register("stream_session_windows", oracle=_STREAM_SESS_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (F.session_window — the one
+    aggregation family that EXISTS only as a streaming/stateful
+    concept): 30-second-gap sessions per user, append mode with a
+    2-minute watermark over a two-file time-split source, so sessions
+    span micro-batch boundaries and are finalized by watermark
+    passage, not by input exhaustion. A far-future sentinel row in the
+    last file advances the watermark past every real session (the
+    no-data final micro-batch then flushes state); the oracle is the
+    equivalent batch gaps-and-islands SQL (a session extends while the
+    inter-event gap is <= 30 s — an event landing exactly on the
+    window end merges, pinned empirically; session end = last event
+    + 30 s)."""
+    import shutil
+    import tempfile
+
+    from h3ron_spark import streaming as ST
+
+    n = 4000
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < n)
+    src = ev.select(
+        "user_id", F.col("event_id").cast("timestamp").alias("ts")
+    )
+    workdir = tempfile.mkdtemp(prefix="h3ron_streamsess_")
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_conf, None)
+    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    try:
+        half = n // 2
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(n + 1_000_000).cast("timestamp").alias("ts"),
+        )
+        parts = (
+            src.filter(F.col("ts").cast("long") < half),
+            src.filter(F.col("ts").cast("long") >= half),
+            sentinel,
+        )
+        for i, part in enumerate(parts):
+            part.coalesce(1).write.parquet(f"{workdir}/in/b{i}.parquet")
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{workdir}/in/*")
+        )
+        global _STREAM_SEQ
+        _STREAM_SEQ += 1
+        sink = f"h3ron_sessions_{_STREAM_SEQ}"
+        q = (
+            ST.session_windows(
+                stream, gap="30 seconds", watermark="2 minutes"
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if old_parts is not None:
+            spark.conf.set(shuffle_conf, old_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_timestamp("session_start").alias("session_start_s"),
+            F.unix_timestamp("session_end").alias("session_end_s"),
+            "n_events",
+        )
+    )
+
+
 # =====================================================================
 # Geodesic workloads (rows-only driver check: no SQL oracle can
 # compute the icosahedral math; correctness is pinned by the pytest

@@ -64,6 +64,38 @@ def windowed_cell_counts(
     )
 
 
+def session_windows(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    gap: str = "30 seconds",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming gap-based sessionization via native session windows:
+    events within ``gap`` of each other merge into one variable-length
+    window per key (window end = last event + gap; an event landing
+    exactly on the window end still merges — a new session starts only
+    when the inter-event gap exceeds the gap duration). The
+    watermark bounds session state and, in append mode, finalizes a
+    session once no in-horizon event can extend it — the streaming
+    twin of the batch ``rel_event_sessions`` islands idiom, but with
+    state that expires instead of a full-history window sort."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"),
+            *[F.col(c) for c in key_cols],
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 from h3ron_spark.streaming.stateful import (  # noqa: E402,F401
     TRANSITIONS_SCHEMA,
     cell_transitions,
