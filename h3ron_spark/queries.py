@@ -865,6 +865,7 @@ _DRIVER_ORDER_FIRST = [
     "stream_session_windows",
     "rel_events_asof",
     "dedup_substring_spans",
+    "dedup_substring_coverage",
     "text_tfidf_keywords",
     "pipeline_corpus_curation",
     # new / extended this round (S27, S28, G7, D8, P10, P12)

@@ -366,6 +366,135 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.withColumn("dup_fraction", frac)
 
 
+_SUBSTRING_COVERAGE_ORACLE = rf"""
+  WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+  ), p0 AS (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks) - {_SUBSTRING_K - 1}, 0))) AS pos
+    FROM t
+  ), p AS (
+    SELECT doc_id, pos,
+           array_to_string(toks[pos + 1 : pos + {_SUBSTRING_K}], ' ') AS gram
+    FROM p0
+  ), dup AS (
+    SELECT gram FROM (
+      SELECT gram, count(DISTINCT doc_id) AS nd FROM p GROUP BY gram
+    ) WHERE nd >= 2
+  ), dpos AS (
+    SELECT doc_id, pos FROM p JOIN dup USING (gram)
+  ), isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN max(pos + {_SUBSTRING_K}) OVER
+                  (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                 OR pos > max(pos + {_SUBSTRING_K}) OVER
+                  (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS is_new
+    FROM dpos
+  ), grp AS (
+    SELECT doc_id, pos,
+           sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+    FROM isl
+  ), spans AS (
+    SELECT doc_id, island, min(pos) AS s, max(pos + {_SUBSTRING_K}) AS e
+    FROM grp GROUP BY doc_id, island
+  ), cov AS (
+    SELECT doc_id, sum(e - s)::BIGINT AS covered_tokens
+    FROM spans GROUP BY doc_id
+  ), base AS (
+    SELECT doc_id, len(toks) AS n_tokens FROM t
+  )
+  SELECT b.doc_id, b.n_tokens,
+         coalesce(c.covered_tokens, 0) AS covered_tokens,
+         CASE WHEN b.n_tokens > 0
+              THEN floor(coalesce(c.covered_tokens, 0) * 10000.0
+                         / b.n_tokens + 0.5) / 10000
+              ELSE 0.0 END AS coverage
+  FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+"""
+
+
+@register("dedup_substring_coverage", oracle=_SUBSTRING_COVERAGE_ORACLE)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-span substring-duplication coverage: the union length of
+    the duplicated token intervals [pos, pos+8) per document — the
+    exact fraction of a document covered by text that also appears
+    elsewhere in the corpus (what Lee et al.'s substring dedup would
+    cut), vs dedup_substring_spans' per-position count which
+    double-counts overlapping seeds.
+
+    The interval union is the classic gaps-and-islands shape: one
+    window pass over the (already gram-shuffled) duplicated
+    positions — running max of interval ends marks island starts, a
+    running sum numbers them, and per-island max(end)-min(start) sums
+    to the exact covered length. All integer arithmetic; identical
+    plans at any scale (two windows + two aggs on the doc_id
+    partitioning)."""
+    from pyspark.sql import Window
+
+    k = _SUBSTRING_K
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    grams = F.expr(
+        f"transform(sequence(0, size(toks) - {k}),"
+        f" i -> array_join(slice(toks, i + 1, {k}), ' '))"
+    )
+    p = t.filter(F.size("toks") >= k).select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    )
+    dup = (
+        p.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dpos = p.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dpos.withColumn(
+        "is_new",
+        (prev_max_end.isNull() | (F.col("pos") > prev_max_end)).cast("int"),
+    )
+    grp = isl.withColumn(
+        "island",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cov = (
+        grp.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            F.max(F.col("pos") + k).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s")).alias("covered_tokens"))
+    )
+    base = t.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    joined = base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(
+            F.col("covered_tokens") * 10000.0 / F.col("n_tokens") + F.lit(0.5)
+        )
+        / F.lit(10000.0),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("coverage", frac)
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     hashes = f"list_transform(sh, s -> {_hash_sql('s', 9999)})"
     bit_terms = " + ".join(
