@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     "dedup_embedding_cosine",
     # beyond-broadcast SSSP: 5.76M-edge synthetic torus (1200^2 x 4
     # directions at sf>=0.1) — the regime where the broadcast

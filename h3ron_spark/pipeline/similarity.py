@@ -728,6 +728,84 @@ def pq_fit(
     return books
 
 
+def pq_adc_dist(
+    books: list[list[tuple[int, list[float]]]],
+    qv_col: str = "qv",
+    codes_col: str = "codes",
+) -> Column:
+    """Asymmetric PQ distance expression: squared L2 between the raw
+    ``qv_col`` vector (array<double>) and the codeword chain selected
+    by ``codes_col``, with the (m, k, dim/m) codebook embedded as
+    nested literals — pure JVM arithmetic, term order matching the
+    oracle's explicit left-assoc `+` chain."""
+    sub = len(books[0][0][1])
+    dist = None
+    for s, book in enumerate(books):
+        cid_arr = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in book])
+        cb_s = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in book]
+        )
+        pos = F.array_position(
+            cid_arr, F.element_at(codes_col, s + 1).cast("int")
+        )
+        cw = F.element_at(cb_s, pos.cast("int"))
+        for i in range(sub):
+            diff = F.element_at(qv_col, s * sub + i + 1) - F.element_at(
+                cw, i + 1
+            )
+            term = diff * diff
+            dist = term if dist is None else dist + term
+    return dist
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    n_lists: int = 16,
+    nprobe: int = 2,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN shape (Jegou et al.
+    2011) — the coarse quantizer prunes candidates to ~nprobe/n_lists
+    of the corpus (same inverted-list semantics as ivf_topk), then
+    the asymmetric PQ distance scores only the probed candidates from
+    their 32x-compressed codes. Both the list assignment and the PQ
+    encode are map-side projections over one corpus scan; the only
+    shuffle is the per-query top-k window."""
+    cents = centroids or ivf_centroid_rows(corpus, n_lists, id_col, vec_col)
+    assign1 = ivf_best_lists_arrow(cents, 1)
+    assignp = ivf_best_lists_arrow(cents, nprobe)
+    kern = pq_assign_arrow(books)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(assign1(vec_col), 1).alias("list_id"),
+        kern(vec_col).alias("codes"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode(assignp(vec_col)).alias("list_id"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(pq_adc_dist(books), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -746,8 +824,6 @@ def pq_adc_topk(
 
     Output: (query_id, vec_id, adc_dist, rank), rank by
     (6-dp-rounded distance asc, vec_id asc)."""
-    m = len(books)
-    sub = len(books[0][0][1])
     kern = pq_assign_arrow(books)
     enc = corpus.select(
         F.col(id_col).alias("vec_id"), kern(vec_col).alias("codes")
@@ -756,22 +832,9 @@ def pq_adc_topk(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    # cid -> positional index per subspace for the literal lookup
-    dist = None
-    for s, book in enumerate(books):
-        cid_arr = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in book])
-        cb_s = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in book]
-        )
-        pos = F.array_position(cid_arr, F.element_at("codes", s + 1).cast("int"))
-        cw = F.element_at(cb_s, pos.cast("int"))
-        for i in range(sub):
-            diff = F.element_at("qv", s * sub + i + 1) - F.element_at(cw, i + 1)
-            term = diff * diff
-            dist = term if dist is None else dist + term
     scored = (
         q.join(F.broadcast(enc), F.col(query_id_col) != F.col("vec_id"))
-        .withColumn("adc_dist", F.round(dist, 6))
+        .withColumn("adc_dist", F.round(pq_adc_dist(books), 6))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc("adc_dist"), F.asc("vec_id")

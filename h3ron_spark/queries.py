@@ -862,6 +862,7 @@ _DRIVER_ORDER_FIRST = [
     "dedup_minhash_clusters",
     "dedup_embedding_clusters",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     "stream_session_windows",
     "rel_events_asof",
     "dedup_substring_spans",

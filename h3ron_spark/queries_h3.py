@@ -3102,16 +3102,16 @@ def _pq_l2_sql(vec: str, cent: str, s: int, sub: int) -> str:
     return " + ".join(terms)
 
 
-def _pq_oracle() -> str:
-    """Unrolled per-subspace Lloyd's + PQ encode + ADC rerank, all as
-    chained CTEs: an independent DuckDB recomputation of pq_fit
-    (6-dp-rounded assignment distances with smaller-cid ties, 6-dp
-    per-coordinate means, empty codes keep the previous centroid)
-    followed by the asymmetric-distance top-5."""
+def _pq_train_ctes() -> str:
+    """Unrolled per-subspace Lloyd's + final PQ encode as chained CTEs
+    (e -> cs*_{s} -> enc_{s}): an independent DuckDB recomputation of
+    pq_fit (6-dp-rounded assignment distances with smaller-cid ties,
+    6-dp per-coordinate means, empty codes keep the previous
+    centroid). Shared by the flat-ADC and the IVF-PQ oracles."""
     m, k, iters = _PQ_M, _PQ_K, _PQ_ITERS
     sub = _DIM // m
     parts = [
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
     ]
     for s in range(m):
         off = s * sub
@@ -3151,32 +3151,43 @@ def _pq_oracle() -> str:
                ORDER BY round({l2}, 6) ASC, c.cid ASC) AS rn
       FROM e CROSS JOIN cs{iters}_{s} c) WHERE rn = 1
   )""")
+    return "".join(parts)
+
+
+def _pq_adc_parts(q_alias: str, cand_vec_ref: str) -> tuple[str, str]:
+    """(enc/centroid join clause, ADC distance chain) for scoring
+    ``{q_alias}.qv`` against the codes of candidate ``{cand_vec_ref}``."""
+    m, iters = _PQ_M, _PQ_ITERS
+    sub = _DIM // m
     dist_terms = []
     joins = []
     for s in range(m):
         joins.append(
-            f"JOIN enc_{s} x{s} ON x{s}.vec_id = x.vec_id "
+            f"JOIN enc_{s} x{s} ON x{s}.vec_id = {cand_vec_ref} "
             f"JOIN cs{iters}_{s} c{s} ON c{s}.cid = x{s}.code"
         )
         off = s * sub
         for j in range(1, sub + 1):
-            a = f"q.qv[{off + j}]"
+            a = f"{q_alias}.qv[{off + j}]"
             b = f"c{s}.cv[{j}]"
             dist_terms.append(f"({a} - {b}) * ({a} - {b})")
-    dist = " + ".join(dist_terms)
-    parts.append(f"""
+    return " ".join(joins), " + ".join(dist_terms)
+
+
+def _pq_oracle() -> str:
+    joins, dist = _pq_adc_parts("q", "x.vec_id")
+    return f"""WITH {_pq_train_ctes()}
   , qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0)
   , scored AS (
     SELECT q.query_id, x.vec_id, round({dist}, 6) AS adc_dist
     FROM qs q CROSS JOIN e x
-    {" ".join(joins)}
+    {joins}
     WHERE x.vec_id <> q.query_id
   )
   SELECT query_id, vec_id, adc_dist, rank FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY adc_dist ASC, vec_id ASC) AS rank
-    FROM scored) WHERE rank <= 5""")
-    return "".join(parts)
+    FROM scored) WHERE rank <= 5"""
 
 
 @register("ann_pq_adc_topk", oracle=_pq_oracle())
@@ -3203,6 +3214,63 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.pq_adc_topk(emb, queries, books, k_top=5)
+
+
+def _ivfpq_oracle() -> str:
+    joins, dist = _pq_adc_parts("p", "a.vec_id")
+    cos = _COSINE
+    return f"""WITH {_pq_train_ctes()}
+  , cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_LISTS})
+  , isims AS (
+    SELECT e.vec_id, e.v, c.cid, {cos.format(a="e.v", b="c.cv")} AS sim
+    FROM e CROSS JOIN cent c
+  ), iassigned AS (
+    SELECT vec_id, cid AS list_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid ASC) AS rn
+      FROM isims) WHERE rn = 1
+  ), iprobes AS (
+    SELECT vec_id AS query_id, v AS qv, cid AS list_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid ASC) AS rn
+      FROM isims WHERE vec_id % 50 = 0) WHERE rn <= {_IVF_NPROBE}
+  ), scored AS (
+    SELECT p.query_id, a.vec_id, round({dist}, 6) AS adc_dist
+    FROM iprobes p JOIN iassigned a USING (list_id)
+    {joins}
+    WHERE a.vec_id <> p.query_id
+  )
+  SELECT query_id, vec_id, adc_dist, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist ASC, vec_id ASC) AS rank
+    FROM scored) WHERE rank <= 5"""
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (Jegou et al. 2011, the billion-scale
+    default): the IVF coarse quantizer prunes each query to its 2
+    nearest inverted lists (~nprobe/n_lists of the corpus) and the
+    asymmetric PQ distance then scores only those candidates from
+    their 8-byte codes — one corpus scan computes both the list
+    assignment and the PQ encode map-side; the only shuffle is the
+    per-query top-k window. The oracle composes the unrolled PQ
+    training CTEs with the IVF assignment/probe SQL, so the full
+    composed path is hash-checked."""
+    par = spark.sparkContext.defaultParallelism
+    emb = load(spark, sf_dir, "embeddings").repartition(par)
+    ckey = (_session_key(spark), sf_dir, "pq", _PQ_M, _PQ_K, _PQ_ITERS)
+    books = _IVF_CENT_CACHE.get(ckey)
+    if books is None:
+        books = SIM.pq_fit(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITERS)
+        _IVF_CENT_CACHE[ckey] = books
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_topk(
+        emb, queries, books,
+        n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE, k_top=5,
+    )
 
 
 @register("ann_ivf_trained_topk", oracle=_kmeans_oracle())
