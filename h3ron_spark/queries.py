@@ -78,6 +78,41 @@ def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_pricing_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*)                  AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def rel_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage (CUBE) — beyond the reference's flat
+    groupBys (SURVEY §2.7 notes it has none). Spark lowers cube() to
+    ONE Expand + hash aggregate: a single scan computes all four
+    grouping sets, partial-agg'd map-side like any groupBy. NULL
+    grouping markers are coalesced to 'ALL' (the grouping columns are
+    non-null in the data) so the cross-engine compare is
+    unambiguous."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@register(
     "rel_top_revenue_orders",
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate,
@@ -864,6 +899,8 @@ _DRIVER_ORDER_FIRST = [
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "stream_session_windows",
+    "rel_pricing_cube",
+    "text_quality_classifier",
     "rel_events_asof",
     "dedup_substring_spans",
     "dedup_substring_coverage",

@@ -1094,6 +1094,83 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_CLS_ORACLE = r"""
+  WITH t AS (
+    SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+  ), f AS (
+    SELECT doc_id, source,
+           len(toks) AS n,
+           list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE
+             / len(toks) AS mean_len,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+           round(list_max(list_transform(list_distinct(toks),
+                 x -> len(list_filter(toks, y -> y = x))))::DOUBLE
+                 / len(toks), 4) AS top_tok
+    FROM t
+  ), s AS (
+    SELECT source,
+           ((((-0.5 + 0.02 * n) + 2.0 * ttr) - 12.0 * top_tok)
+            - 0.1 * mean_len) AS logit
+    FROM f
+  )
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keep,
+         CAST(round(sum(CAST(round(logit * 10000, 0) AS BIGINT))::DOUBLE
+                    / count(*), 0) AS BIGINT) / 10000.0 AS avg_logit
+  FROM s GROUP BY source ORDER BY source
+"""
+
+
+@register("text_quality_classifier", oracle=_QUALITY_CLS_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a linear (fastText-style)
+    classifier over cheap lexical features — token count, mean token
+    length, type-token ratio, top-token fraction — with pinned
+    weights, thresholded on the LOGIT (sigmoid is monotone, so
+    `logit >= 0` == `p >= 0.5` without computing exp: the score stays
+    a deterministic chain of identical double ops on both engines).
+    Per-source keep counts + e4-exact average logit.
+
+    Scale: scan-local feature extraction (pure JVM higher-order
+    functions, no Python, no shuffle before the 20-group agg) — the
+    shape of a classifier gate over 100 TB, with the model as literal
+    coefficients (a learned model would broadcast them the same
+    way)."""
+    from h3ron_spark.pipeline import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    sum_len = F.expr(
+        "aggregate(transform(split(trim(text), '\\\\s+'), x -> length(x)),"
+        " 0, (a, x) -> a + x)"
+    )
+    mean_len = sum_len.cast("double") / n
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    top_tok = TX.top_token_fraction("text")
+    logit = (
+        (
+            ((F.lit(-0.5) + F.lit(0.02) * n) + F.lit(2.0) * ttr)
+            - F.lit(12.0) * top_tok
+        )
+        - F.lit(0.1) * mean_len
+    )
+    s = docs.select("source", logit.alias("logit"))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("logit") >= 0).cast("int")).cast("long").alias(
+                "n_keep"
+            ),
+            _avg_e4("logit").alias("avg_logit"),
+        )
+        .orderBy("source")
+    )
+
+
 _VOCAB_ORACLE = rf"""
   WITH tok AS (
     SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
