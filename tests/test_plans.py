@@ -385,3 +385,67 @@ def test_assume_partitioned_survives_no_auto_broadcast(spark):
         assert got == [parent]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_asof_is_single_shuffle_no_join(spark):
+    """rel_events_asof must lower to the merge idiom: one hash
+    exchange on user_id feeding a window — and NO join node (the
+    naive as-of translation is a range self-join that explodes
+    quadratically under per-user skew)."""
+    import re
+
+    plan = plan_of(spark, "rel_events_asof")
+    assert "Join" not in plan
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "Window" in plan
+
+
+def test_substring_coverage_stays_jvm_and_hash_joined(spark):
+    """Gram explode, dup filter, and the gaps-and-islands windows are
+    all JVM-side; the mark-back join must be a hash join, never a
+    cartesian."""
+    plan = plan_of(spark, "dedup_substring_coverage")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_broadcasts_probes_no_cartesian(spark):
+    """ann_ivfpq_topk: candidate generation is a broadcast equi-join
+    on list_id (queries are the small side); the PQ/IVF Arrow kernels
+    are map-side projections — no cartesian anywhere."""
+    plan = plan_of(spark, "ann_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "[list_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_codes_join_is_broadcast(spark):
+    """ann_pq_adc_topk scans all candidates BY DESIGN (flat ADC
+    baseline) — but the code table must ride a broadcast, never a
+    shuffled cartesian."""
+    plan = plan_of(spark, "ann_pq_adc_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_scan_local_features(spark):
+    """Classifier features are higher-order JVM expressions over one
+    documents scan: no Python, no join, map-side partial agg."""
+    plan = plan_of(spark, "text_quality_classifier")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_pricing_cube_single_expand(spark):
+    """CUBE lowers to exactly one Expand feeding a partial+final hash
+    aggregate — all four grouping sets in one scan."""
+    import re
+
+    plan = plan_of(spark, "rel_pricing_cube")
+    assert "Expand" in plan
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
+    assert "partial_count" in plan
