@@ -901,6 +901,7 @@ _DRIVER_ORDER_FIRST = [
     "stream_session_windows",
     "rel_pricing_cube",
     "text_quality_classifier",
+    "text_source_divergence",
     "rel_events_asof",
     "dedup_substring_spans",
     "dedup_substring_coverage",

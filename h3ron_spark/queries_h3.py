@@ -732,6 +732,74 @@ def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_KL_ORACLE = r"""
+  WITH tok AS (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents
+  ), s_cnt AS (
+    SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok
+  ), s_tot AS (
+    SELECT source, count(*)::DOUBLE AS n FROM tok GROUP BY source
+  ), g_cnt AS (
+    SELECT tok, count(*) AS c FROM tok GROUP BY tok
+  ), g_tot AS (
+    SELECT count(*)::DOUBLE AS n FROM tok
+  )
+  SELECT sc.source,
+         CAST(st.n AS BIGINT) AS n_tokens,
+         round(sum((sc.c / st.n) * ln((sc.c / st.n) / (gc.c / g_tot.n))), 4)
+           AS kl_vs_corpus
+  FROM s_cnt sc
+  JOIN s_tot st USING (source)
+  JOIN g_cnt gc ON gc.tok = sc.tok, g_tot
+  GROUP BY sc.source, st.n ORDER BY sc.source
+"""
+
+
+@register("text_source_divergence", oracle=_SOURCE_KL_ORACLE)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift detection: KL divergence of each source's unigram
+    distribution against the corpus distribution — the mixture-health
+    metric a DoReMi-style reweighting loop watches (a source drifting
+    from the mixture shows up as rising KL long before loss curves
+    move). KL(p_s || q) = sum_t p_s(t) ln(p_s(t)/q(t)); always >= 0,
+    exactly 0 only for a source indistinguishable from the corpus.
+
+    Scale: per-(source, token) and per-token counts are both
+    map-side partial aggs over one token explode; the corpus
+    frequency table joins in on the token shuffle already produced,
+    the global total is a 1-row broadcast, and the final agg has one
+    row per source. Same round-4 output convention as
+    text_unigram_logprob (the one place libm ln enters, absorbed at
+    4 dp — fuzz-covered)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    s_cnt = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    s_tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    g_cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("gc"))
+    g_tot = tok.agg(F.count(F.lit(1)).cast("double").alias("gn"))
+    p = F.col("c") / F.col("n")
+    q = F.col("gc") / F.col("gn")
+    return (
+        s_cnt.join(s_tot, "source")
+        .join(g_cnt, "tok")
+        .crossJoin(F.broadcast(g_tot))
+        .groupBy("source", "n")
+        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_vs_corpus"))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            "kl_vs_corpus",
+        )
+        .orderBy("source")
+    )
+
+
 _UNIGRAM_ORACLE = r"""
   WITH tok AS (
     SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
