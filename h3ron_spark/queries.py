@@ -902,6 +902,7 @@ _DRIVER_ORDER_FIRST = [
     "rel_pricing_cube",
     "text_quality_classifier",
     "text_source_divergence",
+    "text_bigram_logprob",
     "rel_events_asof",
     "dedup_substring_spans",
     "dedup_substring_coverage",

@@ -732,6 +732,78 @@ def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_ORACLE = r"""
+  WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+  ), p0 AS (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+    FROM t
+  ), pb AS (
+    SELECT doc_id, toks[i + 1] AS a, toks[i + 2] AS b FROM p0
+  ), bc AS (
+    SELECT a, b, count(*) AS cb FROM pb GROUP BY a, b
+  ), uc AS (
+    SELECT a, count(*) AS ca FROM pb GROUP BY a
+  ), v AS (
+    SELECT count(DISTINCT tok) AS nv FROM (
+      SELECT unnest(toks) AS tok FROM t)
+  )
+  SELECT pb.doc_id,
+         count(*) AS n_bigrams,
+         round(avg(-ln((bc.cb + 1)::DOUBLE / (uc.ca + v.nv))), 4)
+           AS mean_neg_logp2
+  FROM pb JOIN bc USING (a, b) JOIN uc USING (a), v
+  GROUP BY pb.doc_id ORDER BY pb.doc_id
+"""
+
+
+@register("text_bigram_logprob", oracle=_BIGRAM_ORACLE)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score (the CCNet perplexity
+    proxy one order up from text_unigram_logprob): per document, the
+    mean negative log of the Laplace-smoothed conditional
+    P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}·) + |V|),
+    trained on the corpus itself. Low = fluent under the corpus LM;
+    high = out-of-distribution — the gate CCNet derives from a
+    KenLM.
+
+    Scale: one bigram explode (linear) feeds both the bigram and
+    prefix count partial aggs; the probability join re-uses the
+    bigram-key shuffle; |V| is a 1-row broadcast. Integer counts
+    inside the log keep both engines on identical doubles; the
+    round-4 mean follows the unigram precedent."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    pairs = F.expr(
+        "transform(sequence(0, size(toks) - 2),"
+        " i -> struct(toks[i] AS a, toks[i + 1] AS b))"
+    )
+    pb = t.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bc = pb.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cb"))
+    uc = pb.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    v = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("nv")
+    )
+    p = (F.col("cb") + 1).cast("double") / (F.col("ca") + F.col("nv"))
+    return (
+        pb.join(bc, ["a", "b"])
+        .join(uc, "a")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("mean_neg_logp2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _SOURCE_KL_ORACLE = r"""
   WITH tok AS (
     SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
