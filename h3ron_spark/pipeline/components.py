@@ -50,6 +50,7 @@ def label_components(
     ``component`` is the minimum id of the component (deterministic
     label, stable under re-partitioning).
     """
+    id_type = dict(pairs.dtypes)[id_a]
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(
@@ -57,10 +58,16 @@ def label_components(
     )
 
     # guarded-bounded probe: pull up to limit+1 edges in ONE action —
-    # if under the limit we already hold the edge list for union-find
+    # if under the limit we already hold the edge list for union-find.
+    # The pair frame is persisted first so a beyond-limit graph does
+    # not pay its (possibly expensive — e.g. the full MinHash
+    # pipeline) upstream twice: once for the probe, once for the
+    # distributed path's edge materialization.
+    pairs = pairs.persist()
     epdf = pairs.select(id_a, id_b).limit(edge_limit + 1).toPandas()
     if len(epdf) <= edge_limit:
         spark = pairs.sparkSession
+        pairs.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -84,12 +91,16 @@ def label_components(
         from h3ron_spark.util import local_df
 
         rows = [(x, find(x)) for x in parent]
-        return local_df(spark, rows, "id long, component long")
+        # preserve the caller's id type (string fingerprints work the
+        # same as long ids — both paths must agree on the schema)
+        return local_df(spark, rows, f"id {id_type}, component {id_type}")
 
     edges = sym.localCheckpoint(eager=True)
+    pairs.unpersist()
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     )
+    changed = 0
     for _ in range(max_iter):
         prop = (
             edges.join(
@@ -118,6 +129,15 @@ def label_components(
         labels = jump
         if changed == 0:
             break
+    if changed != 0:
+        # silent truncation would split one true component into
+        # several "canonical" labels — make the failure loud instead
+        raise RuntimeError(
+            f"label_components did not converge within max_iter="
+            f"{max_iter} pointer-jumping rounds ({changed} labels "
+            "still improving); raise max_iter — rounds needed is "
+            "O(log2(component diameter))"
+        )
     return labels
 
 

@@ -615,19 +615,23 @@ def pq_init_books(
     vectors with id < k (same convention as ivf_centroid_rows), one
     independent codebook per subspace. Returns m lists of (cid,
     centroid) with centroids of length dim/m."""
-    rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
-        .filter(F.col("cid") < k)
-        .orderBy("cid")
-        .collect()
-    )
-    dim = len(rows[0].v)
+    rows = ivf_centroid_rows(corpus, k, id_col, vec_col)
+    if not rows:
+        raise ValueError(
+            f"pq_init_books: no corpus rows with {id_col} < {k} — the "
+            "deterministic init convention needs the k lowest ids "
+            "present (same as ivf_centroid_rows)"
+        )
+    dim = len(rows[0][1])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_init_books: dim {dim} not divisible by m={m} — the "
+            f"trailing {dim % m} coordinates would silently never be "
+            "encoded or scored"
+        )
     sub = dim // m
     return [
-        [
-            (r.cid, [float(t) for t in r.v[s * sub : (s + 1) * sub]])
-            for r in rows
-        ]
+        [(cid, cv[s * sub : (s + 1) * sub]) for cid, cv in rows]
         for s in range(m)
     ]
 

@@ -1281,23 +1281,21 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h3ron_spark.pipeline import text as TX
 
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n = F.size(toks)
-    sum_len = F.expr(
-        "aggregate(transform(split(trim(text), '\\\\s+'), x -> length(x)),"
-        " 0, (a, x) -> a + x)"
-    )
-    mean_len = sum_len.cast("double") / n
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n
-    top_tok = TX.top_token_fraction("text")
-    logit = (
-        (
+
+    def _logit(t):
+        # token array bound ONCE (with_tokens idiom — Catalyst does
+        # not CSE the split across the four feature expressions)
+        n = F.size(t)
+        sum_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+        mean_len = sum_len.cast("double") / n
+        ttr = F.size(F.array_distinct(t)).cast("double") / n
+        top_tok = F.round(TX._max_equal_run(t).cast("double") / n, 4)
+        return (
             ((F.lit(-0.5) + F.lit(0.02) * n) + F.lit(2.0) * ttr)
             - F.lit(12.0) * top_tok
-        )
-        - F.lit(0.1) * mean_len
-    )
-    s = docs.select("source", logit.alias("logit"))
+        ) - F.lit(0.1) * mean_len
+
+    s = docs.select("source", TX.with_tokens("text", _logit).alias("logit"))
     return (
         s.groupBy("source")
         .agg(
@@ -3319,6 +3317,19 @@ def _pq_l2_sql(vec: str, cent: str, s: int, sub: int) -> str:
     return " + ".join(terms)
 
 
+def _pq_books(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    """Session-cached PQ codebooks — ann_pq_adc_topk and
+    ann_ivfpq_topk are documented as sharing ONE trained model; a
+    single get-or-fit keeps their cache keys and training params from
+    drifting apart."""
+    ckey = (_session_key(spark), sf_dir, "pq", _PQ_M, _PQ_K, _PQ_ITERS)
+    books = _IVF_CENT_CACHE.get(ckey)
+    if books is None:
+        books = SIM.pq_fit(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITERS)
+        _IVF_CENT_CACHE[ckey] = books
+    return books
+
+
 def _pq_train_ctes() -> str:
     """Unrolled per-subspace Lloyd's + final PQ encode as chained CTEs
     (e -> cs*_{s} -> enc_{s}): an independent DuckDB recomputation of
@@ -3422,11 +3433,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding, and ADC are all hash-checked end to end."""
     par = spark.sparkContext.defaultParallelism
     emb = load(spark, sf_dir, "embeddings").repartition(par)
-    ckey = (_session_key(spark), sf_dir, "pq", _PQ_M, _PQ_K, _PQ_ITERS)
-    books = _IVF_CENT_CACHE.get(ckey)
-    if books is None:
-        books = SIM.pq_fit(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITERS)
-        _IVF_CENT_CACHE[ckey] = books
+    books = _pq_books(spark, sf_dir, emb)
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3476,11 +3483,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed path is hash-checked."""
     par = spark.sparkContext.defaultParallelism
     emb = load(spark, sf_dir, "embeddings").repartition(par)
-    ckey = (_session_key(spark), sf_dir, "pq", _PQ_M, _PQ_K, _PQ_ITERS)
-    books = _IVF_CENT_CACHE.get(ckey)
-    if books is None:
-        books = SIM.pq_fit(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITERS)
-        _IVF_CENT_CACHE[ckey] = books
+    books = _pq_books(spark, sf_dir, emb)
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

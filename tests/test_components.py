@@ -50,3 +50,27 @@ def test_dedup_cluster_members_canonical_flag(spark):
         for r in dedup_cluster_members(pairs).collect()
     }
     assert rows == {(5, 5, True), (7, 5, False), (9, 5, False)}
+
+
+def test_label_components_string_ids_both_paths(spark):
+    # string ids (e.g. md5 fingerprints) must work and agree on
+    # schema/labels in BOTH paths (the union-find path once
+    # hard-coded a long schema)
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    expected = {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+    small = label_components(pairs)
+    big = label_components(pairs, edge_limit=0)
+    assert _labels(small) == expected and _labels(big) == expected
+    assert dict(small.dtypes) == dict(big.dtypes)
+
+
+def test_label_components_raises_when_unconverged(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_components(pairs, edge_limit=0, max_iter=2)
