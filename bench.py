@@ -51,9 +51,15 @@ BENCH_QUERIES = [
     "pipeline_quality_gate",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
+    "dedup_embedding_clusters",
     "dedup_substring_spans",
+    "dedup_substring_coverage",
     "rel_events_asof",
+    "rel_pricing_cube",
     "text_tfidf_keywords",
+    "text_quality_classifier",
+    "text_source_divergence",
+    "text_bigram_logprob",
     "pipeline_corpus_curation",
     "ann_topk_cosine",
     "ann_lsh_topk",
