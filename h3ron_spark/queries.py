@@ -859,6 +859,80 @@ def rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_event_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_ns(ts) // 1000000000 AS sec
+      FROM events
+    ), v AS (
+      SELECT user_id, min(sec) AS t_view
+      FROM e WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.sec) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.sec > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.sec) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.sec > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click,
+           (SELECT CAST(coalesce(sum(p.t_purchase - v.t_view), 0) AS BIGINT)
+            FROM p JOIN v ON p.user_id = v.user_id)
+             AS total_conversion_s
+    """,
+)
+def rel_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-conversion funnel (view -> click -> purchase, each
+    stage strictly after the previous): the canonical product-
+    analytics query. Each stage is a groupBy-min plus an equi-join on
+    user_id — every stage reuses the same user_id hash partitioning,
+    so at 100 TB the chain is ONE logical shuffle reused three times,
+    not a per-stage re-shuffle (and never a self-join on raw event
+    pairs)."""
+    ev = load(spark, sf_dir, "events")
+    sec = _event_epoch_sec(ev)
+    e = ev.select("user_id", "event_type", sec.alias("sec"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("sec") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("sec") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_purchase"))
+    )
+    conv = p.join(v, "user_id").agg(
+        F.coalesce(F.sum(F.col("t_purchase") - F.col("t_view")), F.lit(0))
+        .cast("long")
+        .alias("total_conversion_s")
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+        )
+    )
+    return counts.crossJoin(conv)
+
+
 # ---------------------------------------------------------------------
 # Driver-verification ordering: the correctness harness checks queries
 # in registry order with a bounded budget (~50 oracled queries per
@@ -903,6 +977,7 @@ _DRIVER_ORDER_FIRST = [
     "text_quality_classifier",
     "text_source_divergence",
     "text_bigram_logprob",
+    "rel_event_funnel",
     "rel_events_asof",
     "dedup_substring_spans",
     "dedup_substring_coverage",
