@@ -861,6 +861,7 @@ def rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_event_funnel",
+    "rel_event_anomalies",
     oracle="""
     WITH e AS (
       SELECT user_id, event_type,
@@ -933,6 +934,60 @@ def rel_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(conv)
 
 
+@register(
+    "rel_event_anomalies",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, count(*) AS n_events,
+             avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY user_id
+    ), z AS (
+      SELECT e.user_id, s.n_events,
+             abs(e.value - s.mu) / s.sigma AS az
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE s.sigma > 0
+    )
+    SELECT user_id, n_events,
+           CAST(sum(CASE WHEN az > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(max(az), 4) AS max_abs_z
+    FROM z GROUP BY user_id, n_events
+    """,
+)
+def rel_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity outlier detection: |z| > 2 events against each
+    user's own value distribution (two-pass: moments agg then a
+    re-join — both keyed on user_id, one partitioning reused; the
+    windowed single-pass variant computes the same thing but holds
+    every row in window state, so the agg+join form is the 100-TB
+    shape). Adds variance/stddev aggregate coverage to the
+    relational checklist; both engines' stddev_samp agree to the
+    rounded 4 dp."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (
+        ev.join(s, "user_id")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            (F.abs(F.col("value") - F.col("mu")) / F.col("sigma")).alias(
+                "az"
+            ),
+        )
+    )
+    return z.groupBy("user_id", "n_events").agg(
+        F.sum((F.col("az") > 2).cast("int")).cast("long").alias(
+            "n_anomalies"
+        ),
+        F.round(F.max("az"), 4).alias("max_abs_z"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-verification ordering: the correctness harness checks queries
 # in registry order with a bounded budget (~50 oracled queries per
@@ -978,6 +1033,7 @@ _DRIVER_ORDER_FIRST = [
     "text_source_divergence",
     "text_bigram_logprob",
     "rel_event_funnel",
+    "rel_event_anomalies",
     "rel_events_asof",
     "dedup_substring_spans",
     "dedup_substring_coverage",
