@@ -861,7 +861,6 @@ def rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_event_funnel",
-    "rel_event_anomalies",
     oracle="""
     WITH e AS (
       SELECT user_id, event_type,
