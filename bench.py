@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "dedup_substring_spans",
     "dedup_substring_coverage",
     "rel_events_asof",
+    "rel_event_funnel",
+    "rel_event_anomalies",
     "rel_pricing_cube",
     "text_tfidf_keywords",
     "text_quality_classifier",
