@@ -1049,14 +1049,20 @@ _DRIVER_ORDER_FIRST = [
     "dedup_winnow_overlap",
     "h3_purge_children",
     "text_length_quantiles",
-    # operators whose implementation changed this round
+    # operators whose implementation changed this round. Ordered by
+    # how directly the change touches them: the two-phase compact
+    # rework hits uncompact/compact head-on; the route fixtures share
+    # the prepared-CSR machinery golden_germany_route (inside the
+    # window) exercises, so they sit last — the driver budget is ~50
+    # oracled queries (exactly 50 in r2) and entries past it fall to
+    # the next round's rotation.
+    "h3_uncompact_join",
+    "h3_compact_dataframe",
     "text_unigram_logprob",
     "golden_germany_route",
     "golden_route_selfloop",
     "golden_isochrone_hist",
     "golden_nearest_nodes",
-    "h3_uncompact_join",
-    "h3_compact_dataframe",
 ]
 
 
