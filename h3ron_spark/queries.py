@@ -1033,6 +1033,7 @@ _DRIVER_ORDER_FIRST = [
     "text_bigram_logprob",
     "rel_event_funnel",
     "rel_event_anomalies",
+    "pipeline_curated_sink",
     "rel_events_asof",
     "dedup_substring_spans",
     "dedup_substring_coverage",

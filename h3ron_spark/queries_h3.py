@@ -1309,6 +1309,65 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATED_SINK_ORACLE = r"""
+  WITH t AS (
+    SELECT doc_id, source, lang, n_chars,
+           len(string_split_regex(trim(text), '\s+')) AS n
+    FROM documents
+  )
+  SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+  FROM t WHERE source = 'src7' AND n BETWEEN 35 AND 58
+  GROUP BY lang ORDER BY lang
+"""
+
+
+@register("pipeline_curated_sink", oracle=_CURATED_SINK_ORACLE)
+def pipeline_curated_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated-corpus SINK path end-to-end (SURVEY §2.7
+    scans/sources/sinks): filter the corpus through the token-length
+    gate, write it `partitionBy('source')` (hive-style layout — the
+    way a curated training corpus actually ships), then read ONE
+    source partition back and aggregate it. The readback filter
+    becomes a partition-pruning predicate: the scan lists only
+    `source=src7/` files, never the other 19 directories — at 100 TB
+    that's the difference between a directory listing and a full
+    corpus scan (pinned in test_plans). The result is materialized
+    before the temp dir is removed."""
+    import shutil
+    import tempfile
+
+    from h3ron_spark.pipeline import text as TX
+    from h3ron_spark.util import local_df
+
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.filter(TX.token_count("text").between(35, 58)).select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    workdir = tempfile.mkdtemp(prefix="h3ron_curated_")
+    try:
+        kept.write.partitionBy("source").mode("overwrite").parquet(
+            f"{workdir}/curated"
+        )
+        back = (
+            spark.read.parquet(f"{workdir}/curated")
+            .filter(F.col("source") == "src7")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .orderBy("lang")
+        )
+        pdf = back.toPandas()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    rows = [
+        (str(r.lang), int(r.n_docs), int(r.sum_chars))
+        for r in pdf.itertuples()
+    ]
+    return local_df(spark, rows, "lang string, n_docs long, sum_chars long")
+
+
 _VOCAB_ORACLE = rf"""
   WITH tok AS (
     SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))

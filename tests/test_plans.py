@@ -449,3 +449,27 @@ def test_pricing_cube_single_expand(spark):
     assert "Expand" in plan
     assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
     assert "partial_count" in plan
+
+
+def test_curated_sink_readback_prunes_partitions(spark, tmp_path):
+    """pipeline_curated_sink's readback filter must become a
+    PARTITION filter on the hive layout — listing only the one
+    source=... directory, not a row-level filter over all files."""
+    from h3ron_spark.testdata import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "n_chars", "source")
+    out = str(tmp_path / "curated")
+    docs.write.partitionBy("source").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter("source = 'src7'")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = back._jdf.queryExecution().explainString(jmode)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "src7" in seg
+    # and NOT pushed as a data filter over every file (a pure
+    # partition predicate produces no PushedFilters entry at all)
+    if "PushedFilters:" in plan:
+        pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+        assert "src7" not in pushed
