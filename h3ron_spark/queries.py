@@ -987,6 +987,46 @@ def rel_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_events_rolling_window",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             epoch_ns(ts) // 1000000000 AS sec, value
+      FROM events
+    )
+    SELECT event_id, user_id,
+           count(*) OVER w                    AS n_last_hour,
+           round(sum(value) OVER w, 2)        AS value_last_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rel_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed rolling aggregates (the rate-limit / activity-
+    feature shape): per event, the count and value-sum of the same
+    user's events in the trailing hour BY EVENT TIME — a RANGE frame
+    over the epoch seconds, which unlike a ROWS frame is correct
+    under bursts (ties at one timestamp all see each other). One
+    shuffle on user_id; the frame is evaluated in a single sorted
+    pass per partition at any scale."""
+    ev = load(spark, sf_dir, "events")
+    sec = _event_epoch_sec(ev)
+    e = ev.select("event_id", "user_id", sec.alias("sec"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-verification ordering: the correctness harness checks queries
 # in registry order with a bounded budget (~50 oracled queries per
@@ -1034,6 +1074,7 @@ _DRIVER_ORDER_FIRST = [
     "rel_event_funnel",
     "rel_event_anomalies",
     "pipeline_curated_sink",
+    "rel_events_rolling_window",
     "rel_events_asof",
     "dedup_substring_spans",
     "dedup_substring_coverage",
