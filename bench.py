@@ -57,7 +57,9 @@ BENCH_QUERIES = [
     "rel_events_asof",
     "rel_event_funnel",
     "rel_event_anomalies",
+    "rel_events_rolling_window",
     "rel_pricing_cube",
+    "pipeline_curated_sink",
     "text_tfidf_keywords",
     "text_quality_classifier",
     "text_source_divergence",
