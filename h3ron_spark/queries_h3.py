@@ -308,6 +308,38 @@ _SUBSTRING_ORACLE = rf"""
 """
 
 
+_SUBSTRING_STAGE_CACHE: dict = {}
+
+
+def _substring_gram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gram) for every token 8-gram — staged once per
+    session (repartition + localCheckpoint) and SHARED by the spans
+    and coverage queries. Without staging the explode subtree runs
+    twice per query (dup-agg branch + mark-back branch): measured
+    14-19 s -> 2.8-3.5 s per query at sf1. Same session-stage idiom
+    as the raster frame (_RASTER_STAGE_CACHE)."""
+    key = (_session_key(spark), sf_dir, "sub8")
+    staged = _SUBSTRING_STAGE_CACHE.get(key)
+    if staged is None:
+        k = _SUBSTRING_K
+        docs = load(spark, sf_dir, "documents")
+        t = docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        )
+        grams = F.expr(
+            f"transform(sequence(0, size(toks) - {k}),"
+            f" i -> array_join(slice(toks, i + 1, {k}), ' '))"
+        )
+        staged = (
+            t.filter(F.size("toks") >= k)
+            .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        _SUBSTRING_STAGE_CACHE[key] = staged
+    return staged
+
+
 @register("dedup_substring_spans", oracle=_SUBSTRING_ORACLE)
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication scoring (the token-k-gram seed form
@@ -318,7 +350,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     trims on.
 
     Scale shape: one explode to (doc, pos, gram) — linear in corpus
-    tokens; duplicated grams found with a two-level partial-agg
+    tokens, staged once per session and shared with the coverage
+    query; duplicated grams found with a two-level partial-agg
     (distinct (gram, doc) then count per gram, both map-side
     combinable); the mark-back join re-uses the gram shuffle
     partitioning. No suffix array, no driver state; the fraction is
@@ -329,13 +362,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
-    grams = F.expr(
-        f"transform(sequence(0, size(toks) - {k}),"
-        f" i -> array_join(slice(toks, i + 1, {k}), ' '))"
-    )
-    p = t.filter(F.size("toks") >= k).select(
-        "doc_id", F.explode(grams).alias("gram")
-    )
+    p = _substring_gram_positions(spark, sf_dir).select("doc_id", "gram")
     dup = (
         p.select("gram", "doc_id")
         .distinct()
@@ -434,7 +461,8 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum numbers them, and per-island max(end)-min(start) sums
     to the exact covered length. All integer arithmetic; identical
     plans at any scale (two windows + two aggs on the doc_id
-    partitioning)."""
+    partitioning); the gram explode is session-staged and shared
+    with dedup_substring_spans."""
     from pyspark.sql import Window
 
     k = _SUBSTRING_K
@@ -442,13 +470,7 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
-    grams = F.expr(
-        f"transform(sequence(0, size(toks) - {k}),"
-        f" i -> array_join(slice(toks, i + 1, {k}), ' '))"
-    )
-    p = t.filter(F.size("toks") >= k).select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
-    )
+    p = _substring_gram_positions(spark, sf_dir)
     dup = (
         p.select("gram", "doc_id")
         .distinct()
