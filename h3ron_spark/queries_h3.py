@@ -804,6 +804,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(toks) - 2),"
         " i -> struct(toks[i] AS a, toks[i + 1] AS b))"
     )
+    # NOTE: three consumers re-run this explode subtree, but
+    # materializing it (localCheckpoint) measured SLOWER at sf0.1 AND
+    # sf1 — the 2-token pairs are cheap to recompute and expensive to
+    # store, unlike the 8-gram strings dedup_substring_* stages
     pb = t.filter(F.size("toks") >= 2).select(
         "doc_id", F.explode(pairs).alias("p")
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
