@@ -50,6 +50,10 @@ def label_components(
     ``component`` is the minimum id of the component (deterministic
     label, stable under re-partitioning).
     """
+    if max_iter < 1:
+        # a zero-round run would skip the convergence guard and
+        # return identity labels — the silent splitting it exists for
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     id_type = dict(pairs.dtypes)[id_a]
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -64,10 +68,14 @@ def label_components(
     # pipeline) upstream twice: once for the probe, once for the
     # distributed path's edge materialization.
     pairs = pairs.persist()
-    epdf = pairs.select(id_a, id_b).limit(edge_limit + 1).toPandas()
+    try:
+        epdf = pairs.select(id_a, id_b).limit(edge_limit + 1).toPandas()
+        if len(epdf) > edge_limit:
+            edges = sym.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
     if len(epdf) <= edge_limit:
         spark = pairs.sparkSession
-        pairs.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -95,8 +103,6 @@ def label_components(
         # same as long ids — both paths must agree on the schema)
         return local_df(spark, rows, f"id {id_type}, component {id_type}")
 
-    edges = sym.localCheckpoint(eager=True)
-    pairs.unpersist()
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     )

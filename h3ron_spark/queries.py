@@ -938,7 +938,8 @@ def rel_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT user_id, count(*) AS n_events,
-             avg(value) AS mu, stddev_samp(value) AS sigma
+             round(avg(value), 6)          AS mu,
+             round(stddev_samp(value), 6)  AS sigma
       FROM events GROUP BY user_id
     ), z AS (
       SELECT e.user_id, s.n_events,
@@ -960,13 +961,18 @@ def rel_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed single-pass variant computes the same thing but holds
     every row in window state, so the agg+join form is the 100-TB
     shape). Adds variance/stddev aggregate coverage to the
-    relational checklist; both engines' stddev_samp agree to the
-    rounded 4 dp."""
+    relational checklist; the per-user moments are 6-dp-rounded on
+    both engines before any comparison (aggregation order differs
+    across engines by ulps)."""
     ev = load(spark, sf_dir, "events")
+    # the moments are 6-dp-rounded on BOTH engines (the kmeans model-
+    # rounding recipe): avg/stddev partial-agg order differs across
+    # engines by ulps, and every downstream compare (az > 2, e4 max)
+    # must start from identical doubles
     s = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.avg("value").alias("mu"),
-        F.stddev_samp("value").alias("sigma"),
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
     )
     z = (
         ev.join(s, "user_id")

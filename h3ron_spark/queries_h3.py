@@ -1904,7 +1904,12 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not drain within 300s — results "
+                "would be silently partial"
+            )
     finally:
         if old_parts is not None:
             spark.conf.set(shuffle_conf, old_parts)
@@ -1996,7 +2001,12 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not drain within 300s — results "
+                "would be silently partial"
+            )
     finally:
         if old_parts is not None:
             spark.conf.set(shuffle_conf, old_parts)
@@ -2092,7 +2102,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not drain within 300s — results "
+                "would be silently partial"
+            )
     finally:
         if old_parts is not None:
             spark.conf.set(shuffle_conf, old_parts)
@@ -3162,7 +3177,12 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not drain within 300s — results "
+                "would be silently partial"
+            )
     finally:
         if old_parts is not None:
             spark.conf.set(shuffle_conf, old_parts)
@@ -3569,12 +3589,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     emb = load(spark, sf_dir, "embeddings").repartition(par)
     books = _pq_books(spark, sf_dir, emb)
+    # reuse the session-cached IVF centroids (same (session, sf) key
+    # ann_ivf_topk populates) — ivf_centroid_rows is a driver collect
+    ckey = (_session_key(spark), sf_dir)
+    cents = _IVF_CENT_CACHE.get(ckey)
+    if cents is None:
+        cents = SIM.ivf_centroid_rows(emb, _IVF_LISTS)
+        _IVF_CENT_CACHE[ckey] = cents
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivfpq_topk(
         emb, queries, books,
         n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE, k_top=5,
+        centroids=cents,
     )
 
 
