@@ -243,17 +243,16 @@ def h3_ancestors(cell) -> Column:
     (purge_children, ancestor semi-joins) without any geodesic work."""
     c = _c(cell)
     res = h3_get_resolution(c)
+    # positive guards: a NULL cell makes both conditions NULL, so it
+    # falls through to the implicit NULL branch (a negated guard would
+    # send NULL input to the empty-array arm instead)
     return F.when(
-        ~h3_is_valid_cell(c), F.lit(None).cast("array<long>")
-    ).otherwise(
-        F.when(
-            res > 0,
-            F.transform(
-                F.sequence(res - 1, F.lit(0), F.lit(-1)),
-                lambda r: h3_to_parent(c, r),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-    )
+        h3_is_valid_cell(c) & (res > 0),
+        F.transform(
+            F.sequence(res - 1, F.lit(0), F.lit(-1)),
+            lambda r: h3_to_parent(c, r),
+        ),
+    ).when(h3_is_valid_cell(c), F.array().cast("array<long>"))
 
 
 def h3_to_center_child(cell, child_res) -> Column:

@@ -673,13 +673,19 @@ def sssp_frontier(
             stored is not None
             and tile_expr is not None
             and tile_expr is not stored
+            # a rebuilt-but-identical function (fresh lambda, after
+            # pickling, ...) is fine when it generates the same
+            # expression tree as the stored one — compare the columns
+            # it produces, not Python object identity
+            and repr(tile_expr(F.col("cell"))) != repr(stored(F.col("cell")))
         ):
             raise ValueError(
                 "conflicting tile_expr: this prepared frame already "
                 "carries the tile function that computed its _tile "
-                "column; pass tile_expr=None (or the identical function "
-                "object). Pruning under a different function would drop "
-                "edges and silently truncate the flood."
+                "column, and the supplied one generates a different "
+                "expression; pass tile_expr=None (or an equivalent "
+                "function). Pruning under a different function would "
+                "drop edges and silently truncate the flood."
             )
         tile_fn = stored or tile_expr
     else:

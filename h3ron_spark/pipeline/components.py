@@ -54,7 +54,17 @@ def label_components(
         # a zero-round run would skip the convergence guard and
         # return identity labels — the silent splitting it exists for
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    id_type = dict(pairs.dtypes)[id_a]
+    dtypes = dict(pairs.dtypes)
+    id_type = dtypes[id_a]
+    if dtypes[id_b] != id_type:
+        # the union-find path declares both output columns as id_a's
+        # type while the distributed path unions the raw columns — a
+        # mixed-type pair graph would make the two paths disagree on
+        # schema, so reject it up front
+        raise ValueError(
+            f"id columns must share a type: {id_a} is {id_type}, "
+            f"{id_b} is {dtypes[id_b]} — cast one side first"
+        )
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(

@@ -66,6 +66,18 @@ def test_label_components_string_ids_both_paths(spark):
     assert dict(small.dtypes) == dict(big.dtypes)
 
 
+def test_label_components_mixed_id_types_raise(spark):
+    # ADVICE r3: the two paths would disagree on schema for a
+    # mixed-type pair graph — reject it up front
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(1, 2)], "id_a int, id_b int"
+    ).selectExpr("id_a", "cast(id_b as long) as id_b")
+    with _pytest.raises(ValueError, match="share a type"):
+        label_components(pairs)
+
+
 def test_label_components_raises_when_unconverged(spark):
     import pytest as _pytest
 

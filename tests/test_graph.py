@@ -390,6 +390,16 @@ def test_sssp_prepared_conflicting_tile_expr_raises(spark):
     out = GR.sssp_frontier(prepared, [0], threshold=2.0, tile_expr=tile_a)
     assert out.count() > 0
 
+    # ADVICE r3: a REBUILT function producing the identical expression
+    # (fresh lambda, e.g. after pickling) is also allowed
+    def tile_a_rebuilt(o):
+        return (o / 8).cast("long")
+
+    out2 = GR.sssp_frontier(
+        prepared, [0], threshold=2.0, tile_expr=tile_a_rebuilt
+    )
+    assert out2.count() == out.count()
+
 
 def test_graph_sssp_frontier_query_histogram(spark):
     """Registry query at the sf0.001 grid: ring sizes are the

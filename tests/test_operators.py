@@ -319,8 +319,10 @@ def test_h3_ancestors_column(spark):
 
     c = h3c.latlng_to_cell(37.0, -122.0, 3)
     rows = spark.createDataFrame(
-        [(c,), (h3c.latlng_to_cell(37.0, -122.0, 0),), (7,)], "cell long"
+        [(c,), (h3c.latlng_to_cell(37.0, -122.0, 0),), (7,), (None,)],
+        "cell long",
     ).select(B.h3_ancestors("cell").alias("a")).collect()
     assert rows[0].a == [h3c.cell_to_parent(c, r) for r in (2, 1, 0)]
     assert rows[1].a == []   # res 0: no ancestors
     assert rows[2].a is None  # invalid -> NULL
+    assert rows[3].a is None  # NULL -> NULL (ADVICE r3)
