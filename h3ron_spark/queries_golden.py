@@ -1532,3 +1532,162 @@ def golden_covered_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("geometry_wkt", ",")).alias("n_wkt_points"),
         F.substring("geometry_wkt", 1, 14).alias("wkt_prefix"),
     )
+
+
+# ---------------------------------------------------------------------
+# S23/S24/P8: edge metrics, edge geometry, Path value objects
+# ---------------------------------------------------------------------
+
+# Second consecutive edge: destination cell's out-edge that does not
+# return to _CELL (computed once from the public bit layout).
+_EDGE2 = 0x119283080CA7FFFF
+
+_EDGE_METRICS_ORACLE = """
+  SELECT * FROM (VALUES
+    ('avg_len_m_res9_e3', '200786'),
+    ('boundary_wkt', 'LINESTRING (-122.411015954 37.809283337, -122.408684133 37.809461494)'),
+    ('centroid_dist_m_e6', '354705770'),
+    ('edge_len_km_e9', '205806573'),
+    ('edge_len_m_e6', '205806573'),
+    ('edge_len_rads_e12', '32303617'),
+    ('edge_line_wkt', 'LINESTRING (-122.409944099 37.810965650, -122.409756002 37.807779171)'),
+    ('empty_path_is_empty', 'true'),
+    ('path_cells', '89283080ddbffff,89283080ca7ffff,89283080dd3ffff'),
+    ('path_edge_count', '2'),
+    ('path_len_m_e6', '415234922'),
+    ('path_line_wkt', 'LINESTRING (-122.409944099 37.810965650, -122.409756002 37.807779171, -122.413347733 37.809105137)'),
+    ('path_order', 'first>a>b>c>last')
+  ) AS t(what, val)
+  ORDER BY what
+"""
+
+
+@register("golden_edge_metrics", oracle=_EDGE_METRICS_ORACLE)
+def golden_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23+S24+P8 exact-value battery on the canonical directed edge
+    0x149283080ddbffff (h3ron/src/directed_edge.rs:348-400): lengths
+    in m/km/rads and the cell-centroid distance (pinned at fixed-point
+    precision; the reference's `length_m < centroid_dist < 2*length_m`
+    invariant holds on the pinned values: 205.81 < 354.71 < 411.61),
+    the boundary and centroid linestring WKTs (directed_edge.rs:
+    139-151,218-259), the res-9 average edge length lookup, and the
+    Path value-object surface (h3ron-graph/src/algorithm/path.rs:
+    12-220): cells(), length_m, merged to_linestring over a 2-edge
+    consecutive path, and the deterministic (cost, origin,
+    destination) ordering of path.rs:194-206 over a tie-cost fixture.
+    """
+    from h3ron_spark.graph import path as P
+
+    e = local_df(spark, [(_EDGE,)], "edge long")
+
+    def fx(col, scale):
+        # fixed-point pin: floor(x*scale + 0.5) — deterministic on
+        # identical doubles, no decimal re-interpretation
+        return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long").cast("string")
+
+    metrics = e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("edge_len_m_e6").alias("what"),
+                    fx(G.h3_edge_length_m("edge"), 1e6).alias("val"),
+                ),
+                F.struct(
+                    F.lit("edge_len_km_e9").alias("what"),
+                    fx(G.h3_edge_length_km("edge"), 1e9).alias("val"),
+                ),
+                F.struct(
+                    F.lit("edge_len_rads_e12").alias("what"),
+                    fx(G.h3_edge_length_rads("edge"), 1e12).alias("val"),
+                ),
+                F.struct(
+                    F.lit("centroid_dist_m_e6").alias("what"),
+                    fx(
+                        G.h3_cell_centroid_distance_m(
+                            B.h3_edge_origin("edge"),
+                            G.h3_edge_destination("edge"),
+                        ),
+                        1e6,
+                    ).alias("val"),
+                ),
+                F.struct(
+                    F.lit("avg_len_m_res9_e3").alias("what"),
+                    fx(B.h3_edge_length_avg_m(F.lit(9)), 1e3).alias("val"),
+                ),
+                F.struct(
+                    F.lit("boundary_wkt").alias("what"),
+                    G.h3_edge_boundary_wkt("edge").alias("val"),
+                ),
+                F.struct(
+                    F.lit("edge_line_wkt").alias("what"),
+                    P.path_linestring_wkt(F.array("edge")).alias("val"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.what", "s.val")
+
+    path2 = local_df(spark, [([_EDGE, _EDGE2],)], "edges array<long>")
+    path_rows = path2.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("path_edge_count").alias("what"),
+                    P.path_edge_count("edges").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("empty_path_is_empty").alias("what"),
+                    P.path_is_empty(F.array().cast("array<long>"))
+                    .cast("string")
+                    .alias("val"),
+                ),
+                F.struct(
+                    F.lit("path_cells").alias("what"),
+                    F.array_join(
+                        F.transform(
+                            P.path_cells_col("edges"),
+                            lambda c: F.lower(F.hex(c)),
+                        ),
+                        ",",
+                    ).alias("val"),
+                ),
+                F.struct(
+                    F.lit("path_len_m_e6").alias("what"),
+                    fx(P.path_length_m("edges"), 1e6).alias("val"),
+                ),
+                F.struct(
+                    F.lit("path_line_wkt").alias("what"),
+                    P.path_linestring_wkt("edges").alias("val"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.what", "s.val")
+
+    # path.rs:194-206 ordering battery: ties on cost resolve by
+    # origin, then destination — array_sort over the struct fields in
+    # exactly that order, JVM-side and partition-count independent
+    order_fix = local_df(
+        spark,
+        [
+            (3.0, 200, 100, "c"),
+            (3.0, 100, 200, "a"),
+            (3.0, 100, 300, "b"),
+            (1.0, 999, 999, "first"),
+            (9.0, 1, 1, "last"),
+        ],
+        "cost double, origin long, destination long, label string",
+    )
+    order_row = order_fix.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("cost", "origin", "destination", "label")
+                    )
+                ),
+                lambda s: s.label,
+            ),
+            ">",
+        ).alias("val")
+    ).select(F.lit("path_order").alias("what"), "val")
+
+    return metrics.unionByName(path_rows).unionByName(order_row).orderBy("what")
