@@ -1691,3 +1691,247 @@ def golden_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("path_order").alias("what"), "val")
 
     return metrics.unionByName(path_rows).unionByName(order_row).orderBy("what")
+
+
+# ---------------------------------------------------------------------
+# B1/B2/B4/B5/P8 demo assertions folded into golden constants
+# (VERDICT r3 item 4: the geo_* demos stay rows-only bench workloads;
+# these fixtures hash-pin the same kernels on constant inputs)
+# ---------------------------------------------------------------------
+
+# res-2 pentagon (center child of base cell 4) — the disk kernel's
+# hard case (h3ron/src/iter/grid_disk.rs pentagon handling)
+_PENT2 = 0x820807FFFFFFFFF
+
+_DISK_CHECKSUMS_ORACLE = """
+  SELECT * FROM (VALUES
+    ('disk3', 'pent2', CAST(0 AS INT), CAST(1 AS BIGINT), CAST(585609238802333695 AS BIGINT), CAST(585609238802333695 AS BIGINT), CAST(585609238802333695 AS BIGINT)),
+    ('disk3', 'pent2', CAST(1 AS INT), CAST(5 AS BIGINT), CAST(585612537337217023 AS BIGINT), CAST(585610338313961471 AS BIGINT), CAST(585612537337217023 AS BIGINT)),
+    ('disk3', 'pent2', CAST(2 AS INT), CAST(10 AS BIGINT), CAST(2199023255552 AS BIGINT), CAST(585620233918611455 AS BIGINT), CAST(585638375860469759 AS BIGINT)),
+    ('disk3', 'pent2', CAST(3 AS INT), CAST(15 AS BIGINT), CAST(585639475372097535 AS BIGINT), CAST(585618034895355903 AS BIGINT), CAST(585637826104655871 AS BIGINT)),
+    ('disk3', 'sf2', CAST(0 AS INT), CAST(1 AS BIGINT), CAST(585961082523222015 AS BIGINT), CAST(585961082523222015 AS BIGINT), CAST(585961082523222015 AS BIGINT)),
+    ('disk3', 'sf2', CAST(1 AS INT), CAST(5 AS BIGINT), CAST(585964381058105343 AS BIGINT), CAST(585962182034849791 AS BIGINT), CAST(585964381058105343 AS BIGINT)),
+    ('disk3', 'sf2', CAST(2 AS INT), CAST(10 AS BIGINT), CAST(2199023255552 AS BIGINT), CAST(585972077639499775 AS BIGINT), CAST(585990219581358079 AS BIGINT)),
+    ('disk3', 'sf2', CAST(3 AS INT), CAST(15 AS BIGINT), CAST(585991319092985855 AS BIGINT), CAST(585969878616244223 AS BIGINT), CAST(585989669825544191 AS BIGINT)),
+    ('disk3', 'sf9', CAST(0 AS INT), CAST(1 AS BIGINT), CAST(617700169518678015 AS BIGINT), CAST(617700169518678015 AS BIGINT), CAST(617700169518678015 AS BIGINT)),
+    ('disk3', 'sf9', CAST(1 AS INT), CAST(6 AS BIGINT), CAST(31719424 AS BIGINT), CAST(617700169491152895 AS BIGINT), CAST(617700169518153727 AS BIGINT)),
+    ('disk3', 'sf9', CAST(2 AS INT), CAST(12 AS BIGINT), CAST(0 AS BIGINT), CAST(617700169489842175 AS BIGINT), CAST(617700170014916607 AS BIGINT)),
+    ('disk3', 'sf9', CAST(3 AS INT), CAST(18 AS BIGINT), CAST(20971520 AS BIGINT), CAST(617700169488007167 AS BIGINT), CAST(617700170015703039 AS BIGINT)),
+    ('ring23', 'pent2', CAST(2 AS INT), CAST(10 AS BIGINT), CAST(2199023255552 AS BIGINT), CAST(585620233918611455 AS BIGINT), CAST(585638375860469759 AS BIGINT)),
+    ('ring23', 'pent2', CAST(3 AS INT), CAST(15 AS BIGINT), CAST(585639475372097535 AS BIGINT), CAST(585618034895355903 AS BIGINT), CAST(585637826104655871 AS BIGINT)),
+    ('ring23', 'sf2', CAST(2 AS INT), CAST(10 AS BIGINT), CAST(2199023255552 AS BIGINT), CAST(585972077639499775 AS BIGINT), CAST(585990219581358079 AS BIGINT)),
+    ('ring23', 'sf2', CAST(3 AS INT), CAST(15 AS BIGINT), CAST(585991319092985855 AS BIGINT), CAST(585969878616244223 AS BIGINT), CAST(585989669825544191 AS BIGINT)),
+    ('ring23', 'sf9', CAST(2 AS INT), CAST(12 AS BIGINT), CAST(0 AS BIGINT), CAST(617700169489842175 AS BIGINT), CAST(617700170014916607 AS BIGINT)),
+    ('ring23', 'sf9', CAST(3 AS INT), CAST(18 AS BIGINT), CAST(20971520 AS BIGINT), CAST(617700169488007167 AS BIGINT), CAST(617700170015703039 AS BIGINT))
+  ) AS t(variant, owner, k, n_cells, xor_cells, min_cell, max_cell)
+  ORDER BY variant, owner, k
+"""
+
+
+@register("golden_disk_checksums", oracle=_DISK_CHECKSUMS_ORACLE)
+def golden_disk_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_disk_explode's per-ring histogram assertion (S10/S12,
+    iter/grid_disk.rs:16-100) on constant inputs: full k<=3 disks and
+    hollow 2..3 ring windows around the canonical res-9 cell, its res-2
+    parent, and the res-2 PENTAGON 0x820807fffffffff — per (variant,
+    owner, k) cell count + bit_xor/min/max checksums. Pentagon rings
+    are 5-cell at k=1 (not 6) and the deleted-subsequence distortion
+    must shift the checksums exactly as the vectorized kernel says."""
+    cells = local_df(
+        spark,
+        [("sf9", _CELL), ("sf2", 0x821C07FFFFFFFFF), ("pent2", _PENT2)],
+        "owner string, cell long",
+    )
+    full = cells.select(
+        F.lit("disk3").alias("variant"),
+        "owner",
+        F.explode(G.h3_grid_disk_distances("cell", F.lit(3))).alias("nd"),
+    )
+    hollow = cells.select(
+        F.lit("ring23").alias("variant"),
+        "owner",
+        F.explode(
+            G.h3_grid_disk_distances_range("cell", F.lit(2), F.lit(3))
+        ).alias("nd"),
+    )
+    return (
+        full.unionByName(hollow)
+        .groupBy("variant", "owner", F.col("nd.k").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.expr("bit_xor(nd.cell)").alias("xor_cells"),
+            F.min("nd.cell").alias("min_cell"),
+            F.max("nd.cell").alias("max_cell"),
+        )
+        .orderBy("variant", "owner", "k")
+    )
+
+
+_ENCODE_SWEEP_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(3 AS INT), CAST(2520 AS BIGINT), CAST(2423 AS BIGINT), CAST(334732571181056 AS BIGINT), CAST(589971688624488447 AS BIGINT), CAST(594258821900140543 AS BIGINT)),
+    (CAST(8 AS INT), CAST(2520 AS BIGINT), CAST(2520 AS BIGINT), CAST(2170346025254912 AS BIGINT), CAST(612489624526258175 AS BIGINT), CAST(616776809075179519 AS BIGINT)),
+    (CAST(12 AS INT), CAST(2520 AS BIGINT), CAST(2520 AS BIGINT), CAST(2170355097284096 AS BIGINT), CAST(630504023034758143 AS BIGINT), CAST(634791207584094719 AS BIGINT))
+  ) AS t(res, n_points, n_cells, xor_cells, min_cell, max_cell)
+  ORDER BY res
+"""
+
+
+@register("golden_encode_sweep", oracle=_ENCODE_SWEEP_ORACLE)
+def golden_encode_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_cell_rollup's encode assertion (S1, the B1 kernel) on a
+    constant world sweep: a 35x72 lat/lng grid (lat -85..85 step 5,
+    lng -180..175 step 5 — poles, antimeridian, and every icosa face)
+    encoded at res 3/8/12 by the vectorized Arrow kernel, reduced to
+    per-res count / distinct count / bit_xor / min / max. Any drift in
+    face selection, CII rotation, or digit layout moves the xor."""
+    grid = (
+        _one_row(spark)
+        .select(F.explode(F.sequence(F.lit(-85), F.lit(85), F.lit(5))).alias("lat_i"))
+        .select(
+            "lat_i",
+            F.explode(F.sequence(F.lit(-180), F.lit(175), F.lit(5))).alias("lng_i"),
+        )
+        .select(
+            F.col("lat_i").cast("double").alias("lat"),
+            F.col("lng_i").cast("double").alias("lng"),
+        )
+    )
+    res = grid.select(
+        "lat",
+        "lng",
+        F.explode(F.array(F.lit(3), F.lit(8), F.lit(12))).alias("res"),
+    )
+    enc = res.select(
+        "res", G.h3_latlng_to_cell("lat", "lng", "res").alias("cell")
+    )
+    return (
+        enc.groupBy("res")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("cell").alias("n_cells"),
+            F.expr("bit_xor(cell)").alias("xor_cells"),
+            F.min("cell").alias("min_cell"),
+            F.max("cell").alias("max_cell"),
+        )
+        .orderBy("res")
+    )
+
+
+_ROUTE_LINES_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(3 AS INT), CAST(9 AS INT), CAST(591071268971741183 AS BIGINT), CAST(1 AS INT), CAST(1 AS INT)),
+    (CAST(4 AS INT), CAST(25 AS INT), CAST(595574851419242495 AS BIGINT), CAST(1 AS INT), CAST(1 AS INT)),
+    (CAST(5 AS INT), CAST(59 AS INT), CAST(600079933884071935 AS BIGINT), CAST(1 AS INT), CAST(1 AS INT)),
+    (CAST(6 AS INT), CAST(173 AS INT), CAST(604583642764673023 AS BIGINT), CAST(1 AS INT), CAST(1 AS INT))
+  ) AS t(res, n_cells, xor_cells, starts_at_a, ends_at_b)
+  ORDER BY res
+"""
+
+
+@register("golden_route_lines", oracle=_ROUTE_LINES_ORACLE)
+def golden_route_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_route_line's trace assertion (S14 grid_path_cells, the B5
+    building block; h3ron/src/cell.rs line tests): constant endpoint
+    pairs (lat 20, lng 10)->(lat 20, lng 20) encoded at res 3..6 —
+    per-res path cell count, bit_xor checksum, and the
+    endpoints-are-terminal flags. Path length grows ~3x per res step;
+    a drifted local-IJ lerp changes the xor without changing n."""
+    pairs = local_df(spark, [(3,), (4,), (5,), (6,)], "res int").select(
+        "res",
+        G.h3_latlng_to_cell(F.lit(20.0), F.lit(10.0), "res").alias("a"),
+        G.h3_latlng_to_cell(F.lit(20.0), F.lit(20.0), "res").alias("b"),
+    )
+    traced = pairs.select(
+        "res", "a", "b", G.h3_grid_path("a", "b").alias("path")
+    )
+    return traced.select(
+        "res",
+        F.size("path").alias("n_cells"),
+        F.aggregate(
+            "path", F.lit(0).cast("long"), lambda acc, c: acc.bitwiseXOR(c)
+        ).alias("xor_cells"),
+        (F.element_at("path", 1) == F.col("a")).cast("int").alias("starts_at_a"),
+        (F.element_at("path", -1) == F.col("b")).cast("int").alias("ends_at_b"),
+    ).orderBy("res")
+
+
+_POLYFILL_RECT_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(604189370672480255 AS BIGINT), CAST(28 AS BIGINT), CAST(3145728 AS BIGINT)),
+    (CAST(604189371209351167 AS BIGINT), CAST(78 AS BIGINT), CAST(13107200 AS BIGINT)),
+    (CAST(604189372417310719 AS BIGINT), CAST(48 AS BIGINT), CAST(5767168 AS BIGINT))
+  ) AS t(region, n_cells, xor_cells)
+  ORDER BY region
+"""
+
+
+@register("golden_polyfill_rect", oracle=_POLYFILL_RECT_ORACLE)
+def golden_polyfill_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_polyfill_filter's refine assertion (X4 envelopes_intersect,
+    the B4 operator) on a constant cellset: the k<=12 res-8 disk of the
+    canonical cell (469 cells) filtered by a rect that slices it
+    diagonally — per res-6 parent region hit counts + xor. A
+    mis-refined AOI edge moves counts between regions; an over-eager
+    coarse probe admits whole extra regions."""
+    from h3ron_spark.operators.spatial import cells_in_rect
+
+    disk = local_df(spark, [(_CELL,)], "seed long").select(
+        F.explode(G.h3_grid_disk("seed", F.lit(12))).alias("cell")
+    )
+    hits = cells_in_rect(disk, 37.75, -122.46, 37.82, -122.41, 8, "cell")
+    return (
+        hits.groupBy(B.h3_to_parent("cell", 6).alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.expr("bit_xor(cell)").alias("xor_cells"),
+        )
+        .orderBy("region")
+    )
+
+
+_ROUTE_PATH_STATS_ORACLE = """
+  SELECT * FROM (VALUES
+    ('84594e3ffffffff', '843e823ffffffff', CAST(150.0 AS DOUBLE), CAST(15 AS INT), CAST(417798502 AS BIGINT), CAST(16 AS INT)),
+    ('84594e3ffffffff', '843e8e5ffffffff', CAST(190.0 AS DOUBLE), CAST(19 AS INT), CAST(529911502 AS BIGINT), CAST(20 AS INT)),
+    ('845943dffffffff', '843e823ffffffff', CAST(200.0 AS DOUBLE), CAST(20 AS INT), CAST(555057347 AS BIGINT), CAST(21 AS INT)),
+    ('845943dffffffff', '843e8e5ffffffff', CAST(240.0 AS DOUBLE), CAST(24 AS INT), CAST(667170347 AS BIGINT), CAST(25 AS INT))
+  ) AS t(origin_hex, destination_hex, cost, n_edges, length_m_e3, n_line_points)
+  ORDER BY cost, origin_hex, destination_hex
+"""
+
+
+@register("golden_route_path_stats", oracle=_ROUTE_PATH_STATS_ORACLE)
+def golden_route_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_route_path_stats' P8 chain pinned on the constant line
+    graph of golden_isochrone_hist: many-to-many routes (2 origins x 2
+    destinations, weight 10/edge) -> Path value objects in the
+    deterministic (cost, origin, destination) order with exact cost,
+    edge count, fixed-point boundary length, and the merged-linestring
+    point count (path.rs:69-135,194-206)."""
+    from h3ron_spark import graph as GR
+    from h3ron_spark.graph import edge_graph_from_cell_pairs
+    from h3ron_spark.h3core.regions import line_to_cells
+
+    seq = line_to_cells([(20.0, 10.0), (20.0, 20.0)], 4)
+    pairs = local_df(
+        spark,
+        [(a, b, 10.0) for a, b in zip(seq, seq[1:])],
+        "origin long, destination long, weight double",
+    )
+    g = edge_graph_from_cell_pairs(pairs, bidirectional=False)
+    sp = GR.shortest_path_many_to_many(
+        g, [seq[0], seq[5]], [seq[20], seq[-1]]
+    )
+    return GR.order_paths(sp).select(
+        F.lower(F.hex("origin")).alias("origin_hex"),
+        F.lower(F.hex("destination")).alias("destination_hex"),
+        F.round("cost", 4).alias("cost"),
+        GR.path_edge_count("path_edges").alias("n_edges"),
+        F.floor(GR.path_length_m("path_edges") * F.lit(1e3) + F.lit(0.5))
+        .cast("long")
+        .alias("length_m_e3"),
+        F.size(F.split(GR.path_linestring_wkt("path_edges"), ",")).alias(
+            "n_line_points"
+        ),
+    )
