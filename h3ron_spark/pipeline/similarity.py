@@ -549,6 +549,28 @@ def semantic_dedup_pairs(
     )
 
 
+def _train_slice(
+    corpus: DataFrame, train_fraction: float | None, id_col: str
+) -> DataFrame:
+    """Deterministic training sample: keep rows whose md5-derived u32
+    of the id lands under the fraction (the same cross-engine recipe
+    as pipeline.sampling — ('0x'||substr(md5(id),1,8))::BIGINT %
+    10000 < fraction*10000 in DuckDB). Chosen over seeded
+    ``df.sample`` because it is reproducible under ANY partition
+    layout — at 100-TB corpus scale the layout is never stable —
+    and because an oracle can replicate it exactly."""
+    if train_fraction is None:
+        return corpus
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError(
+            f"train_fraction must be in (0, 1], got {train_fraction}"
+        )
+    from h3ron_spark.pipeline.sampling import hash_u32
+
+    keep = int(round(train_fraction * 10_000))
+    return corpus.filter(hash_u32(id_col) % 10_000 < keep)
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int,
@@ -556,6 +578,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    train_fraction: float | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means for the IVF coarse quantizer.
 
@@ -570,10 +593,16 @@ def kmeans_fit(
     Scale shape: assignment is the Arrow matmul kernel (map-side);
     the mean is a (list_id, dim) partial-agg'd groupBy; only the
     k x dim model ever reaches the driver — Lloyd's on 100 TB is
-    n_iter linear scans."""
+    n_iter linear scans. ``train_fraction`` decouples training cost
+    from corpus size: the iterations run on a deterministic md5-slice
+    of the corpus (see :func:`_train_slice`) while the init still
+    takes ids < k from the full corpus (a k-row pushdown-pruned
+    collect), so the model stays deterministic and the downstream
+    assignment/search over the FULL corpus is unaffected in shape."""
     if centroids is None:
         centroids = ivf_centroid_rows(corpus, k, id_col, vec_col)
     cents = list(centroids)
+    corpus = _train_slice(corpus, train_fraction, id_col)
     for _ in range(n_iter):
         assign1 = ivf_best_lists_arrow(cents, 1)
         assigned = corpus.select(
@@ -686,6 +715,7 @@ def pq_fit(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Deterministic per-subspace Lloyd's for PQ codebooks (the same
     bit-reproducible recipe as kmeans_fit: 6-dp-rounded assignment
@@ -695,9 +725,13 @@ def pq_fit(
 
     Scale shape: assignment is the map-side Arrow kernel; the means
     are one (subspace, code, coord) partial-agg'd groupBy per
-    iteration (m*k*dim/m rows to the driver — model-sized)."""
+    iteration (m*k*dim/m rows to the driver — model-sized).
+    ``train_fraction``: run the Lloyd iterations on a deterministic
+    md5-slice (init still ids < k from the full corpus) — training
+    cost decoupled from corpus size, same recipe as kmeans_fit."""
     books = pq_init_books(corpus, m, k, id_col, vec_col)
     sub = len(books[0][0][1])
+    corpus = _train_slice(corpus, train_fraction, id_col)
     for _ in range(n_iter):
         kern = pq_assign_arrow(books)
         pos_s = F.expr(f"pos div {sub}").cast("int")

@@ -3347,17 +3347,28 @@ def mm_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_ITERS = 3
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_oracle(train_fraction: float | None = None) -> str:
     """Unrolled Lloyd's iterations as chained CTEs — an INDEPENDENT
     DuckDB recomputation of the trained quantizer (assignment by
     6-dp-rounded cosine with smaller-cid ties, per-dimension means
     rounded to 6 dp, empty clusters keeping the previous centroid),
-    followed by the IVF probe/rerank on the trained model."""
+    followed by the IVF probe/rerank on the trained model. With
+    ``train_fraction`` the iterations run over the md5-sliced sample
+    (similarity._train_slice's exact predicate) while init and the
+    final probe stay on the full corpus."""
     cos = _COSINE
     parts = [
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f", c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_LISTS})",
     ]
+    train = "e"
+    if train_fraction is not None:
+        keep = int(round(train_fraction * 10_000))
+        parts.append(
+            ", et AS (SELECT * FROM e WHERE (('0x' || substr(md5(CAST("
+            f"vec_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 < {keep})"
+        )
+        train = "et"
     prev = "c0"
     for it in range(1, _KMEANS_ITERS + 1):
         a, cn = f"a{it}", f"c{it}"
@@ -3367,7 +3378,7 @@ def _kmeans_oracle() -> str:
       SELECT e.vec_id, e.v, c.cid,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid ASC) AS rn
-      FROM e CROSS JOIN {prev} c) WHERE rn = 1
+      FROM {train} e CROSS JOIN {prev} c) WHERE rn = 1
   ), {cn}_new AS (
     SELECT list_id AS cid, list(m ORDER BY pos) AS cv FROM (
       SELECT a.list_id, t.i AS pos, round(avg(a.v[t.i]), 6) AS m
@@ -3620,6 +3631,34 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _IVF_CENT_CACHE.get(ckey)
     if cents is None:
         cents = SIM.kmeans_fit(emb, _IVF_LISTS, n_iter=_KMEANS_ITERS)
+        _IVF_CENT_CACHE[ckey] = cents
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(
+        emb, queries, n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE, k=5,
+        centroids=cents,
+    )
+
+
+@register("ann_ivf_sampled_topk", oracle=_kmeans_oracle(train_fraction=0.25))
+def ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with SAMPLE-TRAINED quantizer (VERDICT r3 #3): the
+    Lloyd iterations run on a deterministic 25% md5-slice of the
+    corpus (layout-independent, so the trained model is reproducible
+    on any cluster), the probe/rerank on the full corpus. This is the
+    100-TB training recipe — quantizer cost is bounded by the sample,
+    not the corpus; the oracle unrolls the identical sampled
+    iterations, so the slice predicate and the trained model are both
+    hash-checked."""
+    par = spark.sparkContext.defaultParallelism
+    emb = load(spark, sf_dir, "embeddings").repartition(par)
+    ckey = (_session_key(spark), sf_dir, "kmeans_sampled", _KMEANS_ITERS)
+    cents = _IVF_CENT_CACHE.get(ckey)
+    if cents is None:
+        cents = SIM.kmeans_fit(
+            emb, _IVF_LISTS, n_iter=_KMEANS_ITERS, train_fraction=0.25
+        )
         _IVF_CENT_CACHE[ckey] = cents
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
