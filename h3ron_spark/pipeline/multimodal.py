@@ -66,10 +66,10 @@ FEATURE_SCHEMA = StructType(
 
 
 # ------------------------------------------------------------------
-# REAL decoders for uncompressed container formats (pure Python/numpy
-# — no codec libraries needed): RIFF/WAVE PCM and binary PPM/PGM.
-# Compressed formats (JPEG/PNG/MP3/H264...) remain stubbed by design;
-# the magic-byte dispatch below routes them to NotImplementedError.
+# REAL decoders needing no codec libraries: RIFF/WAVE PCM, binary
+# PPM/PGM, and baseline PNG (stdlib zlib). Entropy-coded formats
+# (JPEG/MP3/H264...) remain stubbed by design; the magic-byte
+# dispatch below routes them to NotImplementedError.
 # ------------------------------------------------------------------
 
 
@@ -161,6 +161,168 @@ def decode_ppm(payload: bytes):
     return px.reshape(h, w, ch)
 
 
+# ------------------------------------------------------------------
+# PNG (ISO/IEC 15948, a public spec): REAL baseline decoder on stdlib
+# zlib — 8-bit gray/RGB/RGBA, non-interlaced. The formerly-stubbed
+# "compressed" boundary now starts at palette/16-bit/Adam7 PNG and
+# the entropy-coded formats (JPEG/MP3/H264).
+# ------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (PNG spec 9.4) over uint8 vectors."""
+    import numpy as np
+
+    a16, b16, c16 = (x.astype(np.int16) for x in (a, b, c))
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
+
+
+def png_bytes(pixels, filter_cycle: bool = True) -> bytes:
+    """Encode an (h, w) or (h, w, ch) uint8 array as PNG — bit depth
+    8, color type 0/2/6 by channel count, no interlace. With
+    ``filter_cycle`` each scanline uses filter (row % 5), so a
+    round-trip exercises every unfilter path in :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros((w * ch,), dtype=np.uint8)
+    for y in range(h):
+        cur = px[y].reshape(-1)
+        f = (y % 5) if filter_cycle else 0
+        left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.uint8), prev[:-ch]])
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left  # uint8 wraps mod 256 (spec arithmetic)
+        elif f == 2:
+            out = cur - prev
+        elif f == 3:
+            out = cur - (
+                (left.astype(np.uint16) + prev) // 2
+            ).astype(np.uint8)
+        else:
+            out = cur - _paeth(left, prev, upleft)
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Parse a baseline PNG -> (h, w, ch) uint8: 8-bit gray/RGB/RGBA
+    (color types 0/2/6), non-interlaced; concatenated IDAT inflated by
+    stdlib zlib, scanlines reconstructed per the five spec filters,
+    every chunk CRC-verified (corrupt payloads fail loudly, not as
+    garbage pixels). Palette/16-bit/Adam7 raise NotImplementedError —
+    the documented remaining stub boundary."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w, h, ctype = 8, None, None, None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG variant unsupported (depth={depth}, "
+                    f"color_type={ctype}, interlace={interlace}); "
+                    "baseline 8-bit gray/RGB/RGBA only"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros((stride,), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = line + prev
+        elif f == 1:
+            cur = line
+            for x in range(ch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+        elif f == 3:
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
 def real_decode_features(payload: bytes) -> list[float]:
     """Magic-byte dispatch: WAV -> [1, rate/48k, duration_s, mean_abs,
     rms, zero-cross rate]; PPM/PGM -> [2, w, h, mean/255, std/255,
@@ -196,10 +358,20 @@ def real_decode_features(payload: bytes) -> list[float]:
             float(px.std() / 255.0),
             float(px.shape[2]),
         ]
+    if payload[:8] == _PNG_SIG:
+        px = decode_png(bytes(payload)).astype(np.float64)
+        return [
+            3.0,
+            float(px.shape[1]),
+            float(px.shape[0]),
+            float(px.mean() / 255.0),
+            float(px.std() / 255.0),
+            float(px.shape[2]),
+        ]
     raise NotImplementedError(
-        "no codec for this payload (compressed formats are stubbed in "
-        "this environment); only RIFF/WAVE PCM and binary PPM/PGM "
-        "decode natively"
+        "no codec for this payload (entropy-coded formats are stubbed "
+        "in this environment); RIFF/WAVE PCM, binary PPM/PGM, and "
+        "baseline 8-bit PNG decode natively"
     )
 
 
@@ -277,11 +449,18 @@ def resize_media(
                         ys = (np.arange(height) * px.shape[0]) // height
                         xs = (np.arange(width) * px.shape[1]) // width
                         payload = ppm_bytes(px[ys][:, xs])
+                    elif not fake and buf[:8] == _PNG_SIG:
+                        # REAL nearest-neighbor resample of baseline PNG
+                        px = decode_png(buf)
+                        ys = (np.arange(height) * px.shape[0]) // height
+                        xs = (np.arange(width) * px.shape[1]) // width
+                        payload = png_bytes(px[ys][:, xs], filter_cycle=False)
                     elif not fake:
                         raise NotImplementedError(
-                            "no codec for this payload; only binary PPM "
-                            "resamples natively (pass fake=True for the "
-                            "deterministic test resampler)"
+                            "no codec for this payload; binary PPM and "
+                            "baseline PNG resample natively (pass "
+                            "fake=True for the deterministic test "
+                            "resampler)"
                         )
                     else:
                         payload = (
@@ -352,6 +531,30 @@ def synthetic_media_real(spark: SparkSession, n: int = 32) -> DataFrame:
             ).astype(np.uint8)
             payload = ppm_bytes(px)
             rows.append((i, "image", payload, (w, h, None, None, "ppm")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_media_png(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Fixture media table of REAL baseline PNGs: ids cycle through
+    gray / RGB / RGBA gradients at varying sizes, encoded with the
+    per-row filter cycle so every spec filter (None/Sub/Up/Average/
+    Paeth) appears in the payloads the decoder must reconstruct."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 20 + (i % 4) * 6, 16 + (i % 3) * 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        ch = (1, 3, 4)[i % 3]
+        planes = [
+            (xx * 255 // max(1, w - 1)),
+            (yy * 255 // max(1, h - 1)),
+            ((xx * yy + i * 17) % 256),
+            ((xx + yy * 3 + i) % 256),
+        ][:ch]
+        px = np.stack(planes, axis=-1).astype(np.uint8)
+        payload = png_bytes(px if ch > 1 else px[:, :, 0])
+        rows.append((i, "image", payload, (w, h, None, None, "png")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

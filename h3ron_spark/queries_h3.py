@@ -2584,6 +2584,43 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_PNG_DECODE_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(1 AS INT), CAST(8 AS BIGINT), CAST(2900 AS BIGINT), CAST(1600 AS BIGINT), CAST(4983 AS BIGINT), CAST(2994 AS BIGINT)),
+    (CAST(3 AS INT), CAST(8 AS BIGINT), CAST(2900 AS BIGINT), CAST(2100 AS BIGINT), CAST(4926 AS BIGINT), CAST(2936 AS BIGINT)),
+    (CAST(4 AS INT), CAST(8 AS BIGINT), CAST(2900 AS BIGINT), CAST(2600 AS BIGINT), CAST(4376 AS BIGINT), CAST(2794 AS BIGINT))
+  ) AS t(n_channels, n_assets, avg_w_e2, avg_h_e2, avg_mean_e4, avg_std_e4)
+  ORDER BY n_channels
+"""
+
+
+@register("mm_png_decode", oracle=_MM_PNG_DECODE_ORACLE)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format decode (VERDICT r3 #6): the fixture
+    payloads are actual zlib-deflated baseline PNGs (gray/RGB/RGBA,
+    per-row filter cycle over all five spec filters), decoded by the
+    pure-Python stdlib-zlib parser inside the Arrow batch kernel —
+    per-channel-count asset counts, dimensions, and fixed-point pixel
+    statistics. The remaining stub boundary is palette/16-bit/Adam7
+    PNG and entropy-coded formats (JPEG/MP3/H264)."""
+    from h3ron_spark.pipeline import multimodal as MM
+
+    media = MM.synthetic_media_png(spark, 24)
+    feats = MM.extract_features(media, fake=False)
+    fx = lambda p: F.element_at("feature", p + 1).cast("double")  # noqa: E731
+    return (
+        feats.groupBy(fx(5).cast("int").alias("n_channels"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.floor(F.avg(fx(1)) * 100 + F.lit(0.5)).cast("long").alias("avg_w_e2"),
+            F.floor(F.avg(fx(2)) * 100 + F.lit(0.5)).cast("long").alias("avg_h_e2"),
+            F.floor(F.avg(fx(3)) * 10000 + F.lit(0.5)).cast("long").alias("avg_mean_e4"),
+            F.floor(F.avg(fx(4)) * 10000 + F.lit(0.5)).cast("long").alias("avg_std_e4"),
+        )
+        .orderBy("n_channels")
+    )
+
+
 _MM_FEATURES_ORACLE = """
   SELECT * FROM (VALUES
     ('audio', CAST(32 AS BIGINT), CAST(0.061309 AS DOUBLE)),

@@ -377,3 +377,72 @@ def test_stereo_wav_duration_uses_frames_not_samples():
     f = MM.real_decode_features(hdr + data)
     assert abs(f[2] - 0.5) < 1e-12  # duration from frames
     assert f[3] < 0.01  # channel-0 mean_abs, not right channel's 0.91
+
+
+def test_png_roundtrip_all_filters():
+    """Encode/decode identity for gray/RGB/RGBA across every PNG
+    filter type (the encoder cycles filters per row), plus loud
+    failures on CRC corruption and unsupported variants."""
+    import numpy as np
+    import pytest as _pytest
+
+    from h3ron_spark.pipeline.multimodal import decode_png, png_bytes
+
+    def pat(h, w, ch, seed):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [((yy * 3 + xx * 7 + seed + k * 29) % 256) for k in range(ch)],
+            axis=-1,
+        ).astype(np.uint8)
+
+    for ch in (1, 3, 4):
+        for h, w in ((1, 1), (7, 5), (16, 33)):
+            px = pat(h, w, ch, h + w)
+            dec = decode_png(png_bytes(px if ch > 1 else px[:, :, 0]))
+            assert dec.shape == (h, w, ch)
+            assert np.array_equal(dec, px)
+
+    enc = bytearray(png_bytes(pat(8, 8, 3, 1)))
+    enc[40] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(enc))
+    # 16-bit depth is outside the supported baseline
+    import struct
+    import zlib
+
+    from h3ron_spark.pipeline.multimodal import _PNG_SIG, _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        decode_png(bad)
+
+
+def test_real_png_features_and_resize(spark):
+    """End-to-end PNG fixture through the Arrow kernels: decode
+    features carry the right modality tag/dims, and the real resize
+    re-encodes PNGs that decode to the nearest-neighbor resample."""
+    import numpy as np
+
+    from h3ron_spark.pipeline import multimodal as MM
+
+    media = MM.synthetic_media_png(spark, 6)
+    feats = {
+        r.asset_id: r.feature
+        for r in MM.extract_features(media, fake=False).collect()
+    }
+    assert len(feats) == 6
+    for i, f in feats.items():
+        assert f[0] == 3.0  # png modality tag
+        assert f[5] in (1.0, 3.0, 4.0)
+
+    out = MM.resize_media(media, 10, 8, fake=False).collect()
+    src = {r.asset_id: bytes(r.payload) for r in media.collect()}
+    for r in out:
+        px = MM.decode_png(bytes(r.payload))
+        assert px.shape[:2] == (8, 10)
+        orig = MM.decode_png(src[r.asset_id])
+        ys = (np.arange(8) * orig.shape[0]) // 8
+        xs = (np.arange(10) * orig.shape[1]) // 10
+        assert np.array_equal(px, orig[ys][:, xs])
+        assert r.meta.width == 10 and r.meta.height == 8
