@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "ann_ivf_sampled_topk",
     "dedup_embedding_cosine",
     # beyond-broadcast SSSP: 5.76M-edge synthetic torus (1200^2 x 4
     # directions at sf>=0.1) — the regime where the broadcast
@@ -112,18 +113,25 @@ def main() -> None:
     # official record from co-tenant machine noise (r2 recorded a
     # 2.4x outlier on geo_route_line whose isolated steady-state was
     # FASTER than the r1 baseline)
+    # INTERLEAVED passes (suite x runs, not query x runs): r3 showed
+    # three back-to-back runs of one query can all land inside the
+    # same co-tenant noise window — full-suite passes spread each
+    # query's samples minutes apart, so the per-query min is a real
+    # steady-state floor
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in bench_queries:
-        if name not in registry:
-            continue
-        fn = registry[name]
-        best = None
-        for _ in range(max(1, runs)):
+    best: dict[str, float] = {}
+    for _ in range(max(1, runs)):
+        for name in bench_queries:
+            if name not in registry:
+                continue
+            fn = registry[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    for name, dt in best.items():
+        timings[name] = round(dt, 3)
         total += timings[name]
 
     print(
