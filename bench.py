@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "ann_ivf_sampled_topk",
     "dedup_embedding_cosine",
+    "sketch_hll_distinct",
+    "pipeline_weighted_sample",
     # beyond-broadcast SSSP: 5.76M-edge synthetic torus (1200^2 x 4
     # directions at sf>=0.1) — the regime where the broadcast
     # Dijkstra's collected adjacency would be several GiB

@@ -147,3 +147,45 @@ def source_quota(
         .filter(F.col("_rn") <= max_per_source)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col,
+    group_cols: list[str],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` rows per
+    group — Efraimidis & Spirtakis (2006) A-ES keys, RNG replaced by
+    the repo's md5 hash so the draw is reproducible across runs,
+    engines, and corpus growth (a row's key never changes when other
+    rows arrive).
+
+    Key: ``-ln(u) / w`` with ``u = (hash_u32(key)+1) / 2^32`` in
+    (0, 1]; the k SMALLEST keys per group win, which selects row i
+    with probability proportional to ``w_i`` (without replacement).
+    Weights are clamped to >= 1 so zero-weight rows degrade to uniform
+    instead of dividing by zero.
+
+    Scale note: one shuffle on the group key + a per-group sort for
+    row_number — same shape as :func:`source_quota`. The A-ES
+    construction is what makes the sample MERGEABLE: per-partition
+    bottom-k by the same key can pre-shrink the window input to
+    k rows per (partition, group) with no change to the result.
+
+    Cross-engine caveat: ``ln`` agrees with DuckDB only to the last
+    ulp (java.lang.Math.log vs glibc), so ``aes_key`` is safe to RANK
+    on (distinct keys sit far above ulp distance) but should not be
+    hash-compared raw across engines — ``sample_rank`` is the exact
+    column.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (hash_u32(key_col) + 1).cast("double") / float(1 << 32)
+    key = -F.log(u) / F.greatest(w.cast("double"), F.lit(1.0))
+    win = Window.partitionBy(*group_cols).orderBy("aes_key", key_col)
+    return (
+        df.withColumn("aes_key", key)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+    )

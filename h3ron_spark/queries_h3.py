@@ -3898,3 +3898,89 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("_q", 2), 4).alias("p90_tokens"),
         F.round(F.element_at("_q", 3), 4).alias("p99_tokens"),
     ).orderBy("source")
+
+
+# =====================================================================
+# Cardinality sketches + weighted sampling (round 4)
+# =====================================================================
+
+def _hll_oracle() -> str:
+    from h3ron_spark.pipeline.sketch import hll_oracle_sql
+
+    hll = hll_oracle_sql("text", ["source"], "documents", p=8)
+    return f"""
+  WITH hll AS ({hll}),
+  exact AS (
+    SELECT source, count(DISTINCT text) AS n_exact
+    FROM documents GROUP BY source
+  )
+  SELECT e.source, e.n_exact, h.hll_est, h.regs_used
+  FROM exact e JOIN hll h USING (source)
+  ORDER BY e.source
+"""
+
+
+@register("sketch_hll_distinct", oracle=_hll_oracle())
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-document estimate via a DETERMINISTIC
+    256-register HyperLogLog (pipeline/sketch.py) next to the exact
+    count. The sketch side aggregates to fixed state (<= 256 rows per
+    source before the final 20-row agg, map-side combinable) — the
+    100 TB replacement for count(DISTINCT) corpus audits; the exact
+    side exists to demonstrate the error envelope at test scale.
+    Pure JVM: md5 + bin() bit math, no UDF."""
+    from h3ron_spark.pipeline import sketch as SK
+
+    docs = load(spark, sf_dir, "documents")
+    hll = SK.hll_distinct(docs, "text", ["source"], p=8)
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("n_exact")
+    )
+    return (
+        exact.join(hll, "source")
+        .select("source", "n_exact", "hll_est", "regs_used")
+        .orderBy("source")
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+  WITH keyed AS (
+    SELECT source, doc_id, n_chars,
+           -- ln() agrees between engines only to the last ulp
+           -- (java.lang.Math.log vs glibc log), so the key is used for
+           -- RANKING (comparison-safe: distinct keys are >> 1 ulp
+           -- apart) but never emitted raw
+           -ln( CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) + 1 AS DOUBLE)
+                / CAST(4294967296.0 AS DOUBLE) )
+           / greatest(CAST(n_chars AS DOUBLE), CAST(1.0 AS DOUBLE)) AS aes_key
+    FROM documents
+  ), ranked AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY aes_key, doc_id) AS sample_rank
+    FROM keyed
+  )
+  SELECT source, doc_id, n_chars, sample_rank
+  FROM ranked WHERE sample_rank <= 5
+  ORDER BY source, sample_rank
+"""
+
+
+@register("pipeline_weighted_sample", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted stratified sample: 5 docs per source drawn
+    proportional to n_chars via deterministic Efraimidis-Spirtakis
+    keys (pipeline/sampling.py weighted_sample — md5-derived uniform,
+    so the draw is stable across runs/engines/corpus growth). One
+    shuffle on source + per-group sort; the A-ES key makes the sample
+    mergeable (per-partition bottom-k pre-shrink) at 100 TB."""
+    from h3ron_spark.pipeline import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        SA.weighted_sample(
+            docs, k=5, weight_col="n_chars", group_cols=["source"]
+        )
+        .select("source", "doc_id", "n_chars", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )

@@ -1,0 +1,85 @@
+"""Oracle-drift fuzz over the DECORRELATED sf1 replica corpus.
+
+``test_oracle_fuzz`` slices the sf0.001 tables — same payload
+distribution the oracles were authored against.  The sf1 replicas
+(``scripts/build_scale_testdata.py``) carry decorrelated payloads
+(permuted text, re-drawn embeddings, shifted timestamps), which is
+precisely where the residual cross-engine rounding class (per-row
+``round(k/n, 4)`` on non-binary-exact halfway decimals, NOTES_r3.md)
+would surface if any shipped query still had it.
+
+Running every oracle at full sf1 against DuckDB would take tens of
+minutes, so each big table is hash-SLICED down ~10x (events 100k,
+documents 5k, lineitem 60k ...) while the dimension tables stay whole
+— decorrelated-payload diversity at sf0.01 runtime cost.  Both engines
+read the identical slice, so parity is exact, not statistical.
+
+Skipped wholesale when the sf1 replicas are absent (they live in
+/tmp and are rebuildable via the script).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from h3ron_spark import queries as Q
+
+from test_oracle_fuzz import _EXCLUDE_PREFIXES, _SLICE_KEY, _duck_run_at
+from test_oracle_parity import TABLES, assert_frames_match
+
+SF1_DIR = "/tmp/h3ron_scale/sf1"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF1_DIR),
+    reason="sf1 replicas not built (scripts/build_scale_testdata.py)",
+)
+
+# keep hash(key) % mod == rem; 1 == keep everything (dimension tables
+# must stay whole — a sliced 5-row region table would make most joins
+# degenerate and rows-empty parity vacuous)
+_KEEP_MOD = {
+    "region": 1,
+    "nation": 1,
+    "supplier": 1,
+    "customer": 10,
+    "part": 10,
+    "orders": 10,
+    "lineitem": 10,
+    "events": 10,
+    "documents": 10,
+    "embeddings": 4,
+}
+
+
+def _fuzz_query_names():
+    return sorted(
+        n for n in Q.oracles() if not n.startswith(_EXCLUDE_PREFIXES)
+    )
+
+
+@pytest.fixture(scope="module")
+def sf1_sliced_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("sf1_slice")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"{SF1_DIR}/{t}.parquet"
+        mod = _KEEP_MOD[t]
+        pred = f"WHERE hash({_SLICE_KEY[t]}) % {mod} = 0" if mod > 1 else ""
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') {pred}) "
+            f"TO '{out}/{t}.parquet' (FORMAT parquet)"
+        )
+    con.close()
+    # NB: no "sfX" tag in the tmp dir name — synthetic-graph queries
+    # fall back to their smallest tier (their oracles are sf-invariant)
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _fuzz_query_names())
+def test_query_matches_oracle_on_sf1_slice(spark, sf1_sliced_dir, name):
+    sdf = Q.queries()[name](spark, sf1_sliced_dir).toPandas()
+    ddf = _duck_run_at(Q.oracles()[name], sf1_sliced_dir)
+    assert_frames_match(sdf, ddf, name)

@@ -473,3 +473,27 @@ def test_curated_sink_readback_prunes_partitions(spark, tmp_path):
     if "PushedFilters:" in plan:
         pushed = plan.split("PushedFilters:")[1].splitlines()[0]
         assert "src7" not in pushed
+
+
+def test_hll_sketch_stays_jvm_with_partial_agg(spark):
+    """sketch_hll_distinct: md5+bin bit math must compile to pure
+    codegen (no Python node), and the (group, register) -> max(rho)
+    aggregate must combine map-side — the property that makes the
+    sketch O(groups * 2^p) past the first exchange at 100 TB."""
+    plan = plan_of(spark, "sketch_hll_distinct")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_max" in plan
+
+
+def test_weighted_sample_single_hash_exchange(spark):
+    """pipeline_weighted_sample: the A-ES key is a scan-local
+    expression; the only hash shuffle is the per-source window (the
+    final presentation sort is a range exchange), and Catalyst's
+    WindowGroupLimit applies the rank<=k bottom-k BEFORE the exchange
+    — the mergeable pre-shrink the A-ES docstring promises, for free."""
+    plan = plan_of(spark, "pipeline_weighted_sample")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan

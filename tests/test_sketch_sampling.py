@@ -1,0 +1,94 @@
+"""Unit tests for pipeline/sketch.py (deterministic HLL) and
+sampling.weighted_sample (A-ES weighted reservoir)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from h3ron_spark.pipeline import sampling as SA
+from h3ron_spark.pipeline import sketch as SK
+
+
+def _corpus(spark, n=2000, groups=2):
+    return spark.range(n * groups).select(
+        (F.col("id") % groups).cast("string").alias("g"),
+        F.concat(F.lit("value-"), F.col("id")).alias("v"),
+    )
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    # 2000 distinct values per group, 256 registers: stderr is
+    # 1.04/sqrt(256) ~ 6.5%; 3 sigma ~ 20%. Deterministic hash, so
+    # this is a fixed number, not a flaky statistical bound.
+    out = SK.hll_distinct(_corpus(spark), "v", ["g"]).collect()
+    assert len(out) == 2
+    for r in out:
+        assert abs(r.hll_est - 2000) / 2000 < 0.2
+
+
+def test_hll_duplicate_invariance(spark):
+    """Cardinality sketches must ignore multiplicity: feeding every
+    row twice cannot move a single register."""
+    df = _corpus(spark, n=500, groups=1)
+    once = SK.hll_distinct(df, "v", ["g"]).collect()[0]
+    twice = SK.hll_distinct(df.union(df), "v", ["g"]).collect()[0]
+    assert once.hll_est == twice.hll_est
+    assert once.regs_used == twice.regs_used
+
+
+def test_hll_small_range_correction(spark):
+    # 5 distinct values: raw HLL over-corrects tiny sets; linear
+    # counting must kick in and land near-exact.
+    df = spark.range(5).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    r = SK.hll_distinct(df, "v", ["g"]).collect()[0]
+    assert abs(r.hll_est - 5) < 1.0
+    assert r.regs_used <= 5
+
+
+def test_weighted_sample_k_per_group_and_deterministic(spark):
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("src"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    a = SA.weighted_sample(docs, 10, "w", ["src"]).orderBy(
+        "src", "sample_rank"
+    )
+    b = SA.weighted_sample(docs, 10, "w", ["src"]).orderBy(
+        "src", "sample_rank"
+    )
+    rows_a, rows_b = a.collect(), b.collect()
+    assert rows_a == rows_b
+    per = {}
+    for r in rows_a:
+        per.setdefault(r.src, []).append(r.sample_rank)
+    assert set(per) == {"0", "1", "2"}
+    for ranks in per.values():
+        assert ranks == list(range(1, 11))
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 500 rows of weight 1000 vs 500 of weight 1: a 100-row draw
+    # should be dominated by the heavy half (the expected heavy share
+    # is ~99.9%; the hash draw is deterministic so the count is fixed)
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("src"),
+        F.when(F.col("id") < 500, F.lit(1000)).otherwise(F.lit(1)).alias("w"),
+    )
+    picked = SA.weighted_sample(docs, 100, "w", ["src"]).collect()
+    heavy = sum(1 for r in picked if r.doc_id < 500)
+    assert heavy >= 90
+
+
+def test_weighted_sample_zero_weight_clamped(spark):
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("src"),
+        F.lit(0).alias("w"),
+    )
+    out = SA.weighted_sample(docs, 5, "w", ["src"]).collect()
+    assert len(out) == 5
+    assert all(r.aes_key >= 0 for r in out)
