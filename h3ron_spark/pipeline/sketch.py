@@ -134,3 +134,120 @@ def hll_oracle_sql(
          CAST(regs_used AS INTEGER) AS regs_used
   FROM agg
 """
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group k-minimum-values sketch: the k smallest DISTINCT
+    60-bit hashes of ``value_col`` (Bar-Yossef et al. 2002). Output is
+    at most k rows per group — the fixed-size summary that makes
+    cross-group set comparisons (union / intersection / Jaccard)
+    independent of corpus size.
+
+    Plan shape: one distinct aggregate on (group, hash) — map-side
+    combinable — then a rank window whose rank<=k filter Catalyst
+    rewrites to a pre-shuffle WindowGroupLimit bottom-k.
+    """
+    h = hash_u60(value_col)
+    from pyspark.sql import Window
+
+    distinct = (
+        df.select(F.col(group_col).alias("g"), h.alias("h"))
+        .groupBy("g", "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    win = Window.partitionBy("g").orderBy("h")
+    return (
+        distinct.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= k)
+        .select("g", "h")
+    )
+
+
+def kmv_pair_overlap(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """All-pairs group overlap from KMV sketches: for each unordered
+    group pair, take the k smallest hashes of the UNION of the two
+    sketches and count how many belong to both sides — the standard
+    KMV Jaccard estimator (inter_k / union_k; exact when neither
+    sketch is saturated, since the sketch then IS the distinct set).
+
+    Everything past the sketches runs on |groups| * k rows — the
+    100 TB cross-corpus contamination audit costs one scan plus a
+    driver-sized join, never a data-scale cross join.
+    """
+    from pyspark.sql import Window
+
+    groups = sketch.select(F.col("g")).distinct()
+    pairs = (
+        groups.alias("a")
+        .join(groups.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("g1"), F.col("b.g").alias("g2"))
+    )
+    rows = pairs.join(
+        sketch.alias("s"),
+        (F.col("s.g") == F.col("g1")) | (F.col("s.g") == F.col("g2")),
+    )
+    merged = rows.groupBy("g1", "g2", "h").agg(
+        F.max((F.col("s.g") == F.col("g1")).cast("int")).alias("in1"),
+        F.max((F.col("s.g") == F.col("g2")).cast("int")).alias("in2"),
+    )
+    win = Window.partitionBy("g1", "g2").orderBy("h")
+    kept = merged.withColumn("_rk", F.row_number().over(win)).filter(
+        F.col("_rk") <= k
+    )
+    return kept.groupBy("g1", "g2").agg(
+        F.sum((F.col("in1") * F.col("in2"))).cast("int").alias("inter_k"),
+        F.count(F.lit(1)).cast("int").alias("union_k"),
+        (
+            F.sum(F.col("in1") * F.col("in2"))
+            / F.count(F.lit(1))
+        ).alias("jaccard_est"),
+    )
+
+
+def kmv_overlap_oracle_sql(
+    value_expr: str,
+    group_col: str,
+    table: str,
+    k: int = 64,
+) -> str:
+    """DuckDB replica of kmv_sketch + kmv_pair_overlap (shared with
+    the query oracle so the two cannot drift). int/int division is
+    IEEE-exact in both engines, so jaccard_est is hash-stable."""
+    return f"""
+  WITH distinct_h AS (
+    SELECT {group_col} AS g,
+           ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM {table} GROUP BY 1, 2
+  ), sk AS (
+    SELECT g, h FROM (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+      FROM distinct_h
+    ) WHERE rk <= {k}
+  ), pairs AS (
+    SELECT a.g AS g1, b.g AS g2
+    FROM (SELECT DISTINCT g FROM sk) a
+    JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g
+  ), merged AS (
+    SELECT p.g1, p.g2, s.h,
+           max(CASE WHEN s.g = p.g1 THEN 1 ELSE 0 END) AS in1,
+           max(CASE WHEN s.g = p.g2 THEN 1 ELSE 0 END) AS in2
+    FROM pairs p JOIN sk s ON s.g = p.g1 OR s.g = p.g2
+    GROUP BY p.g1, p.g2, s.h
+  ), kept AS (
+    SELECT * FROM (
+      SELECT g1, g2, in1, in2,
+             row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rk
+      FROM merged
+    ) WHERE rk <= {k}
+  )
+  SELECT g1, g2,
+         CAST(sum(in1 * in2) AS INTEGER) AS inter_k,
+         CAST(count(*) AS INTEGER) AS union_k,
+         CAST(sum(in1 * in2) AS DOUBLE) / count(*) AS jaccard_est
+  FROM kept GROUP BY g1, g2
+"""

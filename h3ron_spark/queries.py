@@ -1064,6 +1064,7 @@ _DRIVER_ORDER_FIRST = [
     "mm_png_decode",
     "sketch_hll_distinct",
     "pipeline_weighted_sample",
+    "dedup_source_overlap",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1093,7 +1094,9 @@ _DRIVER_ORDER_FIRST = [
     "text_lang_id",
     "dedup_exact",
     "dedup_groups_summary",
-    "ann_topk_cosine",
+    # ann_topk_cosine deferred to r5 with the fixture goldens: it is
+    # the deliberate brute-force baseline, r2-green and untouched,
+    # and all four of its bucketed siblings are in this window
     "embedding_label_centroid_norms",
     "text_token_counts",
     "h3_set_ops",

@@ -3984,3 +3984,59 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars", "sample_rank")
         .orderBy("source", "sample_rank")
     )
+
+
+def _kmv_overlap_oracle() -> str:
+    from h3ron_spark.pipeline.sketch import kmv_overlap_oracle_sql
+
+    # word 5-gram shingles, the same construction (incl. the <5-token
+    # whole-text fallback) as dedup.shingles / the minhash oracles
+    grams = r"""(
+      SELECT source,
+             unnest(CASE WHEN len(toks) >= 5
+                    THEN list_transform(
+                           range(0, greatest(len(toks) - 5, 0) + 1),
+                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                                toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5])
+                    ELSE [array_to_string(toks, ' ')] END) AS g
+      FROM (SELECT source, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    )"""
+    inner = kmv_overlap_oracle_sql("g", "source", grams, k=64)
+    return f"""
+  SELECT g1 AS source_a, g2 AS source_b, inter_k, union_k, jaccard_est
+  FROM ({inner})
+  ORDER BY source_a, source_b
+"""
+
+
+@register("dedup_source_overlap", oracle=_kmv_overlap_oracle())
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit WITHOUT a data-scale join:
+    per-source KMV sketches (64 smallest distinct word-5-gram hashes,
+    pipeline/sketch.py) then the standard k-minimum-values Jaccard
+    estimate over every source pair. One corpus scan builds all 20
+    sketches; the 190-pair comparison runs on sketch rows only
+    (|sources| x 64), so the audit cost is independent of corpus size
+    — the shape for checking a new crawl slice against 100 TB of
+    existing sources. int/int division is IEEE-exact, so jaccard_est
+    is hash-stable across engines."""
+    from h3ron_spark.pipeline import dedup as DD2
+    from h3ron_spark.pipeline import sketch as SK
+
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(DD2.shingles(F.col("text"), 5)).alias("g")
+    )
+    sk = SK.kmv_sketch(grams, "g", "source", k=64)
+    return (
+        SK.kmv_pair_overlap(sk, k=64)
+        .select(
+            F.col("g1").alias("source_a"),
+            F.col("g2").alias("source_b"),
+            "inter_k",
+            "union_k",
+            "jaccard_est",
+        )
+        .orderBy("source_a", "source_b")
+    )

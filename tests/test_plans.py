@@ -497,3 +497,16 @@ def test_weighted_sample_single_hash_exchange(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("hashpartitioning") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_kmv_overlap_no_data_scale_join(spark):
+    """dedup_source_overlap: the only aggregate over corpus-scale rows
+    is the distinct (source, hash) sketch build; the pair comparison
+    joins SKETCH rows (<= groups*k). No Python anywhere, and the
+    bottom-k window gets the WindowGroupLimit pre-shrink."""
+    plan = plan_of(spark, "dedup_source_overlap")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+    # the pair join must broadcast (tiny sketch side), never sort-merge
+    assert "SortMergeJoin" not in plan

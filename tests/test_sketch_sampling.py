@@ -92,3 +92,55 @@ def test_weighted_sample_zero_weight_clamped(spark):
     out = SA.weighted_sample(docs, 5, "w", ["src"]).collect()
     assert len(out) == 5
     assert all(r.aes_key >= 0 for r in out)
+
+
+def test_kmv_sketch_bounded_and_sorted(spark):
+    from pyspark.sql import functions as F2
+
+    df = spark.range(5000).select(
+        (F2.col("id") % 2).cast("string").alias("src"),
+        F2.concat(F2.lit("tok-"), F2.col("id")).alias("v"),
+    )
+    sk = SK.kmv_sketch(df, "v", "src", k=32)
+    rows = sk.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.g, []).append(r.h)
+    assert set(per) == {"0", "1"}
+    for hs in per.values():
+        assert len(hs) == 32
+        assert hs == sorted(hs)  # the k MINIMUM values
+
+
+def test_kmv_overlap_exact_on_unsaturated_sets(spark):
+    # two groups sharing exactly 10 of 30 values each, k large enough
+    # to hold everything: the estimator must return the EXACT jaccard
+    from pyspark.sql import functions as F2
+
+    a = spark.range(30).select(
+        F2.lit("A").alias("src"), F2.concat(F2.lit("v"), F2.col("id")).alias("v")
+    )
+    b = spark.range(20, 50).select(
+        F2.lit("B").alias("src"), F2.concat(F2.lit("v"), F2.col("id")).alias("v")
+    )
+    sk = SK.kmv_sketch(a.union(b), "v", "src", k=64)
+    out = SK.kmv_pair_overlap(sk, k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.g1, r.g2) == ("A", "B")
+    assert r.inter_k == 10 and r.union_k == 50
+    assert r.jaccard_est == 10 / 50
+
+
+def test_kmv_overlap_duplicate_invariance(spark):
+    from pyspark.sql import functions as F2
+
+    a = spark.range(100).select(
+        (F2.col("id") % 2).cast("string").alias("src"),
+        F2.concat(F2.lit("v"), (F2.col("id") % 40)).alias("v"),
+    )
+    once = SK.kmv_pair_overlap(SK.kmv_sketch(a, "v", "src", k=16), k=16)
+    twice = SK.kmv_pair_overlap(
+        SK.kmv_sketch(a.union(a), "v", "src", k=16), k=16
+    )
+    assert once.collect() == twice.collect()
