@@ -603,6 +603,27 @@ def kmeans_fit(
         centroids = ivf_centroid_rows(corpus, k, id_col, vec_col)
     cents = list(centroids)
     corpus = _train_slice(corpus, train_fraction, id_col)
+    # materialize the slice once: without this every iteration re-runs
+    # the md5 filter over the FULL corpus, so at scale the sampled path
+    # would pay n_iter full scans anyway (MEMORY_AND_DISK — the slice
+    # is train_fraction * corpus and spills if it must)
+    cached = corpus.persist() if train_fraction is not None else None
+    if cached is not None:
+        corpus = cached
+    try:
+        cents = _lloyd_iterations(corpus, cents, n_iter, vec_col)
+    finally:
+        if cached is not None:
+            cached.unpersist()
+    return cents
+
+
+def _lloyd_iterations(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_iter: int,
+    vec_col: str,
+) -> list[tuple[int, list[float]]]:
     for _ in range(n_iter):
         assign1 = ivf_best_lists_arrow(cents, 1)
         assigned = corpus.select(
@@ -732,6 +753,24 @@ def pq_fit(
     books = pq_init_books(corpus, m, k, id_col, vec_col)
     sub = len(books[0][0][1])
     corpus = _train_slice(corpus, train_fraction, id_col)
+    # same slice-materialization rationale as kmeans_fit
+    cached = corpus.persist() if train_fraction is not None else None
+    if cached is not None:
+        corpus = cached
+    try:
+        return _pq_iterations(corpus, books, sub, n_iter, vec_col)
+    finally:
+        if cached is not None:
+            cached.unpersist()
+
+
+def _pq_iterations(
+    corpus: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    sub: int,
+    n_iter: int,
+    vec_col: str,
+) -> list[list[tuple[int, list[float]]]]:
     for _ in range(n_iter):
         kern = pq_assign_arrow(books)
         pos_s = F.expr(f"pos div {sub}").cast("int")
