@@ -1065,6 +1065,7 @@ _DRIVER_ORDER_FIRST = [
     "sketch_hll_distinct",
     "pipeline_weighted_sample",
     "dedup_source_overlap",
+    "stream_interval_join",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1093,8 +1094,10 @@ _DRIVER_ORDER_FIRST = [
     "text_quality_by_source",
     "text_lang_id",
     "dedup_exact",
-    "dedup_groups_summary",
-    # ann_topk_cosine deferred to r5 with the fixture goldens: it is
+    # dedup_groups_summary + ann_topk_cosine deferred to r5 with the
+    # fixture goldens: both r2-green and untouched, their machinery
+    # covered by in-window siblings (dedup_exact; the bucketed ANN
+    # suite). ann_topk_cosine note: it is
     # the deliberate brute-force baseline, r2-green and untouched,
     # and all four of its bucketed siblings are in this window
     "embedding_label_centroid_norms",

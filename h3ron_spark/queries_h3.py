@@ -4040,3 +4040,125 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+_STREAM_JOIN_N = 4000
+
+_STREAM_JOIN_ORACLE = f"""
+  WITH src AS (
+    SELECT event_id, user_id FROM events WHERE event_id < {_STREAM_JOIN_N}
+  )
+  SELECT l.user_id AS user_id,
+         l.event_id AS lead_id,
+         r.event_id AS follow_id,
+         r.event_id - l.event_id AS gap_s
+  FROM src l JOIN src r
+    ON l.user_id = r.user_id
+   AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+   AND r.event_id >= l.event_id
+   AND r.event_id <= l.event_id + 180
+  ORDER BY l.user_id, lead_id, follow_id
+"""
+
+
+@register("stream_interval_join", oracle=_STREAM_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (the Spark feature the
+    other four streaming queries don't touch): even events are leads,
+    odd events follows, joined per user where the follow lands within
+    180 s of the lead. Both sides carry 60 s watermarks, so Spark can
+    evict join state whose match window has passed — the property
+    that bounds state at 100 TB/day event volume. The source streams
+    one time-split file per trigger, so lead/follow pairs SPAN the
+    micro-batch boundary: the batch oracle only matches if
+    cross-batch buffered-join state works. Synthetic event-time
+    (event_id seconds) per the established stream-query convention."""
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_id") < _STREAM_JOIN_N
+    )
+    src = ev.select(
+        "event_id",
+        "user_id",
+        # +1 day: an event exactly AT epoch 0 equals the initial
+        # watermark and the state-store row filter drops it (strictly-
+        # greater comparison) — the only event-time the offset avoids
+        (F.col("event_id") + 86_400).cast("timestamp").alias("ts"),
+    )
+    workdir = tempfile.mkdtemp(prefix="h3ron_stream_join_")
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_conf, None)
+    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    try:
+        half = _STREAM_JOIN_N // 2
+        for i, part in enumerate(
+            (
+                src.filter(F.col("event_id") < half),
+                src.filter(F.col("event_id") >= half),
+            )
+        ):
+            part.coalesce(1).write.parquet(f"{workdir}/in/b{i}.parquet")
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{workdir}/in/*")
+        )
+        leads = (
+            stream.filter(F.col("event_id") % 2 == 0)
+            .withWatermark("ts", "60 seconds")
+            .select(
+                F.col("user_id").alias("l_user"),
+                F.col("event_id").alias("lead_id"),
+                F.col("ts").alias("l_ts"),
+            )
+        )
+        follows = (
+            stream.filter(F.col("event_id") % 2 == 1)
+            .withWatermark("ts", "60 seconds")
+            .select(
+                F.col("user_id").alias("r_user"),
+                F.col("event_id").alias("follow_id"),
+                F.col("ts").alias("r_ts"),
+            )
+        )
+        joined = leads.join(
+            follows,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 180 SECONDS")),
+        )
+        global _STREAM_SEQ
+        _STREAM_SEQ += 1
+        sink = f"h3ron_interval_join_{_STREAM_SEQ}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not drain within 300s — results "
+                "would be silently partial"
+            )
+    finally:
+        if old_parts is not None:
+            spark.conf.set(shuffle_conf, old_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .select(
+            F.col("l_user").alias("user_id"),
+            "lead_id",
+            "follow_id",
+            (F.col("follow_id") - F.col("lead_id")).alias("gap_s"),
+        )
+        .orderBy("user_id", "lead_id", "follow_id")
+    )
