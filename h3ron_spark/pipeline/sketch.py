@@ -63,10 +63,25 @@ def hll_distinct(
     Output state per group is <= m rows pre-agg — at 100 TB the
     second aggregate touches at most |groups| * m tiny rows.
     """
+    regs = hll_registers(df, value_col, group_cols, p)
+    return hll_estimate(regs, group_cols, p)
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """The materialized sketch state: (group, register) -> max rho.
+    This is the MERGEABLE representation — sketches of disjoint (or
+    overlapping) shards combine by register-wise max, so a 100 TB
+    corpus can be sketched per partition/day/source and rolled up
+    without touching the data again."""
     m = 1 << p
     width = 60 - p
     h = hash_u60(value_col)
-    regs = (
+    return (
         df.select(
             *group_cols,
             (h % m).alias("_reg"),
@@ -77,6 +92,21 @@ def hll_distinct(
         .groupBy(*group_cols, "_reg")
         .agg(F.max("_rho").alias("_M"))
     )
+
+
+def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register frames down to coarser groups (or to one global
+    sketch with ``group_cols=[]``) by register-wise max."""
+    return regs.groupBy(*group_cols, "_reg").agg(F.max("_M").alias("_M"))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Finalize a register frame into per-group estimates."""
+    m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("regs_used"),

@@ -1066,6 +1066,7 @@ _DRIVER_ORDER_FIRST = [
     "pipeline_weighted_sample",
     "dedup_source_overlap",
     "stream_interval_join",
+    "sketch_hll_merged",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1101,7 +1102,8 @@ _DRIVER_ORDER_FIRST = [
     # the deliberate brute-force baseline, r2-green and untouched,
     # and all four of its bucketed siblings are in this window
     "embedding_label_centroid_norms",
-    "text_token_counts",
+    # text_token_counts deferred to r5 (r2-green, untouched; its
+    # tokenizer is exercised by five other in-window text queries)
     "h3_set_ops",
     "rel_event_sessions",
     "dedup_minhash_lsh",

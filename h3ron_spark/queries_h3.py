@@ -4162,3 +4162,61 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "lead_id", "follow_id")
     )
+
+
+def _hll_merged_oracle() -> str:
+    # two-level register roll-up replicated in SQL: per-source sketch,
+    # register-wise max merge, one global estimate (alpha*m*m
+    # pre-multiplied in Python — same DECIMAL-overflow dodge as
+    # sketch.hll_oracle_sql)
+    m, width = 256, 52
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = alpha * m * m
+    return f"""
+  WITH hashes AS (
+    SELECT source,
+           ('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM documents
+  ), regs_src AS (
+    SELECT source, hv % {m} AS reg,
+           max(CASE WHEN hv // {m} = 0 THEN {width + 1}
+                    ELSE {width + 1} - length(bin(hv // {m})) END) AS M
+    FROM hashes GROUP BY source, reg
+  ), regs_global AS (
+    SELECT reg, max(M) AS M FROM regs_src GROUP BY reg
+  ), agg AS (
+    SELECT count(*) AS regs_used, sum(pow(2.0, -M)) AS sum_pow
+    FROM regs_global
+  ), est AS (
+    SELECT CASE WHEN CAST({amm!r} AS DOUBLE) / (sum_pow + ({m} - regs_used)) <= 2.5 * {m}
+                     AND ({m} - regs_used) > 0
+                THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - regs_used))
+                ELSE CAST({amm!r} AS DOUBLE) / (sum_pow + ({m} - regs_used))
+           END AS hll_est,
+           CAST(regs_used AS INTEGER) AS regs_used
+    FROM agg
+  )
+  SELECT (SELECT count(DISTINCT text) FROM documents) AS n_exact,
+         hll_est, regs_used
+  FROM est
+"""
+
+
+@register("sketch_hll_merged", oracle=_hll_merged_oracle())
+def sketch_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-then-merge HLL: per-source register sketches rolled up to
+    ONE global distinct-document estimate by register-wise max
+    (pipeline/sketch.py hll_registers/hll_merge/hll_estimate). This is
+    the mergeability property that matters at 100 TB — sketch each
+    partition/day/source once, answer global (or any coarser-grouping)
+    cardinality questions from the register table without re-touching
+    the corpus. The merged estimate is definitionally identical to the
+    direct global sketch (max is associative), which the unit tests
+    pin."""
+    from h3ron_spark.pipeline import sketch as SK
+
+    docs = load(spark, sf_dir, "documents")
+    regs = SK.hll_registers(docs, "text", ["source"], p=8)
+    est = SK.hll_estimate(SK.hll_merge(regs, []), [], p=8)
+    exact = docs.agg(F.countDistinct("text").alias("n_exact"))
+    return exact.crossJoin(est).select("n_exact", "hll_est", "regs_used")

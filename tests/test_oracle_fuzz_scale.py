@@ -37,20 +37,22 @@ pytestmark = pytest.mark.skipif(
     reason="sf1 replicas not built (scripts/build_scale_testdata.py)",
 )
 
-# keep hash(key) % mod == rem; 1 == keep everything (dimension tables
+# keep hash(key) % mod == 0; 1 == keep everything (dimension tables
 # must stay whole — a sliced 5-row region table would make most joins
-# degenerate and rows-empty parity vacuous)
+# degenerate and rows-empty parity vacuous). Slice factors sized so
+# the full 70-query module costs ~sf0.01-scale runtime inside the
+# default pytest run (events 50k, documents 2.5k, embeddings 2.5k).
 _KEEP_MOD = {
     "region": 1,
     "nation": 1,
     "supplier": 1,
-    "customer": 10,
-    "part": 10,
-    "orders": 10,
-    "lineitem": 10,
-    "events": 10,
-    "documents": 10,
-    "embeddings": 4,
+    "customer": 20,
+    "part": 20,
+    "orders": 20,
+    "lineitem": 20,
+    "events": 20,
+    "documents": 20,
+    "embeddings": 8,
 }
 
 

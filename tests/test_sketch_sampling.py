@@ -144,3 +144,15 @@ def test_kmv_overlap_duplicate_invariance(spark):
         SK.kmv_sketch(a.union(a), "v", "src", k=16), k=16
     )
     assert once.collect() == twice.collect()
+
+
+def test_hll_merge_equals_direct(spark):
+    """Register-wise max merge of per-shard sketches must equal the
+    sketch built directly over the union (max is associative) — the
+    mergeability contract hierarchical 100 TB roll-ups rely on."""
+    df = _corpus(spark, n=800, groups=4)  # 'g' plays the shard role
+    per_shard = SK.hll_registers(df, "v", ["g"])
+    merged = SK.hll_estimate(SK.hll_merge(per_shard, []), []).collect()[0]
+    direct = SK.hll_estimate(SK.hll_registers(df, "v", []), []).collect()[0]
+    assert merged.hll_est == direct.hll_est
+    assert merged.regs_used == direct.regs_used
