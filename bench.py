@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "pipeline_weighted_sample",
     "dedup_source_overlap",
     "sketch_hll_merged",
+    "text_cms_heavy_hitters",
     # beyond-broadcast SSSP: 5.76M-edge synthetic torus (1200^2 x 4
     # directions at sf>=0.1) — the regime where the broadcast
     # Dijkstra's collected adjacency would be several GiB

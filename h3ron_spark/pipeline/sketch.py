@@ -281,3 +281,86 @@ def kmv_overlap_oracle_sql(
          CAST(sum(in1 * in2) AS DOUBLE) / count(*) AS jaccard_est
   FROM kept GROUP BY g1, g2
 """
+
+
+# ---------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — frequency estimates
+# ---------------------------------------------------------------------
+
+CMS_SEEDS = (101, 102, 103, 104)
+
+
+def _cms_bucket(h: Column, seed: int, w: int) -> Column:
+    """Row j's bucket for base hash ``h``: the repo's per-seed integer
+    mix (dedup._mix_hash — DuckDB twin queries_h3._hash_sql) reduced
+    mod w, made non-negative identically in both engines."""
+    from h3ron_spark.pipeline.dedup import _mix_hash
+
+    mixed = _mix_hash(h, seed)
+    return ((mixed % w) + w) % w
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    w: int = 1024,
+    seeds: tuple[int, ...] = CMS_SEEDS,
+) -> DataFrame:
+    """Build a d x w count-min sketch over ``value_col`` occurrences:
+    one row per (row j, bucket) with its collision-summed count —
+    at most d*w rows of state regardless of corpus size, from ONE
+    map-side-combinable aggregate. Sketches of shards merge by
+    summing counters (same (j, bucket) grid)."""
+    h = hash_u60(value_col)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(h, seed, w).alias("bucket"),
+                    )
+                    for j, seed in enumerate(seeds)
+                ]
+            )
+        ).alias("jb")
+    )
+    return rows.groupBy(
+        F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_lookup(
+    cms: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    w: int = 1024,
+    seeds: tuple[int, ...] = CMS_SEEDS,
+) -> DataFrame:
+    """Point-query the sketch for each item: min over the d row
+    counters — the classic one-sided estimate (cms_est >= true count,
+    always). One broadcast join of the d*w-row sketch against the
+    exploded (item, j, bucket) probes; never touches the corpus."""
+    h = hash_u60(value_col)
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(h, seed, w).alias("bucket"),
+                    )
+                    for j, seed in enumerate(seeds)
+                ]
+            )
+        ).alias("jb"),
+    )
+    joined = probes.join(
+        F.broadcast(cms),
+        (F.col("jb.j") == cms.j) & (F.col("jb.bucket") == cms.bucket),
+    )
+    item_cols = [c for c in items.columns]
+    return joined.groupBy(*item_cols).agg(
+        F.min("cnt").alias("cms_est")
+    )

@@ -1067,6 +1067,7 @@ _DRIVER_ORDER_FIRST = [
     "dedup_source_overlap",
     "stream_interval_join",
     "sketch_hll_merged",
+    "text_cms_heavy_hitters",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1091,7 +1092,8 @@ _DRIVER_ORDER_FIRST = [
     "rel_nation_order_stats",
     "h3_bits_accessors",
     "h3_parent_rollup",
-    "text_document_stats",
+    # text_document_stats deferred to r5 (r2-green, untouched; stats
+    # machinery covered in-window by quality_by_source + quantiles)
     "text_quality_by_source",
     "text_lang_id",
     "dedup_exact",

@@ -4220,3 +4220,72 @@ def sketch_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = SK.hll_estimate(SK.hll_merge(regs, []), [], p=8)
     exact = docs.agg(F.countDistinct("text").alias("n_exact"))
     return exact.crossJoin(est).select("n_exact", "hll_est", "regs_used")
+
+
+def _cms_oracle() -> str:
+    from h3ron_spark.pipeline.sketch import CMS_SEEDS
+
+    w = 1024
+    bucket_rows = "\n      UNION ALL\n".join(
+        f"      SELECT {j} AS j, (({_hash_sql('tok', seed)} % {w}) + {w}) % {w} AS bucket FROM toks"
+        for j, seed in enumerate(CMS_SEEDS)
+    )
+    probe_rows = "\n      UNION ALL\n".join(
+        f"      SELECT tok, n_exact, {j} AS j, (({_hash_sql('tok', seed)} % {w}) + {w}) % {w} AS bucket FROM top"
+        for j, seed in enumerate(CMS_SEEDS)
+    )
+    return f"""
+  WITH toks AS (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+  ), jb AS (
+{bucket_rows}
+  ), cms AS (
+    SELECT j, bucket, count(*) AS cnt FROM jb GROUP BY j, bucket
+  ), top AS (
+    SELECT tok, count(*) AS n_exact FROM toks
+    GROUP BY tok ORDER BY n_exact DESC, tok ASC LIMIT 20
+  ), probes AS (
+{probe_rows}
+  )
+  SELECT p.tok, p.n_exact, min(c.cnt) AS cms_est,
+         min(c.cnt) - p.n_exact AS overcount
+  FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+  GROUP BY p.tok, p.n_exact
+  ORDER BY n_exact DESC, tok ASC
+"""
+
+
+@register("text_cms_heavy_hitters", oracle=_cms_oracle())
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the corpus's top-20
+    tokens, next to exact counts (pipeline/sketch.py cms_build /
+    cms_lookup — Cormode & Muthukrishnan 2005). The sketch is d*w =
+    4096 counters from ONE map-side-combinable aggregate; lookups
+    broadcast the counter table and never rescan the corpus. The
+    one-sided guarantee (cms_est >= exact, overcount >= 0) is visible
+    in the output and pinned by unit test. At 100 TB this is the
+    token-frequency audit that costs one scan + kilobytes of state;
+    shard sketches merge by summing the counter grid."""
+    from h3ron_spark.pipeline import sketch as SK
+    from h3ron_spark.pipeline import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("tok"))
+    cms = SK.cms_build(toks, "tok")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    return (
+        SK.cms_lookup(cms, top, "tok")
+        .select(
+            "tok",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+    )

@@ -510,3 +510,15 @@ def test_kmv_overlap_no_data_scale_join(spark):
     assert "WindowGroupLimit" in plan
     # the pair join must broadcast (tiny sketch side), never sort-merge
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_build_partial_agg_and_broadcast_lookup(spark):
+    """text_cms_heavy_hitters: the sketch build must partial-agg
+    map-side (the property that bounds shuffle to d*w rows), the
+    lookup must broadcast the counter table, and nothing drops to
+    Python."""
+    plan = plan_of(spark, "text_cms_heavy_hitters")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan

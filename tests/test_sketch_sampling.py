@@ -156,3 +156,48 @@ def test_hll_merge_equals_direct(spark):
     direct = SK.hll_estimate(SK.hll_registers(df, "v", []), []).collect()[0]
     assert merged.hll_est == direct.hll_est
     assert merged.regs_used == direct.regs_used
+
+
+def test_cms_overestimate_guarantee_and_exactness(spark):
+    """With w=8 on 200 distinct values, collisions are forced: every
+    estimate must be >= the true count (one-sided CMS guarantee), and
+    hot items must still be separated from the long tail."""
+    from pyspark.sql import functions as F2
+
+    # value i appears i+1 times, i in 0..49
+    df = spark.range(50).select(
+        F2.explode(
+            F2.transform(
+                F2.sequence(F2.lit(0), F2.col("id").cast("int")),
+                lambda _: F2.concat(F2.lit("w"), F2.col("id")),
+            )
+        ).alias("v")
+    )
+    cms = SK.cms_build(df, "v", w=8)
+    items = df.groupBy("v").agg(F2.count(F2.lit(1)).alias("n"))
+    out = SK.cms_lookup(cms, items, "v", w=8).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.cms_est >= r.n
+
+
+def test_cms_shard_merge_by_sum(spark):
+    """Sketches of two shards summed counter-wise must equal the
+    sketch of the union — the mergeability contract."""
+    from pyspark.sql import functions as F2
+
+    df = spark.range(400).select(
+        F2.concat(F2.lit("t"), (F2.col("id") % 37)).alias("v"),
+        (F2.col("id") % 2).alias("shard"),
+    )
+    whole = SK.cms_build(df, "v")
+    a = SK.cms_build(df.filter("shard = 0"), "v")
+    b = SK.cms_build(df.filter("shard = 1"), "v")
+    summed = (
+        a.union(b)
+        .groupBy("j", "bucket")
+        .agg(F2.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, summed.collect())
+    )
