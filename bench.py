@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_source_overlap",
     "sketch_hll_merged",
     "text_cms_heavy_hitters",
+    "rel_range_join",
     # beyond-broadcast SSSP: 5.76M-edge synthetic torus (1200^2 x 4
     # directions at sf>=0.1) — the regime where the broadcast
     # Dijkstra's collected adjacency would be several GiB

@@ -1068,6 +1068,7 @@ _DRIVER_ORDER_FIRST = [
     "stream_interval_join",
     "sketch_hll_merged",
     "text_cms_heavy_hitters",
+    "rel_range_join",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1092,9 +1093,9 @@ _DRIVER_ORDER_FIRST = [
     "rel_nation_order_stats",
     "h3_bits_accessors",
     "h3_parent_rollup",
-    # text_document_stats deferred to r5 (r2-green, untouched; stats
-    # machinery covered in-window by quality_by_source + quantiles)
-    "text_quality_by_source",
+    # text_document_stats + text_quality_by_source deferred to r5
+    # (r2-green, untouched; the text-stats machinery is covered
+    # in-window by the classifier, gate, and quantile queries)
     "text_lang_id",
     "dedup_exact",
     # dedup_groups_summary + ann_topk_cosine deferred to r5 with the

@@ -18,6 +18,7 @@ from h3ron_spark.pipeline import dedup as DD
 from h3ron_spark.pipeline import similarity as SIM
 from h3ron_spark.queries import register
 from h3ron_spark.testdata import derived_lat, derived_lng, load
+from h3ron_spark.testdata import event_epoch_sec as _event_epoch_sec
 
 # =====================================================================
 # Oracle-backed H3 frame operators (pentagon-free synthesized cells)
@@ -4288,4 +4289,60 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
         )
         .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+  WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           epoch_ns(ts) // 1000000000 AS sec
+    FROM events
+  ), spans AS (
+    SELECT event_id AS window_id, sec AS lo, sec + 600 AS hi
+    FROM ev WHERE event_type = 'error'
+  )
+  SELECT s.window_id,
+         count(*) AS n_events,
+         count(DISTINCT p.user_id) AS n_users,
+         min(p.event_id) AS first_event,
+         max(p.event_id) AS last_event
+  FROM spans s JOIN ev p
+    ON p.sec >= s.lo AND p.sec < s.hi
+  GROUP BY s.window_id
+  ORDER BY s.window_id
+"""
+
+
+@register("rel_range_join", oracle=_RANGE_JOIN_ORACLE)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join with NO equi key: every event falling inside
+    any 10-minute incident window (anchored at each error event,
+    across ALL users). Naive Spark executes the BETWEEN-only join as
+    BroadcastNestedLoopJoin — O(|events| x |windows|); the
+    operators/rangejoin.py rewrite buckets the time axis so it runs
+    as a plain hash equi join on the bucket id (each 600 s window
+    explodes to <= 2 buckets), shuffling like any equi join at 100 TB.
+    The no-nested-loop plan shape is pinned in test_plans."""
+    from h3ron_spark.operators.rangejoin import range_join
+
+    ev = load(spark, sf_dir, "events")
+    sec = _event_epoch_sec(ev)
+    points = ev.select(
+        "event_id", "user_id", sec.alias("sec")
+    )
+    spans = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        sec.alias("lo"),
+        (sec + 600).alias("hi"),
+    )
+    return (
+        range_join(points, spans, "sec", "lo", "hi", bucket_width=600)
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("window_id")
     )

@@ -326,3 +326,42 @@ def test_h3_ancestors_column(spark):
     assert rows[1].a == []   # res 0: no ancestors
     assert rows[2].a is None  # invalid -> NULL
     assert rows[3].a is None  # NULL -> NULL (ADVICE r3)
+
+
+def test_range_join_matches_naive_and_handles_boundaries(spark):
+    """Bucketized range join == naive theta join, including spans that
+    straddle bucket boundaries, end exactly ON a boundary (half-open),
+    and multi-bucket spans longer than bucket_width."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.operators.rangejoin import range_join
+    from h3ron_spark.util import local_df
+
+    points = local_df(
+        spark, [(i, i * 37 % 250) for i in range(100)], "pid long, t long"
+    )
+    spans = local_df(
+        spark,
+        [
+            (0, 10, 20),     # inside one bucket
+            (1, 95, 105),    # straddles the 100 boundary
+            (2, 150, 200),   # ends exactly on a boundary (exclusive)
+            (3, 40, 260),    # spans 3 buckets
+            (4, 240, 241),   # single-point span
+        ],
+        "sid long, lo long, hi long",
+    )
+    got = sorted(
+        (r.sid, r.pid)
+        for r in range_join(
+            points, spans, "t", "lo", "hi", bucket_width=100
+        ).collect()
+    )
+    naive = sorted(
+        (s, p)
+        for (p, t) in [(r.pid, r.t) for r in points.collect()]
+        for (s, lo, hi) in [(r.sid, r.lo, r.hi) for r in spans.collect()]
+        if lo <= t < hi
+    )
+    assert got == naive
+    assert len(got) > 0

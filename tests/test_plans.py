@@ -522,3 +522,14 @@ def test_cms_build_partial_agg_and_broadcast_lookup(spark):
     assert "BatchEvalPython" not in plan
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """rel_range_join: the BETWEEN-only join must execute as a hash
+    equi join on the bucket id — never BroadcastNestedLoopJoin (the
+    O(n*m) plan Spark produces for a bare theta join)."""
+    plan = plan_of(spark, "rel_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
