@@ -1069,6 +1069,7 @@ _DRIVER_ORDER_FIRST = [
     "sketch_hll_merged",
     "text_cms_heavy_hitters",
     "rel_range_join",
+    "h3_partition_by_res",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1096,7 +1097,8 @@ _DRIVER_ORDER_FIRST = [
     # text_document_stats + text_quality_by_source deferred to r5
     # (r2-green, untouched; the text-stats machinery is covered
     # in-window by the classifier, gate, and quantile queries)
-    "text_lang_id",
+    # text_lang_id deferred to r5 (r2-green, untouched heuristic
+    # lookup; its tokenizer is exercised by the in-window text suite)
     "dedup_exact",
     # dedup_groups_summary + ann_topk_cosine deferred to r5 with the
     # fixture goldens: both r2-green and untouched, their machinery

@@ -4346,3 +4346,67 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_id")
     )
+
+
+_PARTITION_RES_ORACLE = """
+  WITH src AS (
+    SELECT event_id, user_id,
+           25 + user_id % 12 AS b,
+           event_id % 7 AS d1,
+           (event_id // 7) % 7 AS d2,
+           1 + event_id % 3 AS res
+    FROM events WHERE event_id < 4000
+  ), cells AS (
+    SELECT CASE res
+      WHEN 1 THEN (1::BIGINT << 59) | (1::BIGINT << 52) | (b::BIGINT << 45)
+                  | (d1::BIGINT << 42) | ((1::BIGINT << 42) - 1)
+      WHEN 2 THEN (1::BIGINT << 59) | (2::BIGINT << 52) | (b::BIGINT << 45)
+                  | (d1::BIGINT << 42) | (d2::BIGINT << 39)
+                  | ((1::BIGINT << 39) - 1)
+      ELSE        (1::BIGINT << 59) | (3::BIGINT << 52) | (b::BIGINT << 45)
+                  | (d1::BIGINT << 42) | (d2::BIGINT << 39)
+                  | ((1::BIGINT << 36) - 1)
+    END AS cell, res
+    FROM src
+  )
+  SELECT res AS h3_res,
+         count(*) AS n_cells,
+         count(DISTINCT cell) AS n_distinct,
+         bit_xor(cell) AS cells_checksum
+  FROM cells GROUP BY res ORDER BY h3_res
+"""
+
+
+@register("h3_partition_by_res", oracle=_PARTITION_RES_ORACLE)
+def h3_partition_by_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 partition_by_resolution driven end-to-end: a mixed-res cell
+    column (res 1-3 synthesized in pure bit math the oracle
+    replicates) is tagged + repartitioned res-homogeneously by
+    operators/frame.py partition_by_resolution, then audited per
+    partition value (count / distinct / bit_xor checksum). The
+    repartition("h3_res") means each resolution's rows land together
+    — the layout the res-partitioned writer (partitionBy('h3_res'))
+    and any res-specific kernel want at 100 TB."""
+    from h3ron_spark.operators.frame import partition_by_resolution
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    b = 25 + F.col("user_id") % 12
+    d1 = F.col("event_id") % 7
+    d2 = F.expr("event_id div 7") % 7
+    res = (1 + F.col("event_id") % 3).cast("int")
+    cells = ev.select(
+        F.when(res == 1, B.h3_build_cell(b, [d1], 1))
+        .when(res == 2, B.h3_build_cell(b, [d1, d2], 2))
+        .otherwise(B.h3_build_cell(b, [d1, d2], 3))
+        .alias("cell")
+    )
+    parts = partition_by_resolution(cells, "cell")
+    return (
+        parts.groupBy("h3_res")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.countDistinct("cell").alias("n_distinct"),
+            F.expr("bit_xor(cell)").alias("cells_checksum"),
+        )
+        .orderBy("h3_res")
+    )
