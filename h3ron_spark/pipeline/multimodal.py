@@ -368,10 +368,20 @@ def real_decode_features(payload: bytes) -> list[float]:
             float(px.std() / 255.0),
             float(px.shape[2]),
         ]
+    if payload[:6] in _GIF_SIGS:
+        px = decode_gif(bytes(payload)).astype(np.float64)
+        return [
+            4.0,
+            float(px.shape[1]),
+            float(px.shape[0]),
+            float(px.mean() / 255.0),
+            float(px.std() / 255.0),
+            float(px.shape[2]),
+        ]
     raise NotImplementedError(
-        "no codec for this payload (entropy-coded formats are stubbed "
-        "in this environment); RIFF/WAVE PCM, binary PPM/PGM, and "
-        "baseline 8-bit PNG decode natively"
+        "no codec for this payload (entropy-coded formats beyond "
+        "LZW/DEFLATE are stubbed in this environment); RIFF/WAVE PCM, "
+        "binary PPM/PGM, baseline 8-bit PNG, and GIF decode natively"
     )
 
 
@@ -455,12 +465,21 @@ def resize_media(
                         ys = (np.arange(height) * px.shape[0]) // height
                         xs = (np.arange(width) * px.shape[1]) // width
                         payload = png_bytes(px[ys][:, xs], filter_cycle=False)
+                    elif not fake and buf[:6] in _GIF_SIGS:
+                        # REAL nearest-neighbor resample of GIF; the
+                        # result re-encodes as PNG (resampled RGB has
+                        # no palette to re-quantize into)
+                        px = decode_gif(buf)
+                        ys = (np.arange(height) * px.shape[0]) // height
+                        xs = (np.arange(width) * px.shape[1]) // width
+                        payload = png_bytes(px[ys][:, xs], filter_cycle=False)
+                        meta["codec"] = "png"
                     elif not fake:
                         raise NotImplementedError(
-                            "no codec for this payload; binary PPM and "
-                            "baseline PNG resample natively (pass "
-                            "fake=True for the deterministic test "
-                            "resampler)"
+                            "no codec for this payload; binary PPM, "
+                            "baseline PNG, and GIF resample natively "
+                            "(pass fake=True for the deterministic "
+                            "test resampler)"
                         )
                     else:
                         payload = (
@@ -567,4 +586,217 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         kind = ["image", "audio", "video"][i % 3]
         meta = (64, 48, 16000, 30 + i % 60, "fake")
         rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# GIF (LZW) — second real compressed codec after PNG.
+# Public spec: GIF89a specification (CompuServe 1990, W3C mirror).
+# ---------------------------------------------------------------------
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def gif_bytes(indices, palette) -> bytes:
+    """Minimal single-frame GIF87a encoder: ``indices`` (h, w) uint8
+    into ``palette`` [(r, g, b), ...] whose length must be a power of
+    two >= 4. LZW output uses the fixed-width literal technique (a
+    CLEAR code before the dynamic table would force a width change),
+    which every conforming decoder accepts."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    n = len(palette)
+    assert n >= 4 and (n & (n - 1)) == 0
+    depth = n.bit_length() - 1
+    out = bytearray()
+    out += b"GIF87a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT present, 2^depth
+    for r, g, b in palette:
+        out += bytes([r, g, b])
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += b"\x00"  # no local table, not interlaced
+    mcs = max(2, depth)  # LZW minimum code size
+    out += bytes([mcs])
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    # bit packer, LSB first
+    acc, nbits, data = 0, 0, bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    # decoder table grows by one entry per emitted code (after the
+    # first); re-CLEAR before the width would change
+    budget = (1 << width) - eoi - 2
+    for v in idx.ravel():
+        if budget == 0:
+            emit(clear)
+            budget = (1 << width) - eoi - 2
+        emit(int(v))
+        budget -= 1
+    emit(eoi)
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Decode the FIRST frame of a GIF87a/89a to (h, w, 3) uint8 RGB:
+    full dynamic-table LZW (variable code width up to 12 bits,
+    CLEAR/EOI handling), global/local color tables, interlace
+    reordering. Animation beyond frame one and transparency
+    compositing are out of scope (first-frame decode is the feature
+    path)."""
+    import numpy as np
+
+    if payload[:6] not in _GIF_SIGS:
+        raise NotImplementedError("not a GIF payload")
+    pos = 6
+    sw = int.from_bytes(payload[pos : pos + 2], "little")
+    sh = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+    flags = payload[pos + 4]
+    pos += 7
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * size], dtype=np.uint8
+        ).reshape(size, 3)
+        pos += 3 * size
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+        left = int.from_bytes(payload[pos : pos + 2], "little")
+        top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+        w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        iflags = payload[pos + 8]
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            size = 2 << (iflags & 0x07)
+            table = np.frombuffer(
+                payload[pos : pos + 3 * size], dtype=np.uint8
+            ).reshape(size, 3)
+            pos += 3 * size
+        if table is None:
+            raise NotImplementedError("GIF image without a color table")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        # LZW decode (LSB-first variable width)
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        width = mcs + 1
+        dict_ = {i: (i,) for i in range(clear)}
+        next_code = eoi + 1
+        acc = nbits = 0
+        prev = None
+        out_idx = []
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    dict_ = {i: (i,) for i in range(clear)}
+                    next_code = eoi + 1
+                    width = mcs + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    nbits = 0
+                    acc = 0
+                    break
+                if prev is None:
+                    entry = dict_[code]
+                else:
+                    if code in dict_:
+                        entry = dict_[code]
+                        dict_[next_code] = prev + (entry[0],)
+                    elif code == next_code:  # KwKwK case
+                        entry = prev + (prev[0],)
+                        dict_[next_code] = entry
+                    else:
+                        raise ValueError("corrupt LZW stream")
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+                out_idx.extend(entry)
+                prev = entry
+        idx = np.array(out_idx[: w * h], dtype=np.uint8).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            de = np.empty_like(idx)
+            de[order, :] = idx
+            idx = de
+        rgb = table[idx]
+        # compose onto the logical screen only when the frame is a
+        # sub-rectangle; the common single-image case returns directly
+        if (left, top, w, h) == (0, 0, sw, sh):
+            return rgb
+        screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+        screen[top : top + h, left : left + w] = rgb
+        return screen
+    raise ValueError("GIF contains no image block")
+
+
+def synthetic_media_gif(spark: SparkSession, n: int = 18) -> DataFrame:
+    """Fixture media table of REAL GIFs: deterministic index patterns
+    over 16- and 256-color palettes at varying sizes (multi-CLEAR LZW
+    streams for the larger frames)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 21 + (i % 5) * 9, 17 + (i % 4) * 7
+        yy, xx = np.mgrid[0:h, 0:w]
+        if i % 2:
+            ncol = 256
+            idx = ((xx * 5 + yy * 11 + i * 29) % 256).astype(np.uint8)
+        else:
+            ncol = 16
+            idx = ((xx + yy * 2 + i) % 16).astype(np.uint8)
+        pal = [
+            ((k * 37 + i) % 256, (k * 91) % 256, (k * 13 + 7 * i) % 256)
+            for k in range(ncol)
+        ]
+        payload = gif_bytes(idx, pal)
+        rows.append((i, "image", payload, (w, h, None, None, "gif")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1062,6 +1062,7 @@ _DRIVER_ORDER_FIRST = [
     "golden_route_path_stats",
     "ann_ivf_sampled_topk",
     "mm_png_decode",
+    "mm_gif_decode",
     "sketch_hll_distinct",
     "pipeline_weighted_sample",
     "dedup_source_overlap",
@@ -1110,7 +1111,9 @@ _DRIVER_ORDER_FIRST = [
     # text_token_counts deferred to r5 (r2-green, untouched; its
     # tokenizer is exercised by five other in-window text queries)
     "h3_set_ops",
-    "rel_event_sessions",
+    # rel_event_sessions deferred to r5 (r2-green, untouched; its
+    # sessionization window shape is exercised in-window by
+    # stream_session_windows and the funnel/asof queries)
     "dedup_minhash_lsh",
     "dedup_simhash_groups",
     "dedup_ngram_jaccard",

@@ -4410,3 +4410,38 @@ def h3_partition_by_res(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h3_res")
     )
+
+
+_MM_GIF_DECODE_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(3 AS INT), CAST(18 AS BIGINT), CAST(3750 AS BIGINT),
+     CAST(2672 AS BIGINT), CAST(4901 AS BIGINT), CAST(2896 AS BIGINT))
+  ) AS t(n_channels, n_assets, avg_w_e2, avg_h_e2, avg_mean_e4, avg_std_e4)
+"""
+
+
+@register("mm_gif_decode", oracle=_MM_GIF_DECODE_ORACLE)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decode: the fixture payloads are actual GIF87a files
+    (16- and 256-color palettes, multi-CLEAR streams on the larger
+    frames), decoded by the pure-Python dynamic-table LZW parser
+    inside the Arrow batch kernel. Cross-validated in unit tests
+    against an INDEPENDENT dynamic-LZW encoder (width growth, KwKwK,
+    interlace, extension blocks). The remaining multimodal stub
+    boundary is JPEG/MP3/H264-class entropy coding."""
+    from h3ron_spark.pipeline import multimodal as MM
+
+    media = MM.synthetic_media_gif(spark, 18)
+    feats = MM.extract_features(media, fake=False)
+    fx = lambda p: F.element_at("feature", p + 1).cast("double")  # noqa: E731
+    return (
+        feats.groupBy(fx(5).cast("int").alias("n_channels"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.floor(F.avg(fx(1)) * 100 + F.lit(0.5)).cast("long").alias("avg_w_e2"),
+            F.floor(F.avg(fx(2)) * 100 + F.lit(0.5)).cast("long").alias("avg_h_e2"),
+            F.floor(F.avg(fx(3)) * 10000 + F.lit(0.5)).cast("long").alias("avg_mean_e4"),
+            F.floor(F.avg(fx(4)) * 10000 + F.lit(0.5)).cast("long").alias("avg_std_e4"),
+        )
+        .orderBy("n_channels")
+    )

@@ -446,3 +446,135 @@ def test_real_png_features_and_resize(spark):
         xs = (np.arange(10) * orig.shape[1]) // 10
         assert np.array_equal(px, orig[ys][:, xs])
         assert r.meta.width == 10 and r.meta.height == 8
+
+
+def _dynamic_gif(idx, pal):
+    """Test-only INDEPENDENT GIF encoder: true dynamic-table LZW with
+    width growth and 4096-entry recycling — produces stream shapes
+    gif_bytes (fixed-width literals + CLEAR) never emits, so decoding
+    it cross-validates decode_gif rather than round-tripping one
+    implementation against itself."""
+    h, w = idx.shape
+    n = len(pal)
+    depth = n.bit_length() - 1
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    for r, g, b in pal:
+        out += bytes([r, g, b])
+    out += (
+        b"\x2c\x00\x00\x00\x00"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x00"
+    )
+    mcs = max(2, depth)
+    out += bytes([mcs])
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    acc = nbits = 0
+    data = bytearray()
+
+    def emit(code, wd):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    seq = ()
+    for v in idx.ravel():
+        v = int(v)
+        if seq + (v,) in table:
+            seq = seq + (v,)
+            continue
+        emit(table[seq], width)
+        table[seq + (v,)] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        seq = (v,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        b = data[i : i + 255]
+        out += bytes([len(b)]) + b
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_and_cross_encoder():
+    import numpy as np
+
+    from h3ron_spark.pipeline.multimodal import decode_gif, gif_bytes
+
+    pal16 = [((i * 37) % 256, (i * 91) % 256, (i * 13) % 256) for i in range(16)]
+    pal256 = [((i * 7) % 256, (i * 11) % 256, (i * 3) % 256) for i in range(256)]
+    yy, xx = np.mgrid[0:33, 0:47]
+    idx = ((yy * 3 + xx * 5) % 16).astype(np.uint8)
+    assert np.array_equal(
+        decode_gif(gif_bytes(idx, pal16)), np.array(pal16, np.uint8)[idx]
+    )
+    # multi-CLEAR fixed-width stream, 256-color palette
+    big = (np.arange(200 * 180).reshape(200, 180) % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_gif(gif_bytes(big, pal256)), np.array(pal256, np.uint8)[big]
+    )
+    # independent dynamic-LZW encoder: width growth + real compression
+    rep = np.tile(np.arange(16, dtype=np.uint8).repeat(3), 220)[
+        : 64 * 100
+    ].reshape(100, 64)
+    payload = _dynamic_gif(rep, pal16)
+    assert len(payload) < rep.size // 4  # actually compressed
+    assert np.array_equal(
+        decode_gif(payload), np.array(pal16, np.uint8)[rep]
+    )
+    # all-zero image: forces the KwKwK (code == next_code) branch
+    z = np.zeros((40, 50), dtype=np.uint8)
+    assert np.array_equal(
+        decode_gif(_dynamic_gif(z, pal16)), np.array(pal16, np.uint8)[z]
+    )
+
+
+def test_gif_interlace_and_extensions():
+    """Interlaced row reordering + extension-block skipping, via a
+    hand-assembled payload (gif_bytes never emits either)."""
+    import numpy as np
+
+    from h3ron_spark.pipeline.multimodal import decode_gif, gif_bytes
+
+    pal = [((i * 37) % 256, (i * 91) % 256, (i * 13) % 256) for i in range(16)]
+    h, w = 13, 9
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = ((yy * 2 + xx) % 16).astype(np.uint8)
+    # rows in GIF pass order; flag 0x40 tells the decoder to reorder
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    plain = gif_bytes(idx[order], pal)
+    body = bytearray(plain)
+    # image descriptor starts after 6 (hdr) + 7 (lsd) + 48 (gct): set
+    # the interlace bit in its flags byte, and inject a GCE extension
+    # before it
+    desc_at = 6 + 7 + 48
+    assert body[desc_at] == 0x2C
+    body[desc_at + 9] |= 0x40
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    payload = bytes(body[:desc_at]) + gce + bytes(body[desc_at:])
+    assert np.array_equal(decode_gif(payload), np.array(pal, np.uint8)[idx])
