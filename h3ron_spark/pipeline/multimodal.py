@@ -378,10 +378,22 @@ def real_decode_features(payload: bytes) -> list[float]:
             float(px.std() / 255.0),
             float(px.shape[2]),
         ]
+    if payload[:2] == b"\xff\xd8":
+        from h3ron_spark.pipeline.jpeg import decode_jpeg
+
+        px = decode_jpeg(bytes(payload)).astype(np.float64)
+        return [
+            5.0,
+            float(px.shape[1]),
+            float(px.shape[0]),
+            float(px.mean() / 255.0),
+            float(px.std() / 255.0),
+            float(px.shape[2]),
+        ]
     raise NotImplementedError(
-        "no codec for this payload (entropy-coded formats beyond "
-        "LZW/DEFLATE are stubbed in this environment); RIFF/WAVE PCM, "
-        "binary PPM/PGM, baseline 8-bit PNG, and GIF decode natively"
+        "no codec for this payload (only MP3/H264-class formats remain "
+        "stubbed in this environment); RIFF/WAVE PCM, binary PPM/PGM, "
+        "baseline 8-bit PNG, GIF, and baseline JPEG decode natively"
     )
 
 
@@ -474,12 +486,24 @@ def resize_media(
                         xs = (np.arange(width) * px.shape[1]) // width
                         payload = png_bytes(px[ys][:, xs], filter_cycle=False)
                         meta["codec"] = "png"
+                    elif not fake and buf[:2] == b"\xff\xd8":
+                        # REAL nearest-neighbor resample of baseline
+                        # JPEG, re-encoded as JPEG (q=90, 4:4:4)
+                        from h3ron_spark.pipeline.jpeg import (
+                            decode_jpeg,
+                            jpeg_bytes,
+                        )
+
+                        px = decode_jpeg(buf)
+                        ys = (np.arange(height) * px.shape[0]) // height
+                        xs = (np.arange(width) * px.shape[1]) // width
+                        payload = jpeg_bytes(px[ys][:, xs], quality=90)
                     elif not fake:
                         raise NotImplementedError(
                             "no codec for this payload; binary PPM, "
-                            "baseline PNG, and GIF resample natively "
-                            "(pass fake=True for the deterministic "
-                            "test resampler)"
+                            "baseline PNG, GIF, and baseline JPEG "
+                            "resample natively (pass fake=True for "
+                            "the deterministic test resampler)"
                         )
                     else:
                         payload = (
@@ -799,4 +823,47 @@ def synthetic_media_gif(spark: SparkSession, n: int = 18) -> DataFrame:
         ]
         payload = gif_bytes(idx, pal)
         rows.append((i, "image", payload, (w, h, None, None, "gif")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_media_jpeg(spark: SparkSession, n: int = 18) -> DataFrame:
+    """Fixture media table of REAL baseline JPEGs: ids cycle through
+    RGB 4:4:4, RGB 4:2:0 with restart markers, and grayscale, over
+    smooth deterministic gradients at varying sizes/qualities — every
+    decoder path (subsampling, DRI/RSTn resync, single-component
+    scans) appears in the payloads."""
+    import numpy as np
+
+    from h3ron_spark.pipeline.jpeg import jpeg_bytes
+
+    rows = []
+    for i in range(n):
+        w, h = 24 + (i % 5) * 10, 20 + (i % 4) * 9
+        yy, xx = np.mgrid[0:h, 0:w]
+        quality = 80 + (i % 3) * 8  # 80 / 88 / 96
+        if i % 3 == 2:
+            px = (
+                (xx * 200) // max(1, w - 1) + (yy * 55) // max(1, h - 1)
+            ).astype(np.uint8)
+            payload = jpeg_bytes(px, quality=quality)
+        else:
+            # smooth ramps only (no mod-256 wrap): a step edge would
+            # ring under the DCT and the error bound in tests is tight
+            px = np.stack(
+                [
+                    (xx * 255) // max(1, w - 1),
+                    (yy * 255) // max(1, h - 1),
+                    (xx * 120) // max(1, w - 1)
+                    + (yy * 110) // max(1, h - 1)
+                    + i,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payload = jpeg_bytes(
+                px,
+                quality=quality,
+                subsample=(i % 3 == 1),
+                restart_interval=2 if i % 3 == 1 else 0,
+            )
+        rows.append((i, "image", payload, (w, h, None, None, "jpeg")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1063,6 +1063,7 @@ _DRIVER_ORDER_FIRST = [
     "ann_ivf_sampled_topk",
     "mm_png_decode",
     "mm_gif_decode",
+    "mm_jpeg_decode",
     "sketch_hll_distinct",
     "pipeline_weighted_sample",
     "dedup_source_overlap",
@@ -1092,7 +1093,10 @@ _DRIVER_ORDER_FIRST = [
     "rel_pricing_summary",
     "rel_top_revenue_orders",
     "rel_customer_order_rank",
-    "rel_nation_order_stats",
+    # rel_nation_order_stats deferred to r5 (r2-green, untouched; its
+    # join+agg shape is covered in-window by rel_pricing_summary and
+    # rel_supplier_part_pricing) — made room for mm_jpeg_decode, the
+    # new JPEG codec's end-to-end driver row
     "h3_bits_accessors",
     "h3_parent_rollup",
     # text_document_stats + text_quality_by_source deferred to r5

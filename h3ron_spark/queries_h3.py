@@ -4445,3 +4445,41 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_channels")
     )
+
+
+_MM_JPEG_DECODE_ORACLE = """
+  SELECT * FROM (VALUES
+    (CAST(3 AS INT), CAST(18 AS BIGINT), CAST(4233 AS BIGINT),
+     CAST(3250 AS BIGINT), CAST(4931 AS BIGINT), CAST(2583 AS BIGINT))
+  ) AS t(n_channels, n_assets, avg_w_e2, avg_h_e2, avg_mean_e4, avg_std_e4)
+"""
+
+
+@register("mm_jpeg_decode", oracle=_MM_JPEG_DECODE_ORACLE)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy decode: the fixture payloads are actual baseline
+    JPEGs (T.81 sequential DCT — 4:4:4, 4:2:0 with restart markers,
+    and grayscale scans, Annex-K tables at qualities 80/88/96),
+    huffman-decoded + dequantized + IDCT'd by the pure-Python codec
+    inside the Arrow batch kernel (pipeline/jpeg.py). Cross-validated
+    in unit tests against the INDEPENDENT encoder half (flat-DC exact
+    bound, gradient error bounds, RSTn resync, prefix-free canonical
+    table pins). With PNG and GIF this closes the entropy-coding arm
+    of the multimodal stub — only MP3/H264-class codecs remain out of
+    scope."""
+    from h3ron_spark.pipeline import multimodal as MM
+
+    media = MM.synthetic_media_jpeg(spark, 18)
+    feats = MM.extract_features(media, fake=False)
+    fx = lambda p: F.element_at("feature", p + 1).cast("double")  # noqa: E731
+    return (
+        feats.groupBy(fx(5).cast("int").alias("n_channels"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.floor(F.avg(fx(1)) * 100 + F.lit(0.5)).cast("long").alias("avg_w_e2"),
+            F.floor(F.avg(fx(2)) * 100 + F.lit(0.5)).cast("long").alias("avg_h_e2"),
+            F.floor(F.avg(fx(3)) * 10000 + F.lit(0.5)).cast("long").alias("avg_mean_e4"),
+            F.floor(F.avg(fx(4)) * 10000 + F.lit(0.5)).cast("long").alias("avg_std_e4"),
+        )
+        .orderBy("n_channels")
+    )

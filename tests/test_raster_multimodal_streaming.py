@@ -578,3 +578,166 @@ def test_gif_interlace_and_extensions():
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     payload = bytes(body[:desc_at]) + gce + bytes(body[desc_at:])
     assert np.array_equal(decode_gif(payload), np.array(pal, np.uint8)[idx])
+
+
+# ------------------------------------------------------------------
+# JPEG (T.81 baseline) — third real compressed codec
+# ------------------------------------------------------------------
+
+
+def test_jpeg_dct_matrix_orthonormal():
+    """The shared 8-point DCT matrix is orthonormal: C @ C.T == I, so
+    the decoder's C.T @ F @ C exactly inverts the encoder's transform
+    (quantization is the only lossy stage)."""
+    import numpy as np
+
+    from h3ron_spark.pipeline.jpeg import _C
+
+    assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_huffman_tables_canonical_and_prefix_free():
+    """All four Annex-K tables build prefix-free canonical codes whose
+    per-length counts equal BITS, and the decoder lookup inverts the
+    encoder codes symbol-for-symbol."""
+    from h3ron_spark.pipeline.jpeg import (
+        AC_CHR_BITS, AC_CHR_VALS, AC_LUM_BITS, AC_LUM_VALS,
+        DC_CHR_BITS, DC_CHR_VALS, DC_LUM_BITS, DC_LUM_VALS,
+        _build_huff_codes, _build_huff_decoder,
+    )
+
+    for bits, vals in (
+        (DC_LUM_BITS, DC_LUM_VALS), (DC_CHR_BITS, DC_CHR_VALS),
+        (AC_LUM_BITS, AC_LUM_VALS), (AC_CHR_BITS, AC_CHR_VALS),
+    ):
+        enc = _build_huff_codes(bits, vals)
+        dec = _build_huff_decoder(bits, vals)
+        assert len(enc) == sum(bits) == len(vals)
+        by_len = {}
+        for sym, (code, ln) in enc.items():
+            by_len[ln] = by_len.get(ln, 0) + 1
+            assert dec[(ln, code)] == sym
+        assert all(by_len.get(i + 1, 0) == bits[i] for i in range(16))
+        # prefix-free: no code is a prefix of a longer one
+        codes = sorted(
+            (ln, code) for code, ln in enc.values()
+        )
+        for i, (ln_a, c_a) in enumerate(codes):
+            for ln_b, c_b in codes[i + 1 :]:
+                if ln_b > ln_a:
+                    assert (c_b >> (ln_b - ln_a)) != c_a
+
+
+def test_jpeg_quality_scaling_pins():
+    """IJG quality mapping: q=50 keeps the Annex-K table verbatim,
+    q=100 degenerates to all-ones (lossless-but-rounding), q=10 is a
+    5x coarsening (clipped at 255)."""
+    import numpy as np
+
+    from h3ron_spark.pipeline.jpeg import Q_LUM, quality_scaled
+
+    assert np.array_equal(quality_scaled(Q_LUM, 50), Q_LUM)
+    assert np.array_equal(quality_scaled(Q_LUM, 100), np.ones(64, np.int64))
+    assert np.array_equal(
+        quality_scaled(Q_LUM, 10), np.minimum(255, (Q_LUM * 500 + 50) // 100)
+    )
+
+
+def test_jpeg_roundtrip_flat_and_dc_accuracy():
+    """Flat-color images carry only DC coefficients; at q=100 the
+    round-trip error is bounded by the +-0.5 rounding of one quantized
+    coefficient — every tested gray level reconstructs within 1."""
+    import numpy as np
+
+    from h3ron_spark.pipeline.jpeg import decode_jpeg, jpeg_bytes
+
+    for v in (0, 1, 63, 128, 200, 254, 255):
+        img = np.full((16, 24, 3), v, dtype=np.uint8)
+        out = decode_jpeg(jpeg_bytes(img, quality=100))
+        assert np.abs(out.astype(int) - v).max() <= 1, v
+
+
+def test_jpeg_roundtrip_gradients_all_paths():
+    """Smooth gradients survive 4:4:4, 4:2:0+restart-markers, and
+    grayscale encodes within tight error bounds at q>=85 (smooth
+    signals have tiny high-frequency energy, so quantization noise is
+    a few gray levels at most)."""
+    import numpy as np
+
+    from h3ron_spark.pipeline.jpeg import decode_jpeg, jpeg_bytes
+
+    yy, xx = np.mgrid[0:37, 0:45]  # odd dims: exercises edge padding
+    rgb = np.stack(
+        [
+            (xx * 255) // 44,
+            (yy * 255) // 36,
+            (xx * 110) // 44 + (yy * 120) // 36,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+    out = decode_jpeg(jpeg_bytes(rgb, quality=95))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 4
+
+    p = jpeg_bytes(rgb, quality=88, subsample=True, restart_interval=3)
+    assert any(bytes([0xFF, 0xD0 + k]) in p for k in range(8))  # RSTn real
+    out = decode_jpeg(p)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 14  # chroma NN
+
+    gray = ((xx * 3 + yy * 2) % 200).astype(np.uint8)
+    # mod-200 wrap makes step edges; bound mean (ringing is local)
+    outg = decode_jpeg(jpeg_bytes(gray, quality=92))
+    assert outg.shape == (37, 45, 3)
+    err = np.abs(outg[:, :, 0].astype(int) - gray.astype(int))
+    assert err.mean() < 6.0
+    assert np.array_equal(outg[:, :, 0], outg[:, :, 1])  # replicated
+
+
+def test_jpeg_rejects_nonbaseline():
+    """Progressive (SOF2) and 12-bit streams raise NotImplementedError
+    (stub boundary); trash raises too."""
+    import numpy as np
+    import pytest as _pytest
+
+    from h3ron_spark.pipeline.jpeg import decode_jpeg, jpeg_bytes
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    good = bytearray(jpeg_bytes(img, quality=90))
+    sof_at = good.find(b"\xff\xc0")
+    assert sof_at > 0
+    prog = bytes(good[:sof_at]) + b"\xff\xc2" + bytes(good[sof_at + 2 :])
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_real_jpeg_features_and_resize(spark):
+    """Spark-level: synthetic_media_jpeg payloads decode through the
+    Arrow batch kernel (modality tag 5), and resize_media re-encodes a
+    real resampled JPEG whose decode matches nearest-neighbor within
+    quantization error."""
+    import numpy as np
+
+    from h3ron_spark.pipeline import multimodal as MM
+    from h3ron_spark.pipeline.jpeg import decode_jpeg
+
+    media = MM.synthetic_media_jpeg(spark, 9)
+    src = {r.asset_id: bytes(r.payload) for r in media.collect()}
+    feats = MM.extract_features(media, fake=False).collect()
+    assert len(feats) == 9
+    for r in feats:
+        f = r.feature
+        assert f[0] == 5.0 and f[5] == 3.0 and r.dim == 6
+
+    resized = MM.resize_media(media, 16, 12, fake=False).collect()
+    for r in resized:
+        buf = bytes(r.payload)
+        assert buf[:2] == b"\xff\xd8"
+        px = decode_jpeg(buf)
+        assert px.shape == (12, 16, 3)
+        orig = decode_jpeg(src[r.asset_id])
+        ys = (np.arange(12) * orig.shape[0]) // 12
+        xs = (np.arange(16) * orig.shape[1]) // 16
+        nn = orig[ys][:, xs].astype(int)
+        assert np.abs(px.astype(int) - nn).max() <= 24  # q=90 re-encode
