@@ -364,3 +364,138 @@ def cms_lookup(
     return joined.groupBy(*item_cols).agg(
         F.min("cnt").alias("cms_est")
     )
+
+
+# ---------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — set membership, the fourth sketch:
+# HLL = cardinality, KMV = overlap, CMS = frequency, Bloom = membership
+# ---------------------------------------------------------------------
+
+BLOOM_SEEDS = (201, 202, 203)
+
+
+def _bloom_pos(value: Column, seed: int, m_bits: int) -> Column:
+    """Bit position for one hash function: the repo's per-seed integer
+    mix of the md5 base hash (dedup._shingle_hash — DuckDB twin
+    queries_h3._hash_sql) reduced mod m, made non-negative identically
+    in both engines."""
+    from h3ron_spark.pipeline.dedup import _mix_hash, shingle_base_hash
+
+    mixed = _mix_hash(shingle_base_hash(value), seed)
+    return ((mixed % m_bits) + m_bits) % m_bits
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_words: int = 256,
+    seeds: tuple[int, ...] = BLOOM_SEEDS,
+) -> DataFrame:
+    """Build an m_words*64-bit Bloom filter over string ``value_col``:
+    k = len(seeds) bit positions per value, OR-folded into words of
+    63 usable bits (shift counts stay 0..62: DuckDB range-checks
+    1 << 63 while Spark wraps — 63-bit words keep the two engines on
+    arithmetic they agree on). ONE map-side-combinable aggregate (bit_or) producing at
+    most m_words rows of state regardless of corpus size; filters of
+    shards merge by bit_or on the same word grid (:func:`bloom_merge`).
+
+    The 100-TB membership story: an exact broadcast set of eval-bench
+    n-grams stops fitting in executor memory long before the corpus
+    does; a Bloom filter is a fixed, tunable budget (m_words*8 bytes)
+    with a one-sided guarantee — no false negatives, measurable false
+    positives — which is the correct direction for decontamination
+    (over-flagging is reviewable; under-flagging leaks eval data).
+    """
+    c = F.col(value_col)
+    m_bits = m_words * 63
+    pos = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(c, seed, m_bits) for seed in seeds])
+        ).alias("pos")
+    )
+    return (
+        pos.groupBy(F.expr("pos div 63").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, CAST(pos % 63 AS INT)))").alias(
+                "bits"
+            )
+        )
+    )
+
+
+def bloom_merge(filters: DataFrame) -> DataFrame:
+    """Merge per-shard filters (same m_words/seeds) by word-wise OR."""
+    return filters.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    m_words: int = 256,
+    seeds: tuple[int, ...] = BLOOM_SEEDS,
+) -> DataFrame:
+    """Probe each item against the filter: present iff ALL k probe
+    bits are set. One broadcast join of the <=m_words-row filter
+    against the exploded probes — the corpus-side scan never shuffles.
+    Adds a boolean ``bloom_maybe`` column (true = possibly in the set,
+    false = DEFINITELY not — the Bloom guarantee)."""
+    c = F.col(value_col)
+    m_bits = m_words * 63
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(*[_bloom_pos(c, seed, m_bits) for seed in seeds])
+        ).alias("pos"),
+    )
+    joined = probes.join(
+        F.broadcast(bloom),
+        F.expr("pos div 63") == F.col("word"),
+        "left",
+    )
+    # shiftright() takes a literal count in the classic API; the
+    # variable-count shift is an SQL expression
+    hit = (
+        F.expr(
+            "shiftright(coalesce(bits, 0L), CAST(pos % 63 AS INT)) & 1"
+        )
+        == 1
+    )
+    item_cols = list(items.columns)
+    return joined.groupBy(*item_cols).agg(
+        (F.min(hit.cast("int")) == 1).alias("bloom_maybe")
+    )
+
+
+def bloom_oracle_sql(
+    build_values: str,
+    probe_values: str,
+    m_words: int = 256,
+    seeds: tuple[int, ...] = BLOOM_SEEDS,
+) -> str:
+    """DuckDB replica of bloom_build + bloom_contains over two
+    one-column subqueries ``build_values``/``probe_values`` (each must
+    yield column ``v`` VARCHAR). Returns (v, bloom_maybe)."""
+    from h3ron_spark.queries_h3 import _hash_sql
+
+    m_bits = m_words * 63
+    pos_exprs = ", ".join(
+        f"(({_hash_sql('v', seed)} % {m_bits}) + {m_bits}) % {m_bits}"
+        for seed in seeds
+    )
+    return f"""
+  WITH bpos AS (
+    SELECT unnest([{pos_exprs}]) AS pos FROM ({build_values})
+  ), filt AS (
+    SELECT pos // 63 AS word,
+           bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS bits
+    FROM bpos GROUP BY 1
+  ), probes AS (
+    SELECT v, unnest([{pos_exprs}]) AS pos FROM ({probe_values})
+  )
+  SELECT p.v,
+         min(CASE WHEN ((coalesce(f.bits, 0) >> CAST(p.pos % 63 AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END) = 1 AS bloom_maybe
+  FROM probes p LEFT JOIN filt f ON p.pos // 63 = f.word
+  GROUP BY p.v
+"""

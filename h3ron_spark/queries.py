@@ -1072,6 +1072,7 @@ _DRIVER_ORDER_FIRST = [
     "text_cms_heavy_hitters",
     "rel_range_join",
     "h3_partition_by_res",
+    "sketch_bloom_decontaminate",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1092,7 +1093,10 @@ _DRIVER_ORDER_FIRST = [
     "text_unigram_logprob",
     "rel_pricing_summary",
     "rel_top_revenue_orders",
-    "rel_customer_order_rank",
+    # rel_customer_order_rank deferred to r5 (r2-green, untouched; its
+    # rank-window shape is covered in-window by pipeline_weighted_sample's
+    # WindowGroupLimit and the rolling-window query) — made room for
+    # sketch_bloom_decontaminate, the new Bloom sketch's driver row
     # rel_nation_order_stats deferred to r5 (r2-green, untouched; its
     # join+agg shape is covered in-window by rel_pricing_summary and
     # rel_supplier_part_pricing) — made room for mm_jpeg_decode, the

@@ -4483,3 +4483,102 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_channels")
     )
+
+
+def _bloom_oracle(m_words: int = 2048) -> str:
+    """DuckDB replica of bloom_build + bloom_contains over the eval
+    slice's 3-gram shingles (same md5+mix hashes, same 64-bit word
+    grid — sketch.bloom_oracle_sql is the two-column generic twin)."""
+    from h3ron_spark.pipeline.sketch import BLOOM_SEEDS
+
+    m_bits = m_words * 63
+    pos = ", ".join(
+        f"(({_hash_sql('v', seed)} % {m_bits}) + {m_bits}) % {m_bits}"
+        for seed in BLOOM_SEEDS
+    )
+    return f"""
+  WITH ev AS (
+    SELECT DISTINCT unnest({_SHINGLES}) AS v
+    FROM documents WHERE doc_id % 37 = 0
+  ), bpos AS (
+    SELECT unnest([{pos}]) AS pos FROM ev
+  ), filt AS (
+    SELECT pos // 63 AS word,
+           bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS bits
+    FROM bpos GROUP BY 1
+  ), probe AS (
+    SELECT DISTINCT source, v FROM (
+      SELECT source, unnest({_SHINGLES}) AS v
+      FROM documents WHERE doc_id % 37 <> 0
+    )
+  ), pp AS (
+    SELECT source, v, unnest([{pos}]) AS pos FROM probe
+  ), hits AS (
+    SELECT p.source, p.v,
+           min(CASE WHEN ((coalesce(f.bits, 0) >> CAST(p.pos % 63 AS INTEGER)) & 1) = 1
+                    THEN 1 ELSE 0 END) AS maybe,
+           max(CASE WHEN e.v IS NOT NULL THEN 1 ELSE 0 END) AS truth
+    FROM pp p
+    LEFT JOIN filt f ON p.pos // 63 = f.word
+    LEFT JOIN ev e ON p.v = e.v
+    GROUP BY p.source, p.v
+  )
+  SELECT source,
+         count(*) AS n_grams,
+         CAST(sum(maybe) AS BIGINT) AS n_maybe,
+         CAST(sum(truth) AS BIGINT) AS n_true,
+         CAST(sum(maybe) - sum(truth) AS BIGINT) AS n_fp
+  FROM hits GROUP BY source ORDER BY source
+"""
+
+
+@register("sketch_bloom_decontaminate", oracle=_bloom_oracle())
+def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination audit — the fourth sketch
+    (membership), completing HLL/KMV/CMS. The 'eval benchmark' slice
+    (doc_id % 37 == 0) inserts its distinct 3-gram shingles into a
+    2048-word (63 usable bits each, ~16 KiB) Bloom filter built by ONE map-side-combinable
+    bit_or aggregate; every other document's (source, shingle) pairs
+    probe it through a broadcast join of the <=2048-row filter. Per
+    source: grams probed, bloom hits, exact hits, implied false
+    positives — the one-sided guarantee (n_maybe >= n_true, no false
+    negatives) is what the oracle's n_fp >= 0 column certifies row by
+    row. At 100 TB the filter is a fixed 16 KiB broadcast no matter
+    how big the eval suite grows, where the exact broadcast set
+    (dedup.ngram_contamination) grows with it — the two queries
+    together show the exact/sketch tradeoff on the same corpus."""
+    from h3ron_spark.pipeline import dedup as DD
+    from h3ron_spark.pipeline import sketch as SK
+
+    m_words = 2048
+    docs = load(spark, sf_dir, "documents")
+    eval_sh = (
+        docs.filter(F.col("doc_id") % 37 == 0)
+        .select(F.explode(F.array_distinct(DD.shingles("text", 3))).alias("v"))
+        .distinct()
+    )
+    bloom = SK.bloom_build(eval_sh, "v", m_words=m_words)
+    probe = (
+        docs.filter(F.col("doc_id") % 37 != 0)
+        .select(
+            "source",
+            F.explode(F.array_distinct(DD.shingles("text", 3))).alias("v"),
+        )
+        .distinct()
+    )
+    maybe = SK.bloom_contains(bloom, probe, "v", m_words=m_words)
+    truth = eval_sh.select(F.col("v").alias("tv"))
+    return (
+        maybe.join(truth, maybe.v == truth.tv, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("bloom_maybe").cast("int")).alias("n_maybe"),
+            F.sum(F.col("tv").isNotNull().cast("int")).alias("n_true"),
+            (
+                F.sum(F.col("bloom_maybe").cast("int"))
+                - F.sum(F.col("tv").isNotNull().cast("int"))
+            ).alias("n_fp"),
+        )
+        .orderBy("source")
+    )
