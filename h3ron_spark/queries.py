@@ -1073,6 +1073,7 @@ _DRIVER_ORDER_FIRST = [
     "rel_range_join",
     "h3_partition_by_res",
     "sketch_bloom_decontaminate",
+    "rel_skew_salted_topk",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1092,7 +1093,9 @@ _DRIVER_ORDER_FIRST = [
     "h3_compact_dataframe",
     "text_unigram_logprob",
     "rel_pricing_summary",
-    "rel_top_revenue_orders",
+    # rel_top_revenue_orders deferred to r5 (r2-green, untouched; its
+    # broadcast-join + deterministic top-k shape is covered in-window
+    # by rel_supplier_part_pricing and the new rel_skew_salted_topk)
     # rel_customer_order_rank deferred to r5 (r2-green, untouched; its
     # rank-window shape is covered in-window by pipeline_weighted_sample's
     # WindowGroupLimit and the rolling-window query) — made room for

@@ -4582,3 +4582,65 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SKEW_TOPK_ORACLE = """
+  WITH top AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id ASC) AS rnk
+    FROM events
+  ), du AS (
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+  )
+  SELECT t.event_type, t.rnk, t.event_id,
+         round(t.value, 2) AS value, d.n_users
+  FROM top t JOIN du d USING (event_type)
+  WHERE t.rnk <= 3
+  ORDER BY t.event_type, t.rnk
+"""
+
+
+@register("rel_skew_salted_topk", oracle=_SKEW_TOPK_ORACLE)
+def rel_skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation on real low-cardinality skew: event_type has
+    a handful of values over the whole events table, so BOTH a window
+    top-k (one task per hot partition key — AQE never splits windows)
+    and an exact count-distinct (whole per-key distinct state in one
+    reducer) serialize on the hottest type at scale. The salted pair
+    (operators/skew.py) fixes each with deterministic md5 salts:
+    salted_topk ranks within (key, salt) first — every true top-k row
+    survives its bucket — then re-ranks n_salts*k survivors; value-
+    salted count-distinct makes per-bucket distinct sets DISJOINT
+    (same value -> same bucket), so stage 2 just sums bucket counts.
+    No rand(): retries and speculative tasks cannot diverge. Results
+    are pinned to the plain window/count-distinct oracle."""
+    from h3ron_spark.operators.skew import (
+        salted_count_distinct,
+        salted_topk,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    top = salted_topk(
+        ev,
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+        salt_from="event_id",
+        n_salts=8,
+    )
+    users = salted_count_distinct(
+        ev, ["event_type"], "user_id", n_salts=32, out_col="n_users"
+    )
+    return (
+        top.join(F.broadcast(users), "event_type")
+        .select(
+            "event_type",
+            "rnk",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            "n_users",
+        )
+        .orderBy("event_type", "rnk")
+    )

@@ -365,3 +365,124 @@ def test_range_join_matches_naive_and_handles_boundaries(spark):
     )
     assert got == naive
     assert len(got) > 0
+
+
+# ------------------------------------------------------------------
+# Skew operators (operators/skew.py)
+# ------------------------------------------------------------------
+
+
+def _skewed_df(spark, n=3000):
+    """80% of rows on one hot key, values with duplicates and nulls."""
+    from pyspark.sql import functions as F2
+
+    return spark.range(n).select(
+        F2.col("id").alias("rid"),
+        F2.when(F2.col("id") % 5 != 0, F2.lit("hot"))
+        .otherwise(F2.concat(F2.lit("k"), F2.col("id") % 7))
+        .alias("k"),
+        (F2.col("id") % 97).alias("v"),
+        (F2.col("id") % 13).cast("double").alias("score"),
+    )
+
+
+def test_salted_count_distinct_equals_exact(spark):
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.operators.skew import salted_count_distinct
+
+    df = _skewed_df(spark)
+    got = {
+        (r.k): r.n_distinct
+        for r in salted_count_distinct(df, ["k"], "v", n_salts=7).collect()
+    }
+    want = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F2.count_distinct("v").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_salted_collect_set_disjoint_merge(spark):
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.operators.skew import salted_collect_set
+
+    df = _skewed_df(spark, 500)
+    got = {
+        r.k: list(r.values)
+        for r in salted_collect_set(df, ["k"], "v", n_salts=5).collect()
+    }
+    want = {
+        r.k: sorted(r.s)
+        for r in df.groupBy("k").agg(F2.collect_set("v").alias("s")).collect()
+    }
+    assert got == want  # sorted arrays equal => disjointness held
+
+
+def test_salted_topk_exact_including_hot_key_ties(spark):
+    from pyspark.sql import functions as F2
+    from pyspark.sql import Window as W2
+
+    from h3ron_spark.operators.skew import salted_topk
+
+    df = _skewed_df(spark)
+    got = (
+        salted_topk(
+            df,
+            ["k"],
+            [F2.col("score").desc(), F2.col("rid").asc()],
+            k=4,
+            salt_from="rid",
+            n_salts=6,
+        )
+        .select("k", "rnk", "rid")
+        .collect()
+    )
+    w = W2.partitionBy("k").orderBy(F2.col("score").desc(), F2.col("rid").asc())
+    want = (
+        df.withColumn("rnk", F2.row_number().over(w))
+        .filter(F2.col("rnk") <= 4)
+        .select("k", "rnk", "rid")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_salted_join_equals_plain_join_and_drops_nulls(spark):
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.operators.skew import salted_join
+
+    fact = _skewed_df(spark).withColumn(
+        "k", F2.when(F2.col("rid") % 11 == 0, None).otherwise(F2.col("k"))
+    )
+    dim = spark.createDataFrame(
+        [("hot", 100)] + [(f"k{i}", i) for i in range(7)], ["k", "attr"]
+    )
+    got = salted_join(fact, dim, "k", n_salts=4, salt_from="rid")
+    want = fact.join(dim, "k", "inner")
+    assert got.count() == want.count()
+    g = got.groupBy("k").agg(F2.sum("attr").alias("s")).collect()
+    w = want.groupBy("k").agg(F2.sum("attr").alias("s")).collect()
+    assert sorted(map(tuple, g)) == sorted(map(tuple, w))
+    assert got.filter(F2.col("k").isNull()).count() == 0
+
+
+def test_salted_topk_two_stage_plan(spark):
+    """Plan pin: stage 1 is a per-(key, salt) WindowGroupLimit — the
+    hot key's ranking work is split across salts BEFORE the per-key
+    window runs."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.operators.skew import salted_topk
+
+    df = _skewed_df(spark)
+    plan = (
+        salted_topk(
+            df, ["k"], [F2.col("score").desc(), F2.col("rid").asc()],
+            k=3, salt_from="rid", n_salts=6,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2  # both stages pre-shrink
