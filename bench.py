@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "sketch_hll_merged",
     "text_cms_heavy_hitters",
     "rel_range_join",
+    "rel_skew_salted_topk",
+    "sketch_bloom_decontaminate",
+    "mm_jpeg_decode",
+    "sketch_hdr_quantiles",
     # beyond-broadcast SSSP: 5.76M-edge synthetic torus (1200^2 x 4
     # directions at sf>=0.1) — the regime where the broadcast
     # Dijkstra's collected adjacency would be several GiB

@@ -499,3 +499,157 @@ def bloom_oracle_sql(
   FROM probes p LEFT JOIN filt f ON p.pos // 63 = f.word
   GROUP BY p.v
 """
+
+
+# ---------------------------------------------------------------------
+# Log-scale (HDR-style) histogram — the fifth sketch: quantiles.
+# HLL = cardinality, KMV = overlap, CMS = frequency, Bloom =
+# membership, HDR histogram = distribution/quantiles.
+# ---------------------------------------------------------------------
+
+
+def hdr_bucket(value_name: str, sub_bits: int = 5) -> Column:
+    """Deterministic log-scale bucket id for a non-negative value
+    column (HDR-histogram layout, Gray & Tene's public design):
+    values floor to integers; 0..2^sub_bits-1 map to themselves
+    (exact); larger values split per power of two into 2^sub_bits
+    linear sub-buckets:
+
+      exp  = bitlen(floor(v)) - 1          (integer, via bin length)
+      sub  = floor(v) >> (exp - sub_bits)  (top sub_bits+1 bits)
+      id   = (exp - sub_bits) * 2^sub_bits + sub
+
+    Monotone and contiguous across ranges; every step is integer bit
+    math both engines compute identically — no float log2. Bucket
+    width is < 2^-sub_bits relative (~3% at sub_bits=5). Negative
+    values bucket to NULL (callers filter). Takes a column NAME (the
+    variable-count shift is an SQL expression)."""
+    m = 1 << sub_bits
+    v = f"CAST(floor({value_name}) AS BIGINT)"
+    nb = f"length(bin({v}))"
+    return F.expr(
+        f"CASE WHEN {v} < 0 THEN NULL "
+        f"WHEN {v} < {m} THEN {v} "
+        f"ELSE ({nb} - 1 - {sub_bits}) * {m} "
+        f"     + shiftright({v}, CAST({nb} - 1 - {sub_bits} AS INT)) END"
+    ).cast("long")
+
+
+def hdr_bucket_low(bucket_name: str, sub_bits: int = 5) -> Column:
+    """Inclusive lower bound of a bucket id (inverse of hdr_bucket):
+    ids < 2^sub_bits are exact values; above, the id decomposes as
+    e = id div 2^sub_bits, s = id mod 2^sub_bits with
+    low = (2^sub_bits + s) << (e - 1)."""
+    m = 1 << sub_bits
+    b = bucket_name
+    return F.expr(
+        f"CASE WHEN {b} < {m} THEN CAST({b} AS BIGINT) "
+        f"ELSE shiftleft(CAST({m} + {b} % {m} AS BIGINT), "
+        f"               CAST({b} div {m} - 1 AS INT)) END"
+    ).cast("long")
+
+
+def hdr_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Per-group log-scale histogram: (group, bucket) -> count, from
+    ONE map-side-combinable aggregate. State per group is bounded by
+    ~(bitwidth - sub_bits + 1) * 2^sub_bits buckets (~1.9k at 64-bit /
+    sub_bits=5) no matter the row count — the fixed-budget shape that
+    lets a 100-TB corpus keep per-source latency/size distributions as
+    a tiny mergeable table (:func:`hdr_merge` sums shard counts)."""
+    return (
+        df.select(*group_cols, hdr_bucket(value_col, sub_bits).alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(hists: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge histograms to coarser groups by summing bucket counts."""
+    return hists.groupBy(*group_cols, "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Estimate quantiles from a histogram frame: rank r(q) =
+    ceil(q * n) over the bucket-ordered cumulative counts; the answer
+    is the LOWER BOUND of the first bucket whose cumulative count
+    reaches r — a deterministic integer (within one bucket width,
+    <2^-sub_bits relative, of the true quantile). All window + integer
+    math on <=2k rows per group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    out = None
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("n"))
+        first = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy(*group_cols)
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                *group_cols,
+                F.lit(q).alias("q"),
+                hdr_bucket_low("bucket", sub_bits).alias("q_low"),
+            )
+        )
+        out = first if out is None else out.unionByName(first)
+    return out
+
+
+def hdr_oracle_sql(
+    value_expr: str,
+    group_cols: list[str],
+    table: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 5,
+) -> str:
+    """DuckDB replica of hdr_histogram + hdr_quantiles (shared with
+    the query oracle). Same integer bucket math via bin()-length."""
+    m = 1 << sub_bits
+    g = ", ".join(group_cols)
+    q_rows = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+  WITH vals AS (
+    SELECT {g}, CAST(floor({value_expr}) AS BIGINT) AS v FROM {table}
+    WHERE {value_expr} >= 0
+  ), bucketed AS (
+    SELECT {g},
+           CASE WHEN v < {m} THEN v
+                ELSE (length(bin(v)) - 1 - {sub_bits}) * {m}
+                     + (v >> CAST(length(bin(v)) - 1 - {sub_bits} AS INTEGER))
+           END AS bucket
+    FROM vals
+  ), hist AS (
+    SELECT {g}, bucket, count(*) AS cnt FROM bucketed GROUP BY {g}, bucket
+  ), cum AS (
+    SELECT {g}, bucket, cnt,
+           sum(cnt) OVER (PARTITION BY {g} ORDER BY bucket) AS cum,
+           sum(cnt) OVER (PARTITION BY {g}) AS n
+    FROM hist
+  ), qs(q) AS (VALUES {q_rows})
+  SELECT {g}, q,
+         CAST(CASE WHEN b < {m} THEN b
+              ELSE ({m} + (b % {m})) * CAST(pow(2.0, b // {m} - 1) AS BIGINT)
+         END AS BIGINT) AS q_low
+  FROM (
+    SELECT {g}, q, min(bucket) AS b
+    FROM cum CROSS JOIN qs
+    WHERE cum >= ceil(q * n)
+    GROUP BY {g}, q
+  )
+"""

@@ -1074,6 +1074,7 @@ _DRIVER_ORDER_FIRST = [
     "h3_partition_by_res",
     "sketch_bloom_decontaminate",
     "rel_skew_salted_topk",
+    "sketch_hdr_quantiles",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1118,7 +1119,10 @@ _DRIVER_ORDER_FIRST = [
     # suite). ann_topk_cosine note: it is
     # the deliberate brute-force baseline, r2-green and untouched,
     # and all four of its bucketed siblings are in this window
-    "embedding_label_centroid_norms",
+    # embedding_label_centroid_norms deferred to r5 (r2-green,
+    # untouched; embedding machinery is covered in-window by the five
+    # ANN queries and dedup_embedding_*) — made room for
+    # sketch_hdr_quantiles, the new quantile sketch's driver row
     # text_token_counts deferred to r5 (r2-green, untouched; its
     # tokenizer is exercised by five other in-window text queries)
     "h3_set_ops",

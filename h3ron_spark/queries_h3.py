@@ -4644,3 +4644,43 @@ def rel_skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rnk")
     )
+
+
+def _hdr_oracle() -> str:
+    from h3ron_spark.pipeline.sketch import hdr_oracle_sql
+
+    per = hdr_oracle_sql("n_chars", ["source"], "documents")
+    glob = hdr_oracle_sql(
+        "n_chars", ["source"], "(SELECT 'ALL' AS source, n_chars FROM documents)"
+    )
+    return f"""
+  SELECT * FROM ({per})
+  UNION ALL
+  SELECT * FROM ({glob})
+  ORDER BY source, q
+"""
+
+
+@register("sketch_hdr_quantiles", oracle=_hdr_oracle())
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-scale (HDR-style) histogram quantiles — the fifth sketch
+    (distribution), completing HLL/KMV/CMS/Bloom. Per-source p50/p90/
+    p99 of document length from ONE map-side-combinable (source,
+    bucket) count aggregate whose state is bounded (~1.9k buckets per
+    group at 64-bit range) regardless of corpus size; the global
+    'ALL' rows re-derive the same quantiles from the MERGED per-source
+    histograms (bucket-count sum — the shard-then-roll-up path a
+    100-TB latency/size dashboard uses). Bucket math is pure integer
+    bit arithmetic (bin()-length exponent, variable shifts) identical
+    in both engines — no float log2 anywhere; answers are bucket
+    lower bounds, <2^-5 relative from truth by construction."""
+    from h3ron_spark.pipeline import sketch as SK
+
+    docs = load(spark, sf_dir, "documents")
+    hist = SK.hdr_histogram(docs, "n_chars", ["source"])
+    per = SK.hdr_quantiles(hist, ["source"])
+    merged = SK.hdr_merge(
+        hist.withColumn("source", F.lit("ALL")), ["source"]
+    )
+    glob = SK.hdr_quantiles(merged, ["source"])
+    return per.unionByName(glob).orderBy("source", "q")

@@ -276,3 +276,94 @@ def test_bloom_contains_broadcasts_filter(spark):
     plan = bloom_contains(bloom, vals, "v", m_words=16)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hdr_bucket_exact_small_range(spark):
+    """Values below 2^sub_bits are their own bucket: quantiles in the
+    small range are EXACT, and bucket lower bounds invert the id."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.sketch import hdr_bucket, hdr_bucket_low
+
+    rows = (
+        spark.range(32)
+        .select(
+            F2.col("id").alias("v"),
+            hdr_bucket("id").alias("b"),
+        )
+        .withColumn("lo", hdr_bucket_low("b"))
+        .collect()
+    )
+    assert all(r.b == r.v and r.lo == r.v for r in rows)
+
+
+def test_hdr_bucket_monotone_and_bound(spark):
+    """Bucket ids are monotone in v and bucket_low(b) <= v holds with
+    relative gap < 2^-5 — the sketch's accuracy envelope."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.sketch import hdr_bucket, hdr_bucket_low
+
+    vals = spark.createDataFrame(
+        [(v,) for v in [0, 1, 31, 32, 33, 100, 999, 12345, 2**20 + 7,
+                        2**40 + 123, 2**62]],
+        ["v"],
+    )
+    rows = (
+        vals.select("v", hdr_bucket("v").alias("b"))
+        .withColumn("lo", hdr_bucket_low("b"))
+        .orderBy("v")
+        .collect()
+    )
+    prev_b = -1
+    for r in rows:
+        assert r.b >= prev_b
+        prev_b = r.b
+        assert r.lo <= r.v
+        if r.v >= 32:
+            assert (r.v - r.lo) / r.v < 2 ** -5 * 2  # one bucket width
+
+
+def test_hdr_quantiles_close_to_exact(spark):
+    """p50/p90/p99 from the sketch land within one bucket width of
+    numpy's exact higher-interpolation percentiles."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.sketch import hdr_histogram, hdr_quantiles
+
+    data = [(int(7 + (i * i) % 5000),) for i in range(4000)]
+    df = spark.createDataFrame(data, ["v"]).withColumn("g", F2.lit("x"))
+    hist = hdr_histogram(df, "v", ["g"])
+    got = {r.q: r.q_low for r in hdr_quantiles(hist, ["g"]).collect()}
+    arr = np.array([d[0] for d in data])
+    for q in (0.5, 0.9, 0.99):
+        exact = np.percentile(arr, q * 100, method="lower")
+        assert got[q] <= exact * 1.001
+        assert got[q] >= exact * (1 - 2 ** -4), (q, got[q], exact)
+
+
+def test_hdr_merge_equals_whole_and_bounded_state(spark):
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.sketch import (
+        hdr_histogram,
+        hdr_merge,
+        hdr_quantiles,
+    )
+
+    df = spark.range(5000).select(
+        (F2.col("id") % 4).alias("shard"),
+        ((F2.col("id") * 37) % 100000).alias("v"),
+    ).withColumn("g", F2.lit("all"))
+    whole = hdr_histogram(df, "v", ["g"])
+    shards = hdr_histogram(df, "v", ["g", "shard"]).drop("shard")
+    merged = hdr_merge(shards, ["g"])
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # bounded state: far fewer buckets than distinct values
+    assert whole.count() < 600
+    q_w = sorted(map(tuple, hdr_quantiles(whole, ["g"]).collect()))
+    q_m = sorted(map(tuple, hdr_quantiles(merged, ["g"]).collect()))
+    assert q_w == q_m
