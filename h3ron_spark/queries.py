@@ -1075,6 +1075,7 @@ _DRIVER_ORDER_FIRST = [
     "sketch_bloom_decontaminate",
     "rel_skew_salted_topk",
     "sketch_hdr_quantiles",
+    "stream_hll_distinct",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1136,7 +1137,10 @@ _DRIVER_ORDER_FIRST = [
     "text_decontaminate",
     "pipeline_train_test_split",
     "pipeline_source_quota",
-    "pipeline_mixture_epoch",
+    # pipeline_mixture_epoch deferred to r5 (r2-green, untouched;
+    # deterministic-sampling machinery covered in-window by
+    # train_test_split/source_quota/pack_sequences + weighted_sample)
+    # — made room for stream_hll_distinct, the streaming sketch row
     "pipeline_pack_sequences",
     "pipeline_quality_gate",
     # rotation: two of the four graph-fixture goldens (heavy

@@ -4684,3 +4684,94 @@ def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     glob = SK.hdr_quantiles(merged, ["source"])
     return per.unionByName(glob).orderBy("source", "q")
+
+
+def _stream_hll_oracle() -> str:
+    from h3ron_spark.pipeline.sketch import hll_oracle_sql
+
+    hll = hll_oracle_sql("user_id", ["event_type"], "events", p=8)
+    return f"""
+  WITH hll AS ({hll}),
+  exact AS (
+    SELECT event_type, count(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY event_type
+  )
+  SELECT e.event_type, e.n_exact, h.hll_est, h.regs_used
+  FROM exact e JOIN hll h USING (event_type)
+  ORDER BY e.event_type
+"""
+
+
+@register("stream_hll_distinct", oracle=_stream_hll_oracle())
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL driven end-to-end (applyInPandasWithState,
+    sixth streaming surface): per-event-type distinct-user registers
+    accumulate across three micro-batches (event_id % 3 file splits —
+    every key's values span every batch, so the state genuinely
+    carries). The design rule this query certifies: MONOID state
+    (register max) makes the streaming answer provably equal to the
+    batch sketch over the union of rows — batch boundaries, ordering,
+    and replayed emissions cannot change it — so the BATCH DuckDB
+    oracle pins the streamed result bit-for-bit. The Python kernel
+    replicates the md5/bit-math hash exactly; finalization reuses the
+    batch hll_estimate, keeping one float path for both engines."""
+    import shutil
+    import tempfile
+
+    from h3ron_spark.pipeline import sketch as SK
+    from h3ron_spark.streaming.sketches import hll_stream
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    workdir = tempfile.mkdtemp(prefix="h3ron_streamhll_")
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_conf, None)
+    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    try:
+        for i in range(3):
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+                f"{workdir}/in/b{i}.parquet"
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, user_id long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{workdir}/in/*")
+        )
+        global _STREAM_SEQ
+        _STREAM_SEQ += 1
+        sink = f"h3ron_streamhll_{_STREAM_SEQ}"
+        q = (
+            hll_stream(stream, "user_id", "event_type", p=8)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_hll_distinct did not drain")
+        regs = (
+            spark.table(sink)
+            .groupBy(F.col("key").alias("event_type"), "_reg")
+            .agg(F.max("_M").alias("_M"))
+        )
+        est = SK.hll_estimate(regs, ["event_type"], p=8)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_exact")
+        )
+        out = (
+            exact.join(est, "event_type")
+            .select("event_type", "n_exact", "hll_est", "regs_used")
+            .orderBy("event_type")
+        )
+        out = out.localCheckpoint()  # detach from the temp files
+        return out
+    finally:
+        if old_parts is not None:
+            spark.conf.set(shuffle_conf, old_parts)
+        shutil.rmtree(workdir, ignore_errors=True)

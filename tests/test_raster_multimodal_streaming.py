@@ -741,3 +741,51 @@ def test_real_jpeg_features_and_resize(spark):
         xs = (np.arange(16) * orig.shape[1]) // 16
         nn = orig[ys][:, xs].astype(int)
         assert np.abs(px.astype(int) - nn).max() <= 24  # q=90 re-encode
+
+
+def test_stream_hll_registers_equal_batch_bit_for_bit(spark, tmp_path):
+    """The monoid claim, pinned: registers accumulated across three
+    micro-batches (with every key spanning every batch) equal the
+    batch hll_registers over the union of rows EXACTLY — not just the
+    estimate, the full register state."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline import sketch as SK
+    from h3ron_spark.streaming.sketches import hll_stream
+
+    df = spark.range(900).select(
+        F2.col("id").alias("event_id"),
+        F2.concat(F2.lit("t"), F2.col("id") % 3).alias("k"),
+        ((F2.col("id") * 31) % 140).alias("v"),
+    )
+    for i in range(3):
+        df.filter(F2.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{tmp_path}/in/b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("event_id long, k string, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    q = (
+        hll_stream(stream, "v", "k", p=6)
+        .writeStream.format("memory")
+        .queryName("hllmono")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    streamed = {
+        (r.k, r._reg): r._M
+        for r in spark.table("hllmono")
+        .groupBy(F2.col("key").alias("k"), "_reg")
+        .agg(F2.max("_M").alias("_M"))
+        .collect()
+    }
+    batch = {
+        (r.k, r._reg): r._M
+        for r in SK.hll_registers(df, "v", ["k"], p=6).collect()
+    }
+    assert streamed == batch
