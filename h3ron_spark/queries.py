@@ -1076,6 +1076,7 @@ _DRIVER_ORDER_FIRST = [
     "rel_skew_salted_topk",
     "sketch_hdr_quantiles",
     "stream_hll_distinct",
+    "rel_zorder_scan",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1136,7 +1137,10 @@ _DRIVER_ORDER_FIRST = [
     "dedup_paragraphs",
     "text_decontaminate",
     "pipeline_train_test_split",
-    "pipeline_source_quota",
+    # pipeline_source_quota deferred to r5 (r2-green, untouched;
+    # deterministic-sampling machinery covered in-window by
+    # train_test_split/pack_sequences + weighted_sample) — made room
+    # for rel_zorder_scan, the new layout operator's driver row
     # pipeline_mixture_epoch deferred to r5 (r2-green, untouched;
     # deterministic-sampling machinery covered in-window by
     # train_test_split/source_quota/pack_sequences + weighted_sample)

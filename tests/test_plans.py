@@ -533,3 +533,32 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_zorder_readback_pushes_z_range_to_parquet(spark, tmp_path):
+    """The z-range predicate must reach the parquet scan as
+    PushedFilters (row-group min/max skipping at scale) and the z-key
+    itself must be pure codegen — no UDF node anywhere."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.operators.layout import write_zordered
+
+    df = spark.range(2000).select(
+        (F2.col("id") % 251).alias("a"), (F2.col("id") % 97).alias("b")
+    )
+    write_zordered(
+        df.withColumn("_qa", F2.col("a") % 256).withColumn(
+            "_qb", F2.col("b") % 256
+        ),
+        str(tmp_path / "t"),
+        ["_qa", "_qb"],
+        bits=8,
+    )
+    back = spark.read.parquet(str(tmp_path / "t")).filter(
+        F2.col("z").between(1000, 3000)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(z,1000)" in plan
+    assert "LessThanOrEqual(z,3000)" in plan
+    assert "Python" not in plan
