@@ -15,8 +15,10 @@ Execution model (SURVEY §3.3): the reference runs one Dijkstra per
 origin on rayon threads against a shared in-memory adjacency. The
 Spark shape is identical: the adjacency broadcasts to executors and
 `mapInPandas` fans one Dijkstra per origin row across partitions.
-LongEdge shortcuts (prepared.rs:260-402) are a traversal-speed device
-with identical results (prepared.rs:59-64) — not reproduced.
+LongEdge shortcuts (prepared.rs:260-402) are reproduced as an opt-in
+(`prepare_routing_graph(contract=True)`): destination-disjoint chains
+relax as one junction-to-junction jump with identical results
+(prepared.rs:59-64), pinned vs the uncontracted path in tests.
 
 For graphs beyond broadcast size, `sssp_frontier` is the scale path:
 Pregel-style frontier relaxation where each iteration is one join +
@@ -71,7 +73,71 @@ def _in_sorted(arr, x) -> bool:
     return j < len(arr) and int(arr[j]) == x
 
 
-def prepare_routing_graph(edges: DataFrame):
+def _contract_chains(uniq, starts, ends, vv, ee, ww, min_len: int = 3):
+    """LongEdge chain contraction over the SORTED CSR arrays (the
+    reference's prepared.rs:260-402 to_longedge_edges /
+    assemble_edge_with_longedge): an edge whose origin does NOT have
+    exactly one upstream continuation (it starts a path — dead-end
+    start or post-junction) is followed forward while each hop has
+    exactly one continuing edge (excluding the immediate backward
+    edge), stopping at junctions, dead ends, or cycles. Chains of
+    >= ``min_len`` edges become a LongEdge the Dijkstra relaxes
+    INSTEAD of the chain's first edge whenever the chain is disjoint
+    from the destination set (dijkstra.rs:186-204) — interior chain
+    nodes are then never enqueued at all, which is where the speedup
+    on chain-heavy road graphs comes from.
+
+    Returns (le_map, longedges): ``le_map[i]`` is the longedge index
+    replacing sorted-CSR edge slot i (or -1), ``longedges`` entries
+    are (cells, edge_ids, end_node, acc_weight, cell_set). Weight
+    accumulates new+acc exactly like the reference's
+    ``longedge_weight = w_following + longedge_weight``."""
+    import numpy as np
+
+    n = len(vv)
+    u_sorted = np.repeat(uniq, (ends - starts).astype(np.int64))
+    out_edges: dict = {}
+    in_srcs: dict = {}
+    for i in range(n):
+        a, b = int(u_sorted[i]), int(vv[i])
+        out_edges.setdefault(a, []).append((b, i))
+        in_srcs.setdefault(b, set()).add(a)
+    le_map = np.full(n, -1, np.int64)
+    longedges: list = []
+    for i in range(n):
+        o, d = int(u_sorted[i]), int(vv[i])
+        ups = len(in_srcs.get(o, set()) - {d})
+        if ups == 1:
+            continue  # mid-chain edge: covered by the chain that starts it
+        path = [i]
+        acc = float(ww[i])
+        a, b = o, d
+        while True:
+            nexts = [
+                (dest, j)
+                for dest, j in out_edges.get(b, [])
+                if dest != a  # exclude the immediate backward edge
+            ]
+            if len(nexts) != 1:
+                break  # junction or dead end
+            dest, j = nexts[0]
+            if j in path:
+                break  # cycle
+            path.append(j)
+            acc = float(ww[j]) + acc
+            a, b = b, dest
+        if len(path) >= min_len:
+            cells = [int(u_sorted[path[0]])] + [int(vv[j]) for j in path]
+            le_map[i] = len(longedges)
+            longedges.append(
+                (cells, [int(ee[j]) for j in path], b, acc, frozenset(cells))
+            )
+    return le_map, longedges
+
+
+def prepare_routing_graph(
+    edges: DataFrame, contract: bool = False, min_chain_len: int = 3
+):
     """Broadcastable prepared adjacency (the engine's analog of the
     reference's PreparedH3EdgeGraph, prepared.rs:29-64): the edge
     table as sorted numpy CSR arrays. Build is one Arrow transfer +
@@ -79,7 +145,17 @@ def prepare_routing_graph(edges: DataFrame):
     six primitive arrays, ~5x smaller than the dict-of-lists it
     replaces. Reuse the returned handle across routing calls to
     amortize collect + broadcast, exactly like the reference reuses a
-    prepared graph across bench iterations (route_germany.rs:58-83)."""
+    prepared graph across bench iterations (route_germany.rs:58-83).
+
+    ``contract=True`` additionally runs LongEdge chain contraction
+    (:func:`_contract_chains`, prepared.rs:260-402): junction-to-
+    junction shortcut edges speed point-to-point Dijkstra on chain-
+    heavy road graphs. Opt-in because the shortcut's pre-accumulated
+    float weight can differ from the step-by-step relaxation sum in
+    the last ulp (exactly as in the reference, which also pre-sums) —
+    the default path stays bit-identical to the uncontracted oracles.
+    Floods (within_weight_threshold) settle every node anyway and
+    gain nothing from shortcuts; prepare uncontracted for those."""
     import numpy as np
 
     pdf = (
@@ -99,7 +175,11 @@ def prepare_routing_graph(edges: DataFrame):
         pdf["edge"].to_numpy(np.int64),
         pdf["weight"].to_numpy(np.float64),
     )
-    return edges.sparkSession.sparkContext.broadcast(csr)
+    contraction = None
+    if contract:
+        contraction = _contract_chains(*csr[:6], min_chain_len)
+    payload = csr + (contraction,)
+    return edges.sparkSession.sparkContext.broadcast(payload)
 
 
 def _dijkstra_csr(csr, src, dests=None, num_dests=None, threshold=None):
@@ -108,6 +188,23 @@ def _dijkstra_csr(csr, src, dests=None, num_dests=None, threshold=None):
     import numpy as np
 
     uniq, starts, ends, vv, ee, ww = csr[:6]
+    # LongEdge usage rule (dijkstra.rs:186-204): replace a chain's
+    # first edge with its longedge ONLY when routing to destinations
+    # the chain is disjoint from (a contained destination would be
+    # jumped over); threshold floods never use longedges
+    # (edge_dijkstra_weight_threshold's documented contract).
+    le_map = None
+    if len(csr) > 7 and csr[7] is not None and dests is not None:
+        le_map, longedges = csr[7]
+        allowed = [dests.isdisjoint(le[4]) for le in longedges]
+        # per-origin flag: spans without any longedge take the plain
+        # zip fast path (the overwhelming majority of nodes)
+        has_le = np.zeros(len(uniq), dtype=bool)
+        np.maximum.at(
+            has_le,
+            np.searchsorted(starts, np.nonzero(le_map >= 0)[0], "right") - 1,
+            True,
+        )
     dist = {src: 0.0}
     parent: dict = {}
     done = set()
@@ -128,9 +225,22 @@ def _dijkstra_csr(csr, src, dests=None, num_dests=None, threshold=None):
         if j >= len(uniq) or int(uniq[j]) != u:
             continue
         s, t = int(starts[j]), int(ends[j])
-        for v, e, w in zip(
-            vv[s:t].tolist(), ee[s:t].tolist(), ww[s:t].tolist()
-        ):
+        if le_map is None or not has_le[j]:
+            slots = zip(
+                vv[s:t].tolist(), ee[s:t].tolist(), ww[s:t].tolist()
+            )
+        else:
+            slots = []
+            for k, (v, e, w) in enumerate(
+                zip(vv[s:t].tolist(), ee[s:t].tolist(), ww[s:t].tolist())
+            ):
+                li = int(le_map[s + k])
+                if li >= 0 and allowed[li]:
+                    le = longedges[li]
+                    slots.append((le[2], -li - 1, le[3]))
+                else:
+                    slots.append((v, e, w))
+        for v, e, w in slots:
             nd = d + w
             if nd < dist.get(v, inf):
                 dist[v] = nd
@@ -139,8 +249,11 @@ def _dijkstra_csr(csr, src, dests=None, num_dests=None, threshold=None):
     return dist, parent, done, reached
 
 
-def _assemble_path(parent, src, dst):
-    """Walk parents backward (dijkstra.rs:253-312)."""
+def _assemble_path(parent, src, dst, longedges=None):
+    """Walk parents backward (dijkstra.rs:253-312). Negative edge ids
+    are LongEdge shortcuts: expand to the stored chain (cells, edge
+    ids) so callers always see the FULL cell path, exactly like the
+    reference's longedge h3edges_vec expansion (longedge.rs:37-76)."""
     cells = [dst]
     edges = []
     cur = dst
@@ -148,8 +261,15 @@ def _assemble_path(parent, src, dst):
         if cur not in parent:
             return None, None
         cur, e = parent[cur]
-        cells.append(cur)
-        edges.append(e)
+        if e >= 0 or longedges is None:
+            cells.append(cur)
+            edges.append(e)
+        else:
+            le_cells, le_edges = longedges[-e - 1][:2]
+            edges.extend(reversed(le_edges))
+            # le_cells = [chain_origin .. chain_end]; chain_end is
+            # already the last appended cell
+            cells.extend(reversed(le_cells[:-1]))
     cells.reverse()
     edges.reverse()
     return cells, edges
@@ -238,6 +358,11 @@ def shortest_path_many_to_many(
                 dmap = dest_map_b.value
                 dset = set(dmap.keys())
                 onodes = csr[0]
+                lngs = (
+                    csr[7][1]
+                    if len(csr) > 7 and csr[7] is not None
+                    else None
+                )
             rows = []
             for c in pdf["cell"]:
                 orig = int(c)
@@ -248,7 +373,9 @@ def shortest_path_many_to_many(
                     csr, src, dests=dset, num_dests=n_reach
                 )
                 for node in reached:
-                    cells, path_edges = _assemble_path(parent, src, node)
+                    cells, path_edges = _assemble_path(
+                        parent, src, node, longedges=lngs
+                    )
                     for original_dest in dmap[node]:
                         rows.append(
                             (orig, original_dest, dist[node], cells, path_edges)

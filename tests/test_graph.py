@@ -597,3 +597,156 @@ def test_sssp_frontier_random_graph_parity(spark):
                     ew[(a, b)] for a, b in zip(cells, cells[1:])
                 )
                 assert abs(total - want[(o, d)]) < 1e-9
+
+
+# ------------------------------------------------------------------
+# LongEdge chain contraction (prepared.rs:260-402)
+# ------------------------------------------------------------------
+
+
+def test_longedge_contraction_on_line(spark, line_edges, path_cells):
+    """A bidirectional line contracts to exactly two shortcuts (one
+    per direction), each spanning every edge of its direction with
+    the summed weight; interior edges are preserved alongside."""
+    from h3ron_spark.graph.algorithms import prepare_routing_graph
+
+    n = len(path_cells)
+    plain = prepare_routing_graph(line_edges)
+    contracted = prepare_routing_graph(line_edges, contract=True)
+    assert plain.value[7] is None
+    le_map, longedges = contracted.value[7]
+    assert len(longedges) == 2
+    for cells, eids, end, acc, cset in longedges:
+        assert len(eids) == n - 1
+        assert len(cells) == n
+        assert set(cells) == set(path_cells) == set(cset)
+        assert end == cells[-1]
+        assert acc == float(n - 1)  # unit weights, full span
+    # the CSR itself is untouched (longedges REPLACE the chain-start
+    # edge only at relaxation time); exactly two slots are mapped
+    assert len(contracted.value[3]) == len(plain.value[3])
+    assert int((le_map >= 0).sum()) == 2
+
+
+def test_longedge_routes_match_uncontracted(spark, line_edges, path_cells):
+    """Routing through the contracted graph returns the SAME rows —
+    costs and the fully expanded cell/edge paths — as the
+    uncontracted graph, including endpoints interior to a chain."""
+    from h3ron_spark.graph.algorithms import (
+        prepare_routing_graph,
+        shortest_path_many_to_many,
+    )
+
+    origins = [path_cells[0], path_cells[3]]
+    dests = [path_cells[-1], path_cells[5]]
+    plain = shortest_path_many_to_many(
+        line_edges, origins, dests,
+        prepared=prepare_routing_graph(line_edges),
+    ).collect()
+    fast = shortest_path_many_to_many(
+        line_edges, origins, dests,
+        prepared=prepare_routing_graph(line_edges, contract=True),
+    ).collect()
+    key = lambda r: (r.origin, r.destination)  # noqa: E731
+    p = {key(r): (r.cost, list(r.path_cells), list(r.path_edges)) for r in plain}
+    f = {key(r): (r.cost, list(r.path_cells), list(r.path_edges)) for r in fast}
+    assert set(p) == set(f) and len(p) == 4
+    for k in p:
+        assert p[k][1] == f[k][1], k  # identical expanded cell path
+        assert p[k][2] == f[k][2], k  # identical edge ids
+        assert abs(p[k][0] - f[k][0]) <= 1e-9 * max(1.0, abs(p[k][0]))
+
+
+def test_longedge_junction_stops_chain(spark):
+    """Chains must stop at junctions: a T-shaped graph (stem joining
+    the middle of a bar) contracts each arm separately and never
+    builds a shortcut across the junction."""
+    import h3ron_spark.h3core as h3c
+    from h3ron_spark.graph import build as GRB
+    from h3ron_spark.graph.algorithms import prepare_routing_graph
+    from h3ron_spark.h3core.regions import line_to_cells
+
+    bar = line_to_cells([(-122.0, 37.0), (-121.90, 37.0)], 8)
+    mid = bar[len(bar) // 2]
+    lat, lng = h3c.cell_to_latlng(mid)
+    stem = line_to_cells([(lng, lat), (lng + 0.05, lat + 0.06)], 8)
+    pairs = [(a, b, 1.0) for a, b in zip(bar, bar[1:])]
+    pairs += [(a, b, 1.0) for a, b in zip(stem, stem[1:])]
+    df = spark.createDataFrame(
+        pairs, "origin long, destination long, weight double"
+    )
+    edges = GRB.edge_graph_from_cell_pairs(df, bidirectional=True)
+    prepared = prepare_routing_graph(edges, contract=True)
+    junction = stem[0]
+    _, longedges = prepared.value[7]
+    assert longedges  # the arms did contract
+    for cells, *_rest in longedges:
+        interior = cells[1:-1]
+        assert junction not in interior, "chain crossed a junction"
+
+
+def test_longedge_corridor_grid_skips_interiors():
+    """The reason contraction exists: on a chain-heavy topology (40x40
+    junction grid joined by 25-edge corridors, 156k edges) the
+    contracted Dijkstra settles >10x fewer nodes with identical cost,
+    because destination-disjoint corridors relax as single jumps
+    (dijkstra.rs:186-204). The Germany r7 graph is NOT chain-heavy
+    (mean chain 3.3) so gains there are neutral — this is the topology
+    where the reference's device pays."""
+    import numpy as np
+
+    from h3ron_spark.graph.algorithms import (
+        _contract_chains,
+        _csr_from_arrays,
+        _dijkstra_csr,
+    )
+
+    J, CH = 12, 25
+    nid = lambda r, c: (r * J + c) * 1000  # noqa: E731
+    u, v, w = [], [], []
+
+    def corridor(a, b, salt):
+        prev = a
+        for k in range(1, CH):
+            mid = a + salt * 10_000_000 + k
+            u.extend((prev, mid))
+            v.extend((mid, prev))
+            w.extend((1.0, 1.0))
+            prev = mid
+        u.extend((prev, b))
+        v.extend((b, prev))
+        w.extend((1.0, 1.0))
+
+    s = 1
+    for r in range(J):
+        for c in range(J):
+            if c + 1 < J:
+                corridor(nid(r, c), nid(r, c + 1), s)
+                s += 1
+            if r + 1 < J:
+                corridor(nid(r, c), nid(r + 1, c), s)
+                s += 1
+    csr = _csr_from_arrays(
+        np.array(u, np.int64),
+        np.array(v, np.int64),
+        np.arange(len(u), dtype=np.int64),
+        np.array(w, np.float64),
+    )
+    contraction = _contract_chains(*csr[:6])
+    src, dst = nid(0, 0), nid(J - 1, J - 1)
+    d_p, p_p, done_p, _ = _dijkstra_csr(
+        csr + (None,), src, dests={dst}, num_dests=1
+    )
+    d_c, p_c, done_c, _ = _dijkstra_csr(
+        csr + (contraction,), src, dests={dst}, num_dests=1
+    )
+    assert d_p[dst] == d_c[dst] == float(2 * (J - 1) * CH)
+    assert len(done_c) < len(done_p) / 10
+    # expanded paths identical
+    from h3ron_spark.graph.algorithms import _assemble_path
+
+    cells_p, edges_p = _assemble_path(p_p, src, dst)
+    cells_c, edges_c = _assemble_path(
+        p_c, src, dst, longedges=contraction[1]
+    )
+    assert cells_p == cells_c and edges_p == edges_c

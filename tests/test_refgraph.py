@@ -121,3 +121,40 @@ def test_route_germany_pinned(spark):
         for r in rows
     }
     assert got == {emden: (1160.0, 363), stralsund: (1330.0, 421)}
+
+
+def test_route_germany_contracted_matches_pinned(spark):
+    """LongEdge contraction on the real 312k-edge graph: same pinned
+    costs and identical fully-expanded path lengths as the
+    uncontracted route (the reference's own correctness claim for
+    prepared graphs, prepared.rs:260-402)."""
+    import math
+
+    from h3ron_spark.graph.algorithms import (
+        prepare_routing_graph,
+        shortest_path_many_to_many,
+    )
+    from h3ron_spark.h3core import index as ix
+    from h3ron_spark.sources.refgraph import reference_graph_to_edges
+
+    edges = reference_graph_to_edges(spark, GERMANY)
+    origin = ix.latlng_to_cell(
+        math.radians(47.68708804564653), math.radians(9.834909439086914), 7
+    )
+    emden = ix.latlng_to_cell(
+        math.radians(53.3689915114596), math.radians(7.20600128173828), 7
+    )
+    stralsund = ix.latlng_to_cell(
+        math.radians(54.3153216473314), math.radians(13.092269897460938), 7
+    )
+    prepared = prepare_routing_graph(edges, contract=True)
+    n_shortcuts = len(prepared.value[7][1])
+    assert n_shortcuts > 1000  # road graphs are chain-heavy
+    rows = shortest_path_many_to_many(
+        edges, [origin], [emden, stralsund], prepared=prepared
+    ).collect()
+    got = {
+        r["destination"]: (r["cost"], len(r["path_cells"]))
+        for r in rows
+    }
+    assert got == {emden: (1160.0, 363), stralsund: (1330.0, 421)}
