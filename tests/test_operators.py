@@ -534,3 +534,85 @@ def test_zorder_locality_beats_single_column_sort(spark):
     assert (stats.hi - stats.lo + 1) == n_box  # contiguous band
     # under an x-sort the same rows spread across every x<16 stripe of
     # all 64 y rows: rank span is ~16*64 x-groups wide, not contiguous
+
+
+# ------------------------------------------------------------------
+# Table maintenance (operators/maintenance.py)
+# ------------------------------------------------------------------
+
+
+def test_file_stats_and_unpartitioned_compaction(spark, tmp_path):
+    """64 tiny files compact to the byte-sized target count with
+    identical content."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.operators.maintenance import (
+        compact_small_files,
+        table_file_stats,
+    )
+
+    src = str(tmp_path / "t")
+    spark.range(6400).withColumn("v", F2.col("id") * 3).repartition(
+        64
+    ).write.parquet(src)
+    stats = table_file_stats(spark, src)
+    before = stats.collect()
+    assert len(before) == 64
+    assert all(r.partition == "" for r in before)
+
+    dest = str(tmp_path / "t_compact")
+    summary = compact_small_files(spark, src, dest, target_mb=128)
+    row = summary.collect()[0]
+    assert row.files_before == 64 and row.files_target == 1
+    after = table_file_stats(spark, dest).collect()
+    assert len(after) == 1
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dest).orderBy("id").collect()
+    assert a == b
+
+
+def test_partitioned_compaction_preserves_layout(spark, tmp_path):
+    """Hive-partitioned compaction keeps the partition directories
+    (pruning intact), collapses each partition's shards, and the
+    readback matches row-for-row."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.operators.maintenance import (
+        compact_small_files,
+        table_file_stats,
+    )
+
+    src = str(tmp_path / "p")
+    df = spark.range(3000).select(
+        F2.col("id"),
+        (F2.col("id") % 3).alias("bucket"),
+        (F2.col("id") * 7 % 1000).alias("v"),
+    )
+    df.repartition(20).write.partitionBy("bucket").parquet(src)
+    stats = table_file_stats(spark, src)
+    assert stats.count() >= 30  # ~20 shards x 3 partitions
+    parts = {r.partition for r in stats.collect()}
+    assert parts == {"bucket=0", "bucket=1", "bucket=2"}
+
+    dest = str(tmp_path / "p_compact")
+    summary = compact_small_files(
+        spark, src, dest, target_mb=128, partition_cols=["bucket"]
+    )
+    assert {r.partition: r.files_target for r in summary.collect()} == {
+        "bucket=0": 1, "bucket=1": 1, "bucket=2": 1,
+    }
+    after = table_file_stats(spark, dest)
+    assert after.count() == 3  # one file per partition dir
+    assert {r.partition for r in after.collect()} == parts
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dest).orderBy("id").collect()
+    assert a == b
+    # partition pruning still works on the compacted table
+    plan = (
+        spark.read.parquet(dest)
+        .filter(F2.col("bucket") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
