@@ -24,8 +24,6 @@ state-store exchange.
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,32 +50,36 @@ _HLL_STATE_SCHEMA = StructType(
 )
 
 
-def _hash_u60_py(value) -> int:
-    """Bit-exact twin of sketch.hash_u60 (Spark md5+conv, DuckDB
-    substr(md5)::BIGINT): md5 of the value's string form, first 15
-    hex chars, base 16."""
-    return int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
-
-
 def _make_hll_fn(p: int):
     m = 1 << p
     width = 60 - p
 
     def fn(key, batches, state: GroupState):
-        regs = list(state.get[0]) if state.exists else [0] * m
+        import numpy as np
+
+        regs = np.array(state.get[0], np.int64) if state.exists else np.zeros(
+            m, np.int64
+        )
         for pdf in batches:
-            for v in pdf["value"]:
-                h = _hash_u60_py(v)
-                reg = h % m
-                w = h >> p
-                rho = (width + 1) if w == 0 else (width + 1 - w.bit_length())
-                if rho > regs[reg]:
-                    regs[reg] = rho
-        state.update((regs,))
-        rows = [
-            (str(key[0]), r, regs[r]) for r in range(m) if regs[r] > 0
-        ]
-        yield pd.DataFrame(rows, columns=["key", "_reg", "_M"])
+            h = pdf["value_hash"].to_numpy(np.int64)
+            if len(h) == 0:
+                continue
+            reg = h % m
+            w = h >> p
+            # bit length via frexp's exponent: exact for w <= 2^52
+            # (60-bit hash >> 8), so rho needs no float log2
+            e = np.frexp(w.astype(np.float64))[1]
+            rho = np.where(w == 0, width + 1, width + 1 - e).astype(np.int64)
+            np.maximum.at(regs, reg, rho)
+        state.update((regs.tolist(),))
+        nz = np.nonzero(regs)[0]
+        yield pd.DataFrame(
+            {
+                "key": str(key[0]),
+                "_reg": nz.astype("int32"),
+                "_M": regs[nz],
+            }
+        )
 
     return fn
 
@@ -94,9 +96,16 @@ def hll_stream(
     keeping the last batch's rows — reproduces exactly the batch
     ``hll_registers`` over every row seen; finalize with the batch
     ``hll_estimate``."""
+    # hash JVM-side (a stateless projection is legal before the
+    # stateful operator): the Python kernel then does only vectorized
+    # numpy integer ops — no per-row hashlib.md5, ~10x per-batch.
+    # sketch.hash_u60 is the exact md5 recipe the batch path and the
+    # DuckDB oracle share, so registers stay bit-identical.
+    from h3ron_spark.pipeline.sketch import hash_u60
+
     src = df.select(
         F.col(key_col).cast("string").alias("key"),
-        F.col(value_col).cast("string").alias("value"),
+        hash_u60(value_col).alias("value_hash"),
     )
     return src.groupBy("key").applyInPandasWithState(
         _make_hll_fn(p),
