@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "text_bigram_logprob",
     "pipeline_corpus_curation",
     "ann_topk_cosine",
+    "ann_blocked_exact_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_adc_topk",

@@ -517,6 +517,46 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_blocked_exact_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS c_vec FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(q.q_vec, c.c_vec)
+                   / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                      * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) AS cosine
+      FROM c, q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_blocked_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-5, scalable plan: numpy-matmul prefilter per Arrow
+    batch (BLAS C @ Q.T, margin 2e-6 past the per-batch (k+1)-th
+    score) then exact JVM rescoring + 6-dp rounding of the tiny
+    candidate set — bit-identical to ann_topk_cosine (the SAME oracle
+    pins both) with two linear corpus scans instead of a |corpus| x
+    |Q| expression explosion. This is the exact-search scale path;
+    ann_topk_cosine stays as the deliberately-quadratic baseline it
+    is measured against."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.blocked_exact_topk(emb, queries, k=5, query_id_col="query_id")
+
+
+@register(
     "embedding_label_centroid_norms",
     oracle="""
     WITH n AS (
@@ -1077,6 +1117,7 @@ _DRIVER_ORDER_FIRST = [
     "sketch_hdr_quantiles",
     "stream_hll_distinct",
     "rel_zorder_scan",
+    "ann_blocked_exact_topk",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1135,7 +1176,10 @@ _DRIVER_ORDER_FIRST = [
     "dedup_simhash_groups",
     "dedup_ngram_jaccard",
     "dedup_paragraphs",
-    "text_decontaminate",
+    # text_decontaminate deferred to r5 (r2-green, untouched; the
+    # contamination surface is covered in-window by the new
+    # sketch_bloom_decontaminate) — made room for
+    # ann_blocked_exact_topk, the exact-search scale path's driver row
     "pipeline_train_test_split",
     # pipeline_source_quota deferred to r5 (r2-green, untouched;
     # deterministic-sampling machinery covered in-window by

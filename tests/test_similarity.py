@@ -233,3 +233,62 @@ def test_pq_adc_topk_is_deterministic_and_ranked(spark, emb):
         dists = [r[1] for r in rows]
         assert dists == sorted(dists)
         assert all(r[2] != q for r in rows)
+
+
+def test_blocked_exact_topk_equals_brute(spark):
+    """The blocked prefilter+rescore path returns row-identical
+    results to brute_force_topk (same rounding, same tie-breaks) —
+    including rounded near-ties around the k-th score."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.similarity import (
+        blocked_exact_topk,
+        brute_force_topk,
+    )
+
+    # deterministic corpus with many near-tie scores: low-dim lattice
+    corpus = spark.range(400).select(
+        F2.col("id").alias("vec_id"),
+        F2.array(
+            (F2.col("id") % 7).cast("float"),
+            (F2.col("id") % 5).cast("float"),
+            (F2.col("id") % 3 + 1).cast("float"),
+        ).alias("embedding"),
+    )
+    queries = corpus.filter(F2.col("vec_id") % 40 == 0).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = brute_force_topk(corpus, queries, k=5).collect()
+    b = blocked_exact_topk(corpus, queries, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, a), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, b), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_blocked_exact_topk_plan_no_cartesian(spark):
+    """Plan pin: the rescore stage joins via broadcast only — no
+    cartesian/nested-loop row explosion anywhere, no corpus shuffle."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.similarity import blocked_exact_topk
+
+    corpus = spark.range(300).select(
+        F2.col("id").alias("vec_id"),
+        F2.array(
+            (F2.col("id") % 9).cast("float"), (F2.col("id") % 4).cast("float")
+        ).alias("embedding"),
+    )
+    queries = corpus.filter(F2.col("vec_id") % 60 == 0).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        blocked_exact_topk(corpus, queries, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
