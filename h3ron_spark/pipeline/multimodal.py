@@ -330,6 +330,16 @@ def real_decode_features(payload: bytes) -> list[float]:
     (the documented stub boundary)."""
     import numpy as np
 
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        fr = decode_avi(bytes(payload)).astype(np.float64)
+        return [
+            6.0,
+            float(fr.shape[2]),
+            float(fr.shape[1]),
+            float(fr.mean() / 255.0),
+            float(fr.std() / 255.0),
+            float(fr.shape[0]),  # n_frames in the channel slot
+        ]
     if payload[:4] == b"RIFF":
         rate, s, ch = decode_wav(bytes(payload))
         # duration counts FRAMES; per-sample stats use channel 0 so
@@ -393,7 +403,8 @@ def real_decode_features(payload: bytes) -> list[float]:
     raise NotImplementedError(
         "no codec for this payload (only MP3/H264-class formats remain "
         "stubbed in this environment); RIFF/WAVE PCM, binary PPM/PGM, "
-        "baseline 8-bit PNG, GIF, and baseline JPEG decode natively"
+        "baseline 8-bit PNG, GIF, baseline JPEG, and raw-frame AVI "
+        "decode natively"
     )
 
 
@@ -866,4 +877,162 @@ def synthetic_media_jpeg(spark: SparkSession, n: int = 18) -> DataFrame:
                 restart_interval=2 if i % 3 == 1 else 0,
             )
         rows.append((i, "image", payload, (w, h, None, None, "jpeg")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# AVI (RIFF) with raw BI_RGB frames — the video modality goes real.
+# Public spec: Microsoft AVI RIFF File Reference + BITMAPINFOHEADER
+# (both publicly documented); frames are uncompressed DIBs, so the
+# round-trip is LOSSLESS and pinned exactly in tests.
+# ---------------------------------------------------------------------
+
+
+def avi_bytes(frames, fps: int = 10) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as an uncompressed AVI:
+    RIFF('AVI ') -> LIST hdrl (avih + LIST strl(strh 'vids'/BI_RGB +
+    strf BITMAPINFOHEADER)) -> LIST movi ('00db' raw DIB frames,
+    bottom-up BGR rows padded to 4 bytes) -> idx1."""
+    import struct
+
+    import numpy as np
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w = fr.shape[:3]
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    frame_bytes = (row + pad) * h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        frame_bytes * fps,  # max bytes per sec
+        0, 0x10,  # flags: HASINDEX
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        1, fps, 0, n, frame_bytes, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_frames = []
+    for i in range(n):
+        # DIB: bottom-up rows, BGR order, rows padded to 4 bytes
+        bgr = fr[i, ::-1, :, ::-1]
+        if pad:
+            padded = bytearray()
+            for r in range(h):
+                padded += bgr[r].tobytes() + b"\x00" * pad
+            body = bytes(padded)
+        else:
+            body = bgr.tobytes()
+        movi_frames.append(chunk(b"00db", body))
+    movi = lst(b"movi", b"".join(movi_frames))
+    idx_entries = []
+    off = 4
+    for i in range(n):
+        idx_entries.append(
+            struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes)
+        )
+        off += 8 + frame_bytes + (frame_bytes % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def decode_avi(payload: bytes):
+    """Decode an uncompressed (BI_RGB 24-bit) AVI to (n, h, w, 3)
+    uint8 RGB. Walks RIFF chunks for the BITMAPINFOHEADER dims and
+    the movi '00db'/'00dc' frames; bottom-up DIB rows are flipped and
+    BGR swapped back. Compressed codecs raise NotImplementedError
+    (the documented stub boundary: H264-class streams)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not an AVI payload")
+    w = h = None
+    compression = None
+    frames = []
+
+    def walk(buf: bytes):
+        nonlocal w, h, compression
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body = buf[pos + 8 : pos + 8 + size]
+            if tag == b"LIST":
+                walk(body[4:])
+            elif tag == b"strf" and len(body) >= 40:
+                _, bw, bh, _, bits, comp = struct.unpack_from(
+                    "<IiiHHI", body, 0
+                )
+                w, h = bw, abs(bh)
+                compression = comp
+                if bits != 24 or comp != 0:
+                    raise NotImplementedError(
+                        f"AVI codec {comp:#x}/{bits}bpp (only raw "
+                        "BI_RGB 24-bit decodes; H264-class streams "
+                        "are the stub boundary)"
+                    )
+            elif tag[2:4] in (b"db", b"dc") and size:
+                frames.append(bytes(body))
+            pos += 8 + size + (size & 1)
+
+    walk(payload[12:])
+    if w is None or not frames:
+        raise ValueError("AVI missing strf header or frames")
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    out = []
+    for body in frames:
+        arr = np.frombuffer(body, np.uint8)
+        arr = arr.reshape(h, row + pad)[:, :row].reshape(h, w, 3)
+        out.append(arr[::-1, :, ::-1])  # flip bottom-up, BGR -> RGB
+    return np.stack(out)
+
+
+def synthetic_media_avi(spark: SparkSession, n: int = 12) -> DataFrame:
+    """Fixture media table of REAL uncompressed AVIs: deterministic
+    moving-gradient frames at varying sizes (odd widths exercise DIB
+    row padding) and frame counts."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 17 + (i % 4) * 7, 12 + (i % 3) * 6
+        nf = 4 + i % 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.stack(
+            [
+                np.stack(
+                    [
+                        (xx * 9 + t * 11 + i) % 256,
+                        (yy * 13 + t * 5) % 256,
+                        (xx + yy + t * 17) % 256,
+                    ],
+                    axis=-1,
+                )
+                for t in range(nf)
+            ]
+        ).astype(np.uint8)
+        payload = avi_bytes(frames, fps=8)
+        rows.append((i, "video", payload, (w, h, None, nf, "avi")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

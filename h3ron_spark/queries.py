@@ -1118,6 +1118,7 @@ _DRIVER_ORDER_FIRST = [
     "stream_hll_distinct",
     "rel_zorder_scan",
     "ann_blocked_exact_topk",
+    "mm_avi_decode",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1175,7 +1176,10 @@ _DRIVER_ORDER_FIRST = [
     "dedup_minhash_lsh",
     "dedup_simhash_groups",
     "dedup_ngram_jaccard",
-    "dedup_paragraphs",
+    # dedup_paragraphs deferred to r5 (r2-green, untouched; paragraph
+    # explode machinery covered in-window by the substring/winnow
+    # suite) — made room for mm_avi_decode, the video modality's
+    # driver row
     # text_decontaminate deferred to r5 (r2-green, untouched; the
     # contamination surface is covered in-window by the new
     # sketch_bloom_decontaminate) — made room for

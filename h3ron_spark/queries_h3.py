@@ -4841,3 +4841,76 @@ def rel_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()  # detach from the temp files
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+_MM_AVI_DECODE_ORACLE_TMPL = """
+  SELECT * FROM (VALUES
+    (CAST({AVG_NF} AS BIGINT), CAST(12 AS BIGINT), CAST({AVG_W} AS BIGINT),
+     CAST({AVG_H} AS BIGINT), CAST({AVG_MEAN} AS BIGINT), CAST({AVG_STD} AS BIGINT))
+  ) AS t(avg_frames, n_assets, avg_w_e2, avg_h_e2, avg_mean_e4, avg_std_e4)
+"""
+
+
+def _mm_avi_oracle() -> str:
+    """VALUES oracle computed by the same pure-Python decode the Arrow
+    kernel runs (fixture payloads are deterministic; the decode is
+    LOSSLESS so these constants are exact, not codec-dependent)."""
+    import math
+
+    import numpy as np
+
+    from h3ron_spark.pipeline import multimodal as MM
+
+    feats = []
+    for i in range(12):
+        w, h = 17 + (i % 4) * 7, 12 + (i % 3) * 6
+        nf = 4 + i % 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.stack(
+            [
+                np.stack(
+                    [
+                        (xx * 9 + t * 11 + i) % 256,
+                        (yy * 13 + t * 5) % 256,
+                        (xx + yy + t * 17) % 256,
+                    ],
+                    axis=-1,
+                )
+                for t in range(nf)
+            ]
+        ).astype(np.uint8)
+        feats.append(MM.real_decode_features(MM.avi_bytes(frames, fps=8)))
+    a = np.array(feats, dtype=np.float32).astype(np.float64).mean(axis=0)
+    return _MM_AVI_DECODE_ORACLE_TMPL.format(
+        AVG_NF=math.floor(a[5] * 100 + 0.5),
+        AVG_W=math.floor(a[1] * 100 + 0.5),
+        AVG_H=math.floor(a[2] * 100 + 0.5),
+        AVG_MEAN=math.floor(a[3] * 10000 + 0.5),
+        AVG_STD=math.floor(a[4] * 10000 + 0.5),
+    )
+
+
+@register("mm_avi_decode", oracle=_mm_avi_oracle())
+def mm_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO modality goes real: fixture payloads are actual
+    uncompressed AVIs (RIFF/hdrl/movi, bottom-up padded BGR DIB
+    frames — odd widths exercise row padding), decoded losslessly by
+    the pure-Python RIFF walker inside the Arrow batch kernel. With
+    WAV (audio) and PPM/PNG/GIF/JPEG (image) all three media kinds
+    now decode for real; the stub boundary is H264/MP3-class
+    entropy-coded streams only. The oracle constants are computed by
+    the same decode at registration time — exact because the codec is
+    lossless."""
+    from h3ron_spark.pipeline import multimodal as MM
+
+    media = MM.synthetic_media_avi(spark, 12)
+    feats = MM.extract_features(media, fake=False)
+    fx = lambda p: F.element_at("feature", p + 1).cast("double")  # noqa: E731
+    return feats.agg(
+        F.floor(F.avg(fx(5)) * 100 + F.lit(0.5)).cast("long").alias("avg_frames"),
+        F.count(F.lit(1)).alias("n_assets"),
+        F.floor(F.avg(fx(1)) * 100 + F.lit(0.5)).cast("long").alias("avg_w_e2"),
+        F.floor(F.avg(fx(2)) * 100 + F.lit(0.5)).cast("long").alias("avg_h_e2"),
+        F.floor(F.avg(fx(3)) * 10000 + F.lit(0.5)).cast("long").alias("avg_mean_e4"),
+        F.floor(F.avg(fx(4)) * 10000 + F.lit(0.5)).cast("long").alias("avg_std_e4"),
+    )

@@ -789,3 +789,48 @@ def test_stream_hll_registers_equal_batch_bit_for_bit(spark, tmp_path):
         for r in SK.hll_registers(df, "v", ["k"], p=6).collect()
     }
     assert streamed == batch
+
+
+def test_avi_lossless_roundtrip_and_dispatch(spark):
+    """Raw-frame AVI is LOSSLESS: encode->decode is exact (incl. odd
+    widths exercising DIB row padding); the feature dispatch tags
+    video as modality 6 with n_frames, and compressed codec ids raise
+    at the documented stub boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from h3ron_spark.pipeline import multimodal as MM
+
+    yy, xx = np.mgrid[0:13, 0:19]  # odd width -> 1-byte row pad
+    frames = np.stack(
+        [
+            np.stack(
+                [(xx + t) % 256, (yy * 3 + t) % 256, (xx * yy + t) % 256],
+                axis=-1,
+            )
+            for t in range(5)
+        ]
+    ).astype(np.uint8)
+    p = MM.avi_bytes(frames, fps=8)
+    assert np.array_equal(MM.decode_avi(p), frames)
+    f = MM.real_decode_features(p)
+    assert f == [6.0, 19.0, 13.0, f[3], f[4], 5.0]
+
+    # flip the strf compression field to a fake fourcc -> stub boundary
+    bad = bytearray(p)
+    strf_at = bytes(bad).find(b"strf")
+    assert strf_at > 0
+    comp_off = strf_at + 8 + 16  # header + (size,w,h,planes+bits)
+    bad[comp_off : comp_off + 4] = b"H264"
+    with _pytest.raises(NotImplementedError):
+        MM.decode_avi(bytes(bad))
+
+    feats = MM.extract_features(
+        MM.synthetic_media_avi(spark, 6), fake=False
+    ).collect()
+    assert len(feats) == 6
+    assert all(r.feature[0] == 6.0 and r.kind == "video" for r in feats)
+
+    # WAV payloads (also RIFF) still route to the audio decoder
+    wav = MM.wav_bytes(np.arange(500, dtype=np.int16), 8000)
+    assert MM.real_decode_features(wav)[0] == 1.0
