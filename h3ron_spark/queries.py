@@ -1119,6 +1119,7 @@ _DRIVER_ORDER_FIRST = [
     "rel_zorder_scan",
     "ann_blocked_exact_topk",
     "mm_avi_decode",
+    "rel_events_json",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1175,7 +1176,10 @@ _DRIVER_ORDER_FIRST = [
     # stream_session_windows and the funnel/asof queries)
     "dedup_minhash_lsh",
     "dedup_simhash_groups",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard deferred to r5 (r2-green, untouched; its
+    # shingle-Jaccard refine runs inside in-window dedup_minhash_lsh)
+    # — made room for rel_events_json, the semi-structured column
+    # surface's driver row
     # dedup_paragraphs deferred to r5 (r2-green, untouched; paragraph
     # explode machinery covered in-window by the substring/winnow
     # suite) — made room for mm_avi_decode, the video modality's

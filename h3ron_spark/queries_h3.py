@@ -4914,3 +4914,58 @@ def mm_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.avg(fx(3)) * 10000 + F.lit(0.5)).cast("long").alias("avg_mean_e4"),
         F.floor(F.avg(fx(4)) * 10000 + F.lit(0.5)).cast("long").alias("avg_std_e4"),
     )
+
+
+_JSON_PROPS_ORACLE = """
+  WITH parsed AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           value
+    FROM events
+  )
+  SELECT event_type,
+         k % 10 AS k_bucket,
+         count(*) AS n_events,
+         CAST(sum(k) AS BIGINT) AS sum_k,
+         round(avg(value), 4) AS avg_value
+  FROM parsed
+  WHERE k IS NOT NULL AND k >= 5
+  GROUP BY event_type, k_bucket
+  ORDER BY event_type, k_bucket
+"""
+
+
+@register("rel_events_json", oracle=_JSON_PROPS_ORACLE)
+def rel_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: events.props is a JSON string;
+    F.from_json with a TYPED schema parses it once into a struct
+    Catalyst can prune and filter on (a JsonToStructs expression in
+    whole-stage codegen — at 100 TB the schema-typed parse beats
+    per-field get_json_object re-parsing the string once per field,
+    and unneeded fields are never materialized). The k >= 5 filter
+    sits on the parsed value; the oracle replays it with DuckDB's
+    json_extract over the same strings."""
+    from pyspark.sql.types import LongType as _L
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", _ST([_SF("k", _L())])).alias("p"),
+        "value",
+    ).select(
+        "event_type", F.col("p.k").alias("k"), "value"
+    )
+    return (
+        parsed.filter(F.col("k").isNotNull() & (F.col("k") >= 5))
+        .groupBy(
+            "event_type", (F.col("k") % 10).alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
