@@ -201,3 +201,146 @@ def test_osmpbf_roundtrip_property(data):
         assert [(w[0], w[1], w[2]) for w in blk["ways"]] == ways
     finally:
         os.unlink(path)
+
+
+# ---------------------------------------------------------------------
+# Codec properties (round 4): lossless codecs roundtrip EXACTLY on
+# arbitrary generated inputs; lossy JPEG is bounded on flat-tile
+# images (only DC energy -> error is pure quantization rounding).
+# ---------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(2, 24),
+    st.integers(2, 24),
+    st.integers(1, 4).filter(lambda c: c != 2),
+    st.randoms(use_true_random=False),
+)
+def test_png_roundtrip_property(w, h, ch, rnd):
+    from h3ron_spark.pipeline.multimodal import decode_png, png_bytes
+
+    px = np.array(
+        [rnd.randrange(256) for _ in range(w * h * ch)], np.uint8
+    ).reshape(h, w, ch)
+    out = decode_png(png_bytes(px if ch > 1 else px[:, :, 0]))
+    assert np.array_equal(out, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(2, 20),
+    st.integers(2, 20),
+    st.integers(1, 6),
+    st.randoms(use_true_random=False),
+)
+def test_avi_roundtrip_property(w, h, nf, rnd):
+    from h3ron_spark.pipeline.multimodal import avi_bytes, decode_avi
+
+    fr = np.array(
+        [rnd.randrange(256) for _ in range(nf * h * w * 3)], np.uint8
+    ).reshape(nf, h, w, 3)
+    assert np.array_equal(decode_avi(avi_bytes(fr)), fr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(2, 20), st.integers(2, 20), st.randoms(use_true_random=False)
+)
+def test_gif_roundtrip_property(w, h, rnd):
+    from h3ron_spark.pipeline.multimodal import decode_gif, gif_bytes
+
+    idx = np.array(
+        [rnd.randrange(16) for _ in range(w * h)], np.uint8
+    ).reshape(h, w)
+    pal = [(rnd.randrange(256),) * 3 for _ in range(16)]
+    assert np.array_equal(
+        decode_gif(gif_bytes(idx, pal)), np.array(pal, np.uint8)[idx]
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.randoms(use_true_random=False))
+def test_jpeg_flat_tiles_bounded_property(bw, bh, rnd):
+    """Images made of flat 8x8 tiles carry only DC coefficients, so
+    q=97 reconstruction error is bounded by DC quantization rounding
+    (a few levels) for ARBITRARY tile values."""
+    from h3ron_spark.pipeline.jpeg import decode_jpeg, jpeg_bytes
+
+    tiles = np.array(
+        [rnd.randrange(256) for _ in range(bh * bw)], np.uint8
+    ).reshape(bh, bw)
+    img = np.kron(tiles, np.ones((8, 8), np.uint8))
+    img3 = np.stack([img] * 3, axis=-1)
+    out = decode_jpeg(jpeg_bytes(img3, quality=97))
+    assert np.abs(out.astype(int) - img3.astype(int)).max() <= 3
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 2**62))
+def test_hdr_bucket_property(v):
+    """Python mirror of the shared HDR bucket arithmetic: monotone,
+    inverse lower bound within one bucket width (<2^-5 relative)."""
+    sb, m = 5, 32
+
+    def bucket(x):
+        if x < m:
+            return x
+        e = x.bit_length() - 1
+        return (e - sb) * m + (x >> (e - sb))
+
+    def low(b):
+        return b if b < m else (m + b % m) << (b // m - 1)
+
+    b = bucket(v)
+    assert low(b) <= v
+    assert bucket(v + 1) >= b
+    if v >= m:
+        assert (v - low(b)) / v < 2 ** -5
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.randoms(use_true_random=False))
+def test_longedge_contraction_equivalence_property(rnd):
+    """On random integer-weighted digraphs the contracted Dijkstra
+    reaches the same destinations at the same costs as the plain one
+    (integer weights -> chain sums are float-exact, so equality is
+    exact, not approximate)."""
+    from h3ron_spark.graph.algorithms import (
+        _contract_chains,
+        _csr_from_arrays,
+        _dijkstra_csr,
+    )
+
+    n_nodes = rnd.randrange(8, 40)
+    edges = set()
+    # random base edges + a few long chains grafted on
+    for _ in range(rnd.randrange(10, 60)):
+        a, b = rnd.randrange(n_nodes), rnd.randrange(n_nodes)
+        if a != b:
+            edges.add((a, b))
+    nxt = n_nodes
+    for _ in range(rnd.randrange(0, 4)):
+        start = rnd.randrange(n_nodes)
+        prev = start
+        for _ in range(rnd.randrange(3, 8)):
+            edges.add((prev, nxt))
+            if rnd.random() < 0.5:
+                edges.add((nxt, prev))
+            prev = nxt
+            nxt += 1
+        edges.add((prev, rnd.randrange(n_nodes)))
+    edges.add((0, 1 % n_nodes if n_nodes > 1 else 1))  # never empty
+    el = sorted(edges)
+    u = np.array([a for a, _ in el], np.int64)
+    v = np.array([b for _, b in el], np.int64)
+    w = np.array([float(rnd.randrange(1, 9)) for _ in el], np.float64)
+    csr = _csr_from_arrays(u, v, np.arange(len(el), dtype=np.int64), w)
+    contraction = _contract_chains(*csr[:6])
+    src = int(u[0])
+    dests = {int(x) for x in rnd.sample(range(nxt), min(5, nxt))}
+    d_p, _, _, r_p = _dijkstra_csr(csr + (None,), src, dests=dests)
+    d_c, _, _, r_c = _dijkstra_csr(csr + (contraction,), src, dests=dests)
+    assert sorted(r_p) == sorted(r_c)
+    for t in r_p:
+        assert d_p[t] == d_c[t], (t, d_p[t], d_c[t])
