@@ -1120,6 +1120,7 @@ _DRIVER_ORDER_FIRST = [
     "ann_blocked_exact_topk",
     "mm_avi_decode",
     "rel_events_json",
+    "mm_frame_features",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1175,7 +1176,10 @@ _DRIVER_ORDER_FIRST = [
     # sessionization window shape is exercised in-window by
     # stream_session_windows and the funnel/asof queries)
     "dedup_minhash_lsh",
-    "dedup_simhash_groups",
+    # dedup_simhash_groups deferred to r5 (r2-green, untouched; its
+    # bit-majority machinery shares the shingle-hash stack the
+    # in-window minhash suite verifies) — made room for
+    # mm_frame_features, the real frame-sampling driver row
     # dedup_ngram_jaccard deferred to r5 (r2-green, untouched; its
     # shingle-Jaccard refine runs inside in-window dedup_minhash_lsh)
     # — made room for rel_events_json, the semi-structured column

@@ -4969,3 +4969,75 @@ def rel_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k_bucket")
     )
+
+
+def _mm_frames_oracle() -> str:
+    """Per-frame VALUES oracle computed by the same lossless decode
+    at registration (exact — raw-frame AVI has no codec error)."""
+    import math
+
+    import numpy as np
+
+    from h3ron_spark.pipeline import multimodal as MM
+
+    rows = []
+    for i in range(8):
+        w, h = 17 + (i % 4) * 7, 12 + (i % 3) * 6
+        nf = 4 + i % 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.stack(
+            [
+                np.stack(
+                    [
+                        (xx * 9 + t * 11 + i) % 256,
+                        (yy * 13 + t * 5) % 256,
+                        (xx + yy + t * 17) % 256,
+                    ],
+                    axis=-1,
+                )
+                for t in range(nf)
+            ]
+        ).astype(np.uint8)
+        dec = MM.decode_avi(MM.avi_bytes(frames, fps=8)).astype(np.float64)
+        for idx in range(0, nf, 2):
+            f32 = np.float32(dec[idx].mean() / 255.0)
+            rows.append(
+                (
+                    i,
+                    idx,
+                    math.floor(float(f32) * 10000 + 0.5),
+                )
+            )
+    vals = ",\n    ".join(
+        f"(CAST({a} AS BIGINT), CAST({b} AS INT), CAST({c} AS BIGINT))"
+        for a, b, c in rows
+    )
+    return f"""
+  SELECT * FROM (VALUES
+    {vals}
+  ) AS t(asset_id, frame_index, mean_e4)
+  ORDER BY asset_id, frame_index
+"""
+
+
+@register("mm_frame_features", oracle=_mm_frames_oracle())
+def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling made REAL: every 2nd frame of each AVI payload
+    decodes inside the Arrow kernel to a per-frame feature row — the
+    decode-side realization of the plan-only sample_frames metadata
+    path (brief: 'frame-sample as Pandas UDFs over mapInPandas').
+    One row per (asset, sampled frame) with the frame mean pinned at
+    4 decimals; exact because the codec is lossless."""
+    from h3ron_spark.pipeline import multimodal as MM
+
+    media = MM.synthetic_media_avi(spark, 8)
+    frames = MM.extract_frames(media, every_n=2)
+    return frames.select(
+        "asset_id",
+        "frame_index",
+        F.floor(
+            F.element_at("feature", 3).cast("double") * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_e4"),
+    ).orderBy("asset_id", "frame_index")
