@@ -1121,6 +1121,8 @@ _DRIVER_ORDER_FIRST = [
     "mm_avi_decode",
     "rel_events_json",
     "mm_frame_features",
+    "rel_event_pivot",
+    "rel_events_variant",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1158,7 +1160,8 @@ _DRIVER_ORDER_FIRST = [
     # in-window by the classifier, gate, and quantile queries)
     # text_lang_id deferred to r5 (r2-green, untouched heuristic
     # lookup; its tokenizer is exercised by the in-window text suite)
-    "dedup_exact",
+    # dedup_exact deferred to r5 (r2-green, untouched one-agg op; its
+    # hash-groupBy machinery underlies half the in-window dedup suite)
     # dedup_groups_summary + ann_topk_cosine deferred to r5 with the
     # fixture goldens: both r2-green and untouched, their machinery
     # covered by in-window siblings (dedup_exact; the bucketed ANN
@@ -1171,7 +1174,10 @@ _DRIVER_ORDER_FIRST = [
     # sketch_hdr_quantiles, the new quantile sketch's driver row
     # text_token_counts deferred to r5 (r2-green, untouched; its
     # tokenizer is exercised by five other in-window text queries)
-    "h3_set_ops",
+    # h3_set_ops deferred to r5 (r2-green, untouched distinct/set
+    # machinery; exercised transitively by the in-window compaction
+    # and purge_children rows) — these two deferrals made room for
+    # rel_event_pivot + rel_events_variant, the new relational rows
     # rel_event_sessions deferred to r5 (r2-green, untouched; its
     # sessionization window shape is exercised in-window by
     # stream_session_windows and the funnel/asof queries)

@@ -5041,3 +5041,86 @@ def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_e4"),
     ).orderBy("asset_id", "frame_index")
+
+
+_PIVOT_ORACLE = """
+  SELECT user_id % 7 AS user_bucket,
+         count(*) FILTER (event_type = 'click')    AS click_n,
+         count(*) FILTER (event_type = 'view')     AS view_n,
+         count(*) FILTER (event_type = 'purchase') AS purchase_n,
+         round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2)
+           AS purchase_value
+  FROM events
+  GROUP BY user_bucket ORDER BY user_bucket
+"""
+
+
+@register("rel_event_pivot", oracle=_PIVOT_ORACLE)
+def rel_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long->wide reshape with an EXPLICIT value list —
+    `.pivot(col, values)` with the values enumerated compiles to one
+    hash aggregate of conditional aggs (no extra pass to discover the
+    domain, no second shuffle), which is the only pivot shape that
+    belongs on 100 TB: an unlisted-values pivot first runs a distinct
+    scan over the fact table just to learn the column set. The oracle
+    is the equivalent FILTERed aggregate."""
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("user_bucket", F.col("user_id") % 7)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("val"),
+        )
+    )
+    return out.select(
+        "user_bucket",
+        F.coalesce("click_n", F.lit(0)).alias("click_n"),
+        F.coalesce("view_n", F.lit(0)).alias("view_n"),
+        F.coalesce("purchase_n", F.lit(0)).alias("purchase_n"),
+        F.coalesce("purchase_val", F.lit(0.0)).alias("purchase_value"),
+    ).orderBy("user_bucket")
+
+
+_VARIANT_ORACLE = """
+  WITH parsed AS (
+    SELECT value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+  )
+  SELECT k // 20 AS k_band,
+         count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+  FROM parsed WHERE k IS NOT NULL
+  GROUP BY k_band ORDER BY k_band
+"""
+
+
+@register("rel_events_variant", oracle=_VARIANT_ORACLE)
+def rel_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse_json
+    ingests props ONCE into the binary Variant encoding and
+    variant_get extracts typed fields lazily — for sparse access over
+    wide/ragged JSON this skips materializing a full struct (the
+    from_json path in rel_events_json), the encoding is columnar-
+    shreddable at rest, and the extract is still whole-stage codegen.
+    Same arithmetic as DuckDB's json_extract replay, so the two
+    semi-structured paths pin each other."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "value",
+        F.try_variant_get(
+            F.parse_json("props"), "$.k", "bigint"
+        ).alias("k"),
+    )
+    return (
+        parsed.filter(F.col("k").isNotNull())
+        .groupBy(
+            F.floor(F.col("k") / 20).cast("long").alias("k_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("k_band")
+    )
