@@ -116,3 +116,80 @@ def hll_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_ROWS_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("j", IntegerType()),
+        StructField("bucket", IntegerType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+_CMS_STATE_SCHEMA = StructType(
+    [StructField("counters", ArrayType(LongType()))]
+)
+
+
+def _make_cms_fn(d: int, w: int):
+    def fn(key, batches, state: GroupState):
+        import numpy as np
+
+        counters = (
+            np.array(state.get[0], np.int64).reshape(d, w)
+            if state.exists
+            else np.zeros((d, w), np.int64)
+        )
+        for pdf in batches:
+            for j in range(d):
+                b = pdf[f"bucket_{j}"].to_numpy(np.int64)
+                if len(b):
+                    np.add.at(counters[j], b, 1)
+        state.update((counters.reshape(-1).tolist(),))
+        jj, bb = np.nonzero(counters)
+        yield pd.DataFrame(
+            {
+                "key": str(key[0]),
+                "j": jj.astype("int32"),
+                "bucket": bb.astype("int32"),
+                "cnt": counters[jj, bb],
+            }
+        )
+
+    return fn
+
+
+def cms_stream(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    w: int = 1024,
+    seeds: tuple[int, ...] | None = None,
+) -> DataFrame:
+    """Per-key streaming count-min sketch — the sum-monoid sibling of
+    :func:`hll_stream`: counters only grow, every emission is the
+    cumulative grid, and max-merging emissions per (key, j, bucket)
+    (or keeping the last) equals the batch ``cms_build`` over all
+    rows, so the batch oracle pins the stream. Buckets are computed
+    JVM-side with the exact ``sketch._cms_bucket`` mix expressions;
+    the Python kernel is one vectorized ``np.add.at`` per row of the
+    d x w grid (32 KiB state per key at the defaults)."""
+    from h3ron_spark.pipeline.sketch import CMS_SEEDS, _cms_bucket, hash_u60
+
+    seeds = CMS_SEEDS if seeds is None else seeds
+    h = hash_u60(value_col)
+    src = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        *[
+            _cms_bucket(h, seed, w).cast("int").alias(f"bucket_{j}")
+            for j, seed in enumerate(seeds)
+        ],
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _make_cms_fn(len(seeds), w),
+        CMS_ROWS_SCHEMA,
+        _CMS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -834,3 +834,54 @@ def test_avi_lossless_roundtrip_and_dispatch(spark):
     # WAV payloads (also RIFF) still route to the audio decoder
     wav = MM.wav_bytes(np.arange(500, dtype=np.int16), 8000)
     assert MM.real_decode_features(wav)[0] == 1.0
+
+
+def test_stream_cms_counters_equal_batch_bit_for_bit(spark, tmp_path):
+    """Sum-monoid twin of the streaming-HLL pin: CMS counters
+    accumulated across three micro-batches equal batch cms_build over
+    the union of rows exactly (per key, max-merged emissions)."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.sketch import cms_build
+    from h3ron_spark.streaming.sketches import cms_stream
+
+    df = spark.range(600).select(
+        F2.col("id").alias("event_id"),
+        F2.concat(F2.lit("s"), F2.col("id") % 2).alias("k"),
+        ((F2.col("id") * 13) % 37).alias("v"),
+    )
+    for i in range(3):
+        df.filter(F2.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{tmp_path}/in/b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("event_id long, k string, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    q = (
+        cms_stream(stream, "v", "k", w=64)
+        .writeStream.format("memory")
+        .queryName("cmsmono")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    for kval in ("s0", "s1"):
+        streamed = {
+            (r.j, r.bucket): r.cnt
+            for r in spark.table("cmsmono")
+            .filter(F2.col("key") == kval)
+            .groupBy("j", "bucket")
+            .agg(F2.max("cnt").alias("cnt"))
+            .collect()
+        }
+        batch = {
+            (r.j, r.bucket): r.cnt
+            for r in cms_build(
+                df.filter(F2.col("k") == kval), "v", w=64
+            ).collect()
+        }
+        assert streamed == batch, kval
