@@ -83,6 +83,13 @@ BENCH_QUERIES = [
     "sketch_bloom_decontaminate",
     "mm_jpeg_decode",
     "sketch_hdr_quantiles",
+    "stream_hll_distinct",
+    "rel_zorder_scan",
+    "mm_avi_decode",
+    "mm_frame_features",
+    "rel_events_json",
+    "rel_events_variant",
+    "rel_event_pivot",
     # beyond-broadcast SSSP: 5.76M-edge synthetic torus (1200^2 x 4
     # directions at sf>=0.1) — the regime where the broadcast
     # Dijkstra's collected adjacency would be several GiB

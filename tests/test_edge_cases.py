@@ -190,3 +190,78 @@ def test_polar_cap_ring_planar_semantics():
     for c in cells:
         lat = math.degrees(ix.cell_to_latlng(c)[0])
         assert 83.0 < lat < 89.5
+
+
+def test_bloom_empty_build_rejects_everything(spark):
+    """An empty Bloom filter (no rows inserted) must answer
+    definitely-absent for every probe — not crash, not all-maybe."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.sketch import bloom_build, bloom_contains
+
+    empty = spark.range(0).select(F2.col("id").cast("string").alias("v"))
+    probe = spark.range(20).select(F2.col("id").cast("string").alias("v"))
+    bloom = bloom_build(empty, "v", m_words=8)
+    out = bloom_contains(bloom, probe, "v", m_words=8).collect()
+    assert len(out) == 20 and all(not r.bloom_maybe for r in out)
+
+
+def test_hdr_negative_values_bucket_null_and_drop(spark):
+    """Negative inputs bucket to NULL and are excluded from the
+    histogram (documented contract), without poisoning the group."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.sketch import hdr_histogram
+
+    df = spark.createDataFrame(
+        [(-5,), (-1,), (3,), (7,), (3,)], ["v"]
+    ).withColumn("g", F2.lit("x"))
+    hist = {r.bucket: r.cnt for r in hdr_histogram(df, "v", ["g"]).collect()}
+    assert hist == {3: 2, 7: 1}
+
+
+def test_extract_frames_skips_non_video(spark):
+    """Audio/image rows produce no frame rows (and no decode error)."""
+    import numpy as np
+
+    from h3ron_spark.pipeline import multimodal as MM
+
+    media = MM.synthetic_media_real(spark, 4)  # WAV + PPM rows only
+    assert MM.extract_frames(media, every_n=1).count() == 0
+    avi = MM.synthetic_media_avi(spark, 2)
+    both = media.unionByName(avi)
+    out = MM.extract_frames(both, every_n=1).collect()
+    assert len(out) > 0 and {r.asset_id for r in out} == {0, 1}
+
+
+def test_compact_refuses_overwrite(spark, tmp_path):
+    """compact_small_files must never clobber an existing destination
+    (rewrite-to-new-dir contract)."""
+    import pytest as _pytest
+
+    from h3ron_spark.operators.maintenance import compact_small_files
+
+    src = str(tmp_path / "src")
+    spark.range(100).write.parquet(src)
+    dest = str(tmp_path / "dest")
+    spark.range(1).write.parquet(dest)  # pre-existing
+    with _pytest.raises(Exception):
+        compact_small_files(spark, src, dest)
+
+
+def test_salted_topk_k_larger_than_group(spark):
+    """k exceeding a group's row count returns all rows ranked, same
+    as the plain window."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.operators.skew import salted_topk
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 3.0), (3, "b", 1.0)], ["rid", "k", "s"]
+    )
+    out = salted_topk(
+        df, ["k"], [F2.col("s").desc(), F2.col("rid").asc()],
+        k=10, salt_from="rid", n_salts=4,
+    ).collect()
+    assert len(out) == 3
+    assert {(r.k, r.rnk) for r in out} == {("a", 1), ("a", 2), ("b", 1)}
