@@ -115,3 +115,100 @@ def test_covered_area(spark):
     out = covered_area(edges, 6).collect()
     assert len(out) >= 1
     assert all(r.geometry_wkt.startswith("MULTIPOLYGON") for r in out)
+
+
+# ------------------------------------------------------------------
+# GeoPackage sink (sources/gpkg.py) — the reference's GPKG vector
+# write (h3ify_r_tiff.rs:32-58) without GDAL
+# ------------------------------------------------------------------
+
+
+def test_gpkg_write_readback_wkb_exact(spark, tmp_path):
+    """Write cell polygons + values to a .gpkg, read back via sqlite3
+    and independently re-parse the WKB: coordinates, ring counts, and
+    properties must round-trip exactly; required GPKG metadata tables
+    must validate."""
+    import sqlite3
+    import struct
+
+    from pyspark.sql import functions as F2
+
+    import h3ron_spark.h3core as h3c
+    from h3ron_spark.sources.gpkg import read_gpkg_layer, write_gpkg
+
+    cells = [h3c.latlng_to_cell(37.0 + i * 0.01, -122.0, 8) for i in range(5)]
+    rows = []
+    for i, c in enumerate(cells):
+        bnd = h3c.cell_to_boundary(c)
+        wkt = (
+            "POLYGON (("
+            + ", ".join(f"{lng} {lat}" for lat, lng in list(bnd) + [bnd[0]])
+            + "))"
+        )
+        rows.append((int(c), float(i * 2.5), wkt))
+    df = spark.createDataFrame(rows, "cell long, value double, wkt string")
+    path = str(tmp_path / "cells.gpkg")
+    assert write_gpkg(df, path, "cells", wkt_col="wkt") == 5
+
+    # required metadata (GPKG spec core tables + pragmas)
+    con = sqlite3.connect(path)
+    app_id = con.execute("PRAGMA application_id").fetchone()[0]
+    assert app_id == 1196444487  # 'GPKG'
+    assert con.execute(
+        "SELECT data_type, srs_id FROM gpkg_contents WHERE table_name='cells'"
+    ).fetchone() == ("features", 4326)
+    assert con.execute(
+        "SELECT geometry_type_name FROM gpkg_geometry_columns "
+        "WHERE table_name='cells'"
+    ).fetchone()[0] == "GEOMETRY"
+    con.close()
+
+    back = read_gpkg_layer(spark, path, "cells").collect()
+    assert len(back) == 5
+    by_cell = {r.cell: r for r in back}
+    for i, c in enumerate(cells):
+        r = by_cell[int(c)]
+        assert r.value == i * 2.5
+        wkb = r.geom_wkb
+        byte_order, geom_type, n_rings = struct.unpack_from("<BII", wkb, 0)
+        assert (byte_order, geom_type, n_rings) == (1, 3, 1)
+        (n_pts,) = struct.unpack_from("<I", wkb, 9)
+        bnd = h3c.cell_to_boundary(c)
+        assert n_pts == len(bnd) + 1  # closed ring
+        for p in range(n_pts - 1):
+            x, y = struct.unpack_from("<dd", wkb, 13 + 16 * p)
+            assert abs(x - bnd[p][1]) < 1e-12
+            assert abs(y - bnd[p][0]) < 1e-12
+
+
+def test_gpkg_multipolygon_and_guard(spark, tmp_path):
+    """Multipolygon layers (the dissolve output shape) encode as WKB
+    type 6; the summarized-layer row guard refuses fact-table sizes."""
+    import struct
+
+    from h3ron_spark.sources import gpkg as G
+
+    wkt = (
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((5 5, 6 5, 6 6, 5 6, 5 5), (5.2 5.2, 5.8 5.2, 5.5 5.8, 5.2 5.2)))"
+    )
+    blob = G.wkt_to_gpkg_blob(wkt)
+    assert blob[:2] == b"GP"
+    env = struct.unpack("<4d", blob[8:40])
+    assert env == (0.0, 6.0, 0.0, 6.0)  # minx maxx miny maxy
+    wkb = blob[40:]
+    bo, t, n = struct.unpack_from("<BII", wkb, 0)
+    assert (bo, t, n) == (1, 6, 2)
+
+    import pytest as _pytest
+
+    G_MAX = G._MAX_FEATURES
+    G._MAX_FEATURES = 10
+    try:
+        df = spark.range(50).selectExpr(
+            "'POINT (1 2)' AS wkt", "id AS v"
+        )
+        with _pytest.raises(ValueError):
+            G.write_gpkg(df, str(tmp_path / "x.gpkg"), "pts")
+    finally:
+        G._MAX_FEATURES = G_MAX
