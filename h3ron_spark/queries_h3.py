@@ -4727,7 +4727,14 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="h3ron_streamhll_")
     shuffle_conf = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(shuffle_conf, None)
-    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    # one state-store instance per shuffle partition, checkpointed
+    # every micro-batch: with a handful of keys, 8 partitions cuts the
+    # per-batch state-store overhead ~4x vs defaultParallelism (the
+    # keyed-state exchange still spreads keys; at real key cardinality
+    # size this to the cluster like any stateful query)
+    spark.conf.set(
+        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
+    )
     try:
         for i in range(3):
             ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
