@@ -1878,7 +1878,12 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism for this fresh checkpoint, then restore
     shuffle_conf = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(shuffle_conf, None)
-    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    # state-store instances track shuffle partitions and checkpoint
+    # every micro-batch; fixture-scale key cardinality wants few (size
+    # to the cluster at real cardinality like any stateful query)
+    spark.conf.set(
+        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
+    )
     try:
         half = _STREAM_N // 2
         for i, part in enumerate(
@@ -1970,7 +1975,12 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="h3ron_streamwin_")
     shuffle_conf = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(shuffle_conf, None)
-    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    # state-store instances track shuffle partitions and checkpoint
+    # every micro-batch; fixture-scale key cardinality wants few (size
+    # to the cluster at real cardinality like any stateful query)
+    spark.conf.set(
+        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
+    )
     try:
         half = n // 2
         for i, part in enumerate(
@@ -2070,7 +2080,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="h3ron_streamsess_")
     shuffle_conf = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(shuffle_conf, None)
-    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    # state-store instances track shuffle partitions and checkpoint
+    # every micro-batch; fixture-scale key cardinality wants few (size
+    # to the cluster at real cardinality like any stateful query)
+    spark.conf.set(
+        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
+    )
     try:
         half = n // 2
         sentinel = spark.range(1).select(
@@ -3184,7 +3199,12 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="h3ron_streamdedup_")
     shuffle_conf = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(shuffle_conf, None)
-    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    # state-store instances track shuffle partitions and checkpoint
+    # every micro-batch; fixture-scale key cardinality wants few (size
+    # to the cluster at real cardinality like any stateful query)
+    spark.conf.set(
+        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
+    )
     try:
         for i, part in enumerate(
             (
@@ -4091,7 +4111,12 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="h3ron_stream_join_")
     shuffle_conf = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(shuffle_conf, None)
-    spark.conf.set(shuffle_conf, str(spark.sparkContext.defaultParallelism))
+    # state-store instances track shuffle partitions and checkpoint
+    # every micro-batch; fixture-scale key cardinality wants few (size
+    # to the cluster at real cardinality like any stateful query)
+    spark.conf.set(
+        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
+    )
     try:
         half = _STREAM_JOIN_N // 2
         for i, part in enumerate(
