@@ -4577,20 +4577,22 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m_words = 2048
     docs = load(spark, sf_dir, "documents")
-    eval_sh = (
-        docs.filter(F.col("doc_id") % 37 == 0)
-        .select(F.explode(F.array_distinct(DD.shingles("text", 3))).alias("v"))
-        .distinct()
-    )
-    bloom = SK.bloom_build(eval_sh, "v", m_words=m_words)
-    probe = (
-        docs.filter(F.col("doc_id") % 37 != 0)
-        .select(
+    # ONE tokenize+explode+distinct pass feeds both sides: rows are
+    # tagged eval/probe up front and split AFTER the shared distinct
+    # aggregate, so the corpus-side shingle work (the dominant cost)
+    # is paid once instead of once per side
+    tagged = (
+        docs.select(
+            (F.col("doc_id") % 37 == 0).alias("is_eval"),
             "source",
             F.explode(F.array_distinct(DD.shingles("text", 3))).alias("v"),
         )
         .distinct()
+        .localCheckpoint()
     )
+    eval_sh = tagged.filter("is_eval").select("v").distinct()
+    bloom = SK.bloom_build(eval_sh, "v", m_words=m_words)
+    probe = tagged.filter(~F.col("is_eval")).select("source", "v").distinct()
     maybe = SK.bloom_contains(bloom, probe, "v", m_words=m_words)
     truth = eval_sh.select(F.col("v").alias("tv"))
     return (
