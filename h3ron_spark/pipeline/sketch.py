@@ -305,14 +305,24 @@ def cms_build(
     value_col: str,
     w: int = 1024,
     seeds: tuple[int, ...] = CMS_SEEDS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build a d x w count-min sketch over ``value_col`` occurrences:
     one row per (row j, bucket) with its collision-summed count —
     at most d*w rows of state regardless of corpus size, from ONE
     map-side-combinable aggregate. Sketches of shards merge by
-    summing counters (same (j, bucket) grid)."""
+    summing counters (same (j, bucket) grid).
+
+    ``weight_col``: pre-aggregated input — each row counts as
+    ``weight`` occurrences (identical counters to the per-occurrence
+    build, since bucket counts are sums over the values mapping
+    there). Feeding (value, count) pairs shrinks the explode domain
+    from occurrences to DISTINCT values — the shape to use when a
+    count table already exists."""
     h = hash_u60(value_col)
+    wcol = F.col(weight_col) if weight_col else F.lit(1)
     rows = df.select(
+        wcol.alias("_w"),
         F.explode(
             F.array(
                 *[
@@ -323,11 +333,11 @@ def cms_build(
                     for j, seed in enumerate(seeds)
                 ]
             )
-        ).alias("jb")
+        ).alias("jb"),
     )
     return rows.groupBy(
         F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.sum("_w").alias("cnt"))
 
 
 def cms_lookup(

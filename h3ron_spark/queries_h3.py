@@ -4297,14 +4297,21 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h3ron_spark.pipeline import text as TX
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(TX.tokens("text")).alias("tok"))
-    cms = SK.cms_build(toks, "tok")
-    top = (
-        toks.groupBy("tok")
+    # ONE tokenize pass: aggregate (tok, n) first, then build the
+    # sketch from the weighted count table (identical counters —
+    # bucket counts are sums over the values mapping there) and take
+    # the exact top-20 from the same table. The explode domain drops
+    # from occurrences to DISTINCT tokens.
+    tok_counts = (
+        docs.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
-        .limit(20)
+        .localCheckpoint()
     )
+    cms = SK.cms_build(tok_counts, "tok", weight_col="n_exact")
+    top = tok_counts.orderBy(
+        F.col("n_exact").desc(), F.col("tok").asc()
+    ).limit(20)
     return (
         SK.cms_lookup(cms, top, "tok")
         .select(

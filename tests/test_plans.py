@@ -514,13 +514,14 @@ def test_kmv_overlap_no_data_scale_join(spark):
 
 def test_cms_build_partial_agg_and_broadcast_lookup(spark):
     """text_cms_heavy_hitters: the sketch build must partial-agg
-    map-side (the property that bounds shuffle to d*w rows), the
-    lookup must broadcast the counter table, and nothing drops to
-    Python."""
+    map-side (the property that bounds shuffle to d*w rows — now a
+    partial_sum over the weighted count table rather than a
+    partial_count over raw occurrences), the lookup must broadcast
+    the counter table, and nothing drops to Python."""
     plan = plan_of(spark, "text_cms_heavy_hitters")
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
-    assert "partial_count" in plan
+    assert "partial_sum" in plan
     assert "BroadcastHashJoin" in plan
 
 
