@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_rerank",
     "ann_ivf_sampled_topk",
     "dedup_embedding_cosine",
     "sketch_hll_distinct",

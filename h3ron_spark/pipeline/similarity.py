@@ -1041,3 +1041,108 @@ def blocked_exact_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    n_lists: int = 16,
+    nprobe: int = 2,
+    k_short: int = 20,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Two-stage retrieval (the standard production shape): the
+    compressed-domain IVF-PQ scan shortlists ``k_short`` candidates
+    per query from 8-byte codes, then ONLY those rows are rescored
+    with the exact cosine against the raw vectors — quantization
+    error affects recall (which ``k_short`` headroom buys back), not
+    the final ordering. The rescore joins the tiny candidate set into
+    the corpus scan by broadcast; cost is |Q| * k_short exact
+    distances regardless of corpus size."""
+    shortlist = ivfpq_topk(
+        corpus, queries, books,
+        n_lists=n_lists, nprobe=nprobe, k_top=k_short,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        centroids=centroids,
+    ).select("query_id", "vec_id")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
+    )
+    rescored = (
+        c.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def save_quantizer(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    books: list[list[tuple[int, list[float]]]] | None = None,
+) -> None:
+    """Persist a trained retrieval model (IVF coarse centroids and/or
+    PQ codebooks) as one parquet table: (kind, subspace, cid, vec).
+    Train-once/search-many is the operational shape at corpus scale —
+    quantizer training is the expensive, sampled, offline step
+    (kmeans_fit/pq_fit train_fraction) while search jobs just load
+    kilobytes of model and broadcast it."""
+    rows = []
+    for cid, vec in centroids or []:
+        rows.append(("ivf", -1, int(cid), [float(x) for x in vec]))
+    for s, book in enumerate(books or []):
+        for cid, vec in book:
+            rows.append(("pq", s, int(cid), [float(x) for x in vec]))
+    spark.createDataFrame(
+        rows, "kind string, subspace int, cid int, vec array<double>"
+    ).coalesce(1).write.mode("errorifexists").parquet(path)
+
+
+def load_quantizer(spark, path: str):
+    """Load a model saved by :func:`save_quantizer`. Returns
+    (centroids, books) with the exact list/tuple shapes kmeans_fit /
+    pq_fit produce (floats round-trip exactly through parquet
+    doubles, so searches with a loaded model are bit-identical)."""
+    rows = spark.read.parquet(path).collect()
+    centroids = sorted(
+        (int(r.cid), [float(x) for x in r.vec])
+        for r in rows
+        if r.kind == "ivf"
+    )
+    pq_rows = [r for r in rows if r.kind == "pq"]
+    books: list[list[tuple[int, list[float]]]] = []
+    if pq_rows:
+        n_sub = max(int(r.subspace) for r in pq_rows) + 1
+        books = [[] for _ in range(n_sub)]
+        for r in pq_rows:
+            books[int(r.subspace)].append(
+                (int(r.cid), [float(x) for x in r.vec])
+            )
+        books = [sorted(b) for b in books]
+    return (centroids or None), (books or None)

@@ -1123,6 +1123,7 @@ _DRIVER_ORDER_FIRST = [
     "mm_frame_features",
     "rel_event_pivot",
     "rel_events_variant",
+    "ann_ivfpq_rerank",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1181,7 +1182,10 @@ _DRIVER_ORDER_FIRST = [
     # rel_event_sessions deferred to r5 (r2-green, untouched; its
     # sessionization window shape is exercised in-window by
     # stream_session_windows and the funnel/asof queries)
-    "dedup_minhash_lsh",
+    # dedup_minhash_lsh deferred to r5 (r2-green, untouched; its
+    # banded-signature machinery backs the IN-WINDOW
+    # dedup_minhash_clusters row, which consumes its pair output) —
+    # made room for ann_ivfpq_rerank, the two-stage retrieval row
     # dedup_simhash_groups deferred to r5 (r2-green, untouched; its
     # bit-majority machinery shares the shingle-hash stack the
     # in-window minhash suite verifies) — made room for

@@ -5165,3 +5165,76 @@ def rel_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_band")
     )
+
+
+def _ivfpq_rerank_oracle() -> str:
+    """Extends the composed IVF-PQ oracle: ADC shortlist of 20, then
+    exact-cosine rescore of only those rows, final top-5."""
+    joins, dist = _pq_adc_parts("p", "a.vec_id")
+    cos = _COSINE
+    return f"""WITH {_pq_train_ctes()}
+  , cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_LISTS})
+  , isims AS (
+    SELECT e.vec_id, e.v, c.cid, {cos.format(a="e.v", b="c.cv")} AS sim
+    FROM e CROSS JOIN cent c
+  ), iassigned AS (
+    SELECT vec_id, cid AS list_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid ASC) AS rn
+      FROM isims) WHERE rn = 1
+  ), iprobes AS (
+    SELECT vec_id AS query_id, v AS qv, cid AS list_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid ASC) AS rn
+      FROM isims WHERE vec_id % 50 = 0) WHERE rn <= {_IVF_NPROBE}
+  ), adc AS (
+    SELECT p.query_id, a.vec_id, round({dist}, 6) AS adc_dist
+    FROM iprobes p JOIN iassigned a USING (list_id)
+    {joins}
+    WHERE a.vec_id <> p.query_id
+  ), shortlist AS (
+    SELECT query_id, vec_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, vec_id ASC) AS rank
+      FROM adc) WHERE rank <= 20
+  ), rescored AS (
+    SELECT s.query_id, s.vec_id,
+           round({cos.format(a="q.v", b="x.v")}, 6) AS cosine
+    FROM shortlist s
+    JOIN e x ON x.vec_id = s.vec_id
+    JOIN e q ON q.vec_id = s.query_id
+  )
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM rescored) WHERE rank <= 5"""
+
+
+@register("ann_ivfpq_rerank", oracle=_ivfpq_rerank_oracle())
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production default: the IVF-PQ
+    compressed-domain scan (same trained model as ann_ivfpq_topk)
+    SHORTLISTS 20 candidates per query from 8-byte codes, then ONLY
+    those |Q|*20 rows are rescored with the exact cosine against raw
+    vectors — PQ quantization error can reorder or drop candidates
+    near the boundary, and the rescue margin (k_short=4x k_top) buys
+    that recall back while the final ordering is exact arithmetic.
+    The oracle extends the fully-unrolled composed oracle (training +
+    IVF assignment + ADC + rescore), so both stages and the handoff
+    are hash-checked."""
+    par = spark.sparkContext.defaultParallelism
+    emb = load(spark, sf_dir, "embeddings").repartition(par)
+    books = _pq_books(spark, sf_dir, emb)
+    ckey = (_session_key(spark), sf_dir)
+    cents = _IVF_CENT_CACHE.get(ckey)
+    if cents is None:
+        cents = SIM.ivf_centroid_rows(emb, _IVF_LISTS)
+        _IVF_CENT_CACHE[ckey] = cents
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_rerank_topk(
+        emb, queries, books,
+        n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE, k_short=20, k_top=5,
+        centroids=cents,
+    )

@@ -292,3 +292,35 @@ def test_blocked_exact_topk_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_quantizer_save_load_bit_identical_search(spark, tmp_path, emb):
+    """Persisted IVF centroids + PQ codebooks round-trip exactly
+    (parquet doubles are lossless), and a search with the LOADED
+    model returns row-identical results to the fresh model."""
+    from h3ron_spark.pipeline.similarity import (
+        ivf_centroid_rows,
+        ivfpq_topk,
+        load_quantizer,
+        pq_fit,
+        save_quantizer,
+    )
+
+    cents = ivf_centroid_rows(emb, 8)
+    books = pq_fit(emb, m=4, k=8, n_iter=1)
+    path = str(tmp_path / "model")
+    save_quantizer(spark, path, centroids=cents, books=books)
+    lc, lb = load_quantizer(spark, path)
+    assert lc == sorted((int(c), [float(x) for x in v]) for c, v in cents)
+    assert lb == [sorted((int(c), [float(x) for x in v]) for c, v in b) for b in books]
+
+    queries = emb.filter("vec_id % 40 = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    fresh = ivfpq_topk(
+        emb, queries, books, n_lists=8, nprobe=2, k_top=3, centroids=cents
+    ).collect()
+    loaded = ivfpq_topk(
+        emb, queries, lb, n_lists=8, nprobe=2, k_top=3, centroids=lc
+    ).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, loaded))
