@@ -663,3 +663,117 @@ def hdr_oracle_sql(
     GROUP BY {g}, q
   )
 """
+
+
+def kmv_set_cardinalities(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-cardinality estimates for every group pair's UNION and
+    INTERSECTION from the KMV sketches alone (Bar-Yossef et al. 2002;
+    the theta-sketch set algebra): take the k smallest hashes of the
+    merged pair, then
+
+      |A u B| ~ (k-1) * 2^60 / kth_min_hash   (saturated)
+      |A u B| = union_k                        (unsaturated: the
+                                               sketch IS the set)
+      |A n B| ~ jaccard_est * |A u B|
+
+    Cross-engine determinism: the only float ops are one int->double
+    conversion (IEEE round-nearest, identical in Spark and DuckDB),
+    one multiply by an exact power of two, one divide, one multiply —
+    each correctly rounded, no summation-order freedom — and the
+    emitted columns are FLOORED to BIGINT. Everything runs on
+    |groups|^2/2 * k sketch rows; the corpus is never rescanned."""
+    ov = kmv_pair_overlap(sketch, k)
+    from pyspark.sql import Window
+
+    # re-derive the kth (max) retained hash per pair from the sketches
+    groups = sketch.select(F.col("g")).distinct()
+    pairs = (
+        groups.alias("a")
+        .join(groups.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("g1"), F.col("b.g").alias("g2"))
+    )
+    rows = pairs.join(
+        sketch.alias("s"),
+        (F.col("s.g") == F.col("g1")) | (F.col("s.g") == F.col("g2")),
+    )
+    merged = rows.groupBy("g1", "g2", "h").agg(F.count(F.lit(1)).alias("_n"))
+    win = Window.partitionBy("g1", "g2").orderBy("h")
+    kept = merged.withColumn("_rk", F.row_number().over(win)).filter(
+        F.col("_rk") <= k
+    )
+    kth = kept.groupBy("g1", "g2").agg(F.max("h").alias("kth"))
+    est_u = F.when(
+        F.col("union_k") < k, F.col("union_k").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(1 << 60))
+        / F.col("kth").cast("double")
+    )
+    return (
+        ov.join(kth, ["g1", "g2"])
+        .select(
+            "g1",
+            "g2",
+            "inter_k",
+            "union_k",
+            F.floor(est_u).cast("long").alias("est_union"),
+            F.floor(F.col("jaccard_est") * est_u).cast("long").alias(
+                "est_inter"
+            ),
+        )
+    )
+
+
+def kmv_setops_oracle_sql(
+    value_expr: str,
+    group_col: str,
+    table: str,
+    k: int = 64,
+) -> str:
+    """DuckDB replica of kmv_sketch + kmv_set_cardinalities, extended
+    from kmv_overlap_oracle_sql with the kth-hash branch."""
+    return f"""
+  WITH distinct_h AS (
+    SELECT {group_col} AS g,
+           ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM {table} GROUP BY 1, 2
+  ), sk AS (
+    SELECT g, h FROM (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+      FROM distinct_h
+    ) WHERE rk <= {k}
+  ), pairs AS (
+    SELECT a.g AS g1, b.g AS g2
+    FROM (SELECT DISTINCT g FROM sk) a
+    JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g
+  ), merged AS (
+    SELECT p.g1, p.g2, s.h,
+           max(CASE WHEN s.g = p.g1 THEN 1 ELSE 0 END) AS in1,
+           max(CASE WHEN s.g = p.g2 THEN 1 ELSE 0 END) AS in2
+    FROM pairs p JOIN sk s ON s.g = p.g1 OR s.g = p.g2
+    GROUP BY p.g1, p.g2, s.h
+  ), kept AS (
+    SELECT * FROM (
+      SELECT g1, g2, h, in1, in2,
+             row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rk
+      FROM merged
+    ) WHERE rk <= {k}
+  ), agg AS (
+    SELECT g1, g2,
+           CAST(sum(in1 * in2) AS INTEGER) AS inter_k,
+           CAST(count(*) AS INTEGER) AS union_k,
+           CAST(sum(in1 * in2) AS DOUBLE) / count(*) AS jacc,
+           max(h) AS kth
+    FROM kept GROUP BY g1, g2
+  )
+  SELECT g1, g2, inter_k, union_k,
+         CAST(floor(CASE WHEN union_k < {k} THEN CAST(union_k AS DOUBLE)
+              ELSE CAST({float(k - 1)!r} AS DOUBLE)
+                   * CAST({float(1 << 60)!r} AS DOUBLE) / CAST(kth AS DOUBLE)
+         END) AS BIGINT) AS est_union,
+         CAST(floor(jacc * (CASE WHEN union_k < {k} THEN CAST(union_k AS DOUBLE)
+              ELSE CAST({float(k - 1)!r} AS DOUBLE)
+                   * CAST({float(1 << 60)!r} AS DOUBLE) / CAST(kth AS DOUBLE)
+         END)) AS BIGINT) AS est_inter
+  FROM agg
+"""

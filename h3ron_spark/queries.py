@@ -1124,6 +1124,7 @@ _DRIVER_ORDER_FIRST = [
     "rel_event_pivot",
     "rel_events_variant",
     "ann_ivfpq_rerank",
+    "sketch_kmv_setops",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1202,7 +1203,10 @@ _DRIVER_ORDER_FIRST = [
     # contamination surface is covered in-window by the new
     # sketch_bloom_decontaminate) — made room for
     # ann_blocked_exact_topk, the exact-search scale path's driver row
-    "pipeline_train_test_split",
+    # pipeline_train_test_split deferred to r5 (r2-green, untouched;
+    # the md5-bucket split machinery is exercised in-window by
+    # pack_sequences + weighted_sample) — made room for
+    # sketch_kmv_setops, the set-cardinality algebra's driver row
     # pipeline_source_quota deferred to r5 (r2-green, untouched;
     # deterministic-sampling machinery covered in-window by
     # train_test_split/pack_sequences + weighted_sample) — made room

@@ -5238,3 +5238,63 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE, k_short=20, k_top=5,
         centroids=cents,
     )
+
+
+def _kmv_setops_oracle() -> str:
+    from h3ron_spark.pipeline.sketch import kmv_setops_oracle_sql
+
+    grams = r"""(
+      SELECT source,
+             unnest(CASE WHEN len(toks) >= 5
+                    THEN list_transform(
+                           range(0, greatest(len(toks) - 5, 0) + 1),
+                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                                toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5])
+                    ELSE [array_to_string(toks, ' ')] END) AS g
+      FROM (SELECT source, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    )"""
+    inner = kmv_setops_oracle_sql("g", "source", grams, k=64)
+    return f"""
+  SELECT g1 AS source_a, g2 AS source_b, inter_k, union_k,
+         est_union, est_inter
+  FROM ({inner})
+  WHERE inter_k > 0
+  ORDER BY source_a, source_b
+"""
+
+
+@register("sketch_kmv_setops", oracle=_kmv_setops_oracle())
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities from sketches alone (the
+    theta-sketch algebra on the KMV representation): for every source
+    pair with any sketch overlap, estimate |A u B| from the k-th
+    retained hash of the merged pair ((k-1) * 2^60 / kth, or the
+    exact union_k when unsaturated — the sketch then IS the distinct
+    set) and |A n B| as jaccard * union. The only float ops are
+    single correctly-rounded conversions/divides (no summation-order
+    freedom) and the outputs are FLOORED to integers, so the estimate
+    itself is hash-checked cross-engine. Everything past the one
+    corpus scan runs on pairs * k sketch rows — the 100-TB
+    cross-corpus set-cardinality audit at kilobytes of state."""
+    from h3ron_spark.pipeline import dedup as DD2
+    from h3ron_spark.pipeline import sketch as SK
+
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(DD2.shingles(F.col("text"), 5)).alias("g")
+    )
+    sk = SK.kmv_sketch(grams, "g", "source", k=64)
+    return (
+        SK.kmv_set_cardinalities(sk, k=64)
+        .filter(F.col("inter_k") > 0)
+        .select(
+            F.col("g1").alias("source_a"),
+            F.col("g2").alias("source_b"),
+            "inter_k",
+            "union_k",
+            "est_union",
+            "est_inter",
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -367,3 +367,39 @@ def test_hdr_merge_equals_whole_and_bounded_state(spark):
     q_w = sorted(map(tuple, hdr_quantiles(whole, ["g"]).collect()))
     q_m = sorted(map(tuple, hdr_quantiles(merged, ["g"]).collect()))
     assert q_w == q_m
+
+
+def test_kmv_set_cardinalities_envelope_and_exact_when_unsaturated(spark):
+    """Saturated pair: union/intersection estimates land within the
+    ~1/sqrt(k-2) KMV envelope of truth. Unsaturated pair: est_union
+    equals the exact distinct union (the sketch IS the set)."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.sketch import (
+        kmv_set_cardinalities,
+        kmv_sketch,
+    )
+
+    rows = (
+        [("A", f"x{i}") for i in range(1000)]
+        + [("B", f"x{i}") for i in range(500, 1500)]
+        + [("C", f"x{i}") for i in range(990, 1010)]  # tiny: unsaturated with B
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    sk = kmv_sketch(df, "v", "g", k=64)
+    out = {(r.g1, r.g2): r for r in kmv_set_cardinalities(sk, k=64).collect()}
+    ab = out[("A", "B")]
+    assert abs(ab.est_union - 1500) / 1500 < 0.30
+    assert abs(ab.est_inter - 500) / 500 < 0.35
+    # A-C / B-C: C has only 20 values; union with a saturated sketch
+    # still saturates, but C alone vs itself isn't a pair — check the
+    # unsaturated branch directly with two tiny groups
+    tiny = spark.createDataFrame(
+        [("X", f"a{i}") for i in range(30)]
+        + [("Y", f"a{i}") for i in range(20, 50)],
+        ["g", "v"],
+    )
+    sk2 = kmv_sketch(tiny, "v", "g", k=64)
+    xy = kmv_set_cardinalities(sk2, k=64).collect()[0]
+    assert xy.est_union == 50  # exact: sketch unsaturated
+    assert xy.est_inter == 10  # jaccard exact too (10/50)
