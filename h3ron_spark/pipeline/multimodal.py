@@ -358,6 +358,16 @@ def real_decode_features(payload: bytes) -> list[float]:
             float(np.sqrt(np.mean(c0 * c0))),
             zc,
         ]
+    if payload[:2] == b"BM":
+        px = decode_bmp(bytes(payload)).astype(np.float64)
+        return [
+            2.0,
+            float(px.shape[1]),
+            float(px.shape[0]),
+            float(px.mean() / 255.0),
+            float(px.std() / 255.0),
+            float(px.shape[2]),
+        ]
     if payload[:2] in (b"P6", b"P5"):
         px = decode_ppm(bytes(payload)).astype(np.float64)
         return [
@@ -1085,3 +1095,53 @@ def extract_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(run, FRAME_FEATURE_SCHEMA)
+
+
+def bmp_bytes(pixels) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as an uncompressed 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded BGR rows
+    — the same DIB layout the AVI frames use)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body_len = (row + pad) * h
+    bgr = px[::-1, :, ::-1]
+    if pad:
+        body = b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(h))
+    else:
+        body = bgr.tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + body_len, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, body_len, 0, 0, 0, 0)
+    return hdr + info + body
+
+
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed 24-bit BMP to (h, w, 3) uint8 RGB.
+    Top-down bitmaps (negative height) are handled; palettized,
+    16/32-bit, and RLE variants raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    size, w, h, _planes, bits, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bits != 24 or comp != 0:
+        raise NotImplementedError(f"BMP {bits}bpp/compression {comp}")
+    topdown = h < 0
+    h = abs(h)
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    arr = np.frombuffer(
+        payload, np.uint8, count=(row + pad) * h, offset=data_off
+    )
+    px = arr.reshape(h, row + pad)[:, :row].reshape(h, w, 3)
+    if not topdown:
+        px = px[::-1]
+    return px[:, :, ::-1]  # BGR -> RGB

@@ -344,3 +344,16 @@ def test_longedge_contraction_equivalence_property(rnd):
     assert sorted(r_p) == sorted(r_c)
     for t in r_p:
         assert d_p[t] == d_c[t], (t, d_p[t], d_c[t])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(2, 24), st.integers(2, 24), st.randoms(use_true_random=False)
+)
+def test_bmp_roundtrip_property(w, h, rnd):
+    from h3ron_spark.pipeline.multimodal import bmp_bytes, decode_bmp
+
+    px = np.array(
+        [rnd.randrange(256) for _ in range(w * h * 3)], np.uint8
+    ).reshape(h, w, 3)
+    assert np.array_equal(decode_bmp(bmp_bytes(px)), px)
