@@ -1125,6 +1125,7 @@ _DRIVER_ORDER_FIRST = [
     "rel_events_variant",
     "ann_ivfpq_rerank",
     "sketch_kmv_setops",
+    "pipeline_drift_report",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1215,7 +1216,9 @@ _DRIVER_ORDER_FIRST = [
     # deterministic-sampling machinery covered in-window by
     # train_test_split/source_quota/pack_sequences + weighted_sample)
     # — made room for stream_hll_distinct, the streaming sketch row
-    "pipeline_pack_sequences",
+    # pipeline_pack_sequences deferred to r5 (r2-green, untouched;
+    # shard-parallel next-fit machinery standalone) — made room for
+    # pipeline_drift_report, the drift-monitoring driver row
     "pipeline_quality_gate",
     # rotation: two of the four graph-fixture goldens (heavy
     # algorithmic machinery — refgraph IO + CSR routing, flood — worth

@@ -5298,3 +5298,62 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def _drift_oracle() -> str:
+    """Replays drift_report over the doc_id-parity split: counts +
+    null rates in plain SQL, HLL per side via hll_oracle_sql, HDR
+    p50/p90/p99 per side via hdr_oracle_sql."""
+    from h3ron_spark.pipeline.sketch import hdr_oracle_sql, hll_oracle_sql
+
+    side = "(SELECT *, CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS _side FROM documents)"
+    hll = hll_oracle_sql("text", ["_side"], side, p=8)
+    hdr = hdr_oracle_sql("n_chars", ["_side"], side)
+    return f"""
+  WITH hll_side AS ({hll}), hdr_side AS ({hdr}),
+  base AS (
+    SELECT _side, count(*) AS n,
+           CAST(floor(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS null_nchars,
+           CAST(floor(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS null_text
+    FROM {side} GROUP BY _side
+  ), longf AS (
+    SELECT 'n_rows' AS metric, '*' AS "column", _side, n AS val FROM base
+    UNION ALL
+    SELECT 'null_rate_e4', 'n_chars', _side, null_nchars FROM base
+    UNION ALL
+    SELECT 'null_rate_e4', 'text', _side, null_text FROM base
+    UNION ALL
+    SELECT 'hll_distinct', 'text', _side,
+           CAST(floor(hll_est) AS BIGINT) FROM hll_side
+    UNION ALL
+    SELECT 'p' || CAST(CAST(q * 100 AS INTEGER) AS VARCHAR), 'n_chars',
+           _side, q_low FROM hdr_side
+  )
+  SELECT metric, "column",
+         CAST(coalesce(max(CASE WHEN _side = 'a' THEN val END), 0) AS BIGINT) AS batch_a,
+         CAST(coalesce(max(CASE WHEN _side = 'b' THEN val END), 0) AS BIGINT) AS batch_b,
+         CAST(coalesce(max(CASE WHEN _side = 'b' THEN val END), 0)
+              - coalesce(max(CASE WHEN _side = 'a' THEN val END), 0) AS BIGINT) AS delta
+  FROM longf GROUP BY metric, "column"
+  ORDER BY metric, "column"
+"""
+
+
+@register("pipeline_drift_report", oracle=_drift_oracle())
+def pipeline_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch drift monitoring composed from the sketch
+    family (pipeline/drift.py): the even/odd doc_id halves stand in
+    for consecutive ingest batches; the report compares row counts,
+    null rates, HLL distinct-text estimates, and HDR p50/p90/p99 of
+    document length — every metric a bounded-state sketch, every
+    output integer-scaled, the whole report a few dozen rows. This is
+    the pre-admission gate a 100-TB corpus runs on each new slice
+    before it merges (alert on |delta| thresholds downstream)."""
+    from h3ron_spark.pipeline.drift import drift_report
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 != 0)
+    return drift_report(
+        a, b, numeric_cols=["n_chars"], string_cols=["text"]
+    )
