@@ -30,6 +30,13 @@ _LAZY_MODULES = {
     "text": "h3ron_spark.pipeline.text",
     "sampling": "h3ron_spark.pipeline.sampling",
     "multimodal": "h3ron_spark.pipeline.multimodal",
+    "sketch": "h3ron_spark.pipeline.sketch",
+    "drift": "h3ron_spark.pipeline.drift",
+    "components": "h3ron_spark.pipeline.components",
+    "jpeg": "h3ron_spark.pipeline.jpeg",
+    "skew": "h3ron_spark.operators.skew",
+    "layout": "h3ron_spark.operators.layout",
+    "maintenance": "h3ron_spark.operators.maintenance",
     "h3core": "h3ron_spark.h3core",
 }
 
