@@ -682,10 +682,13 @@ def kmv_set_cardinalities(sketch: DataFrame, k: int = 64) -> DataFrame:
     each correctly rounded, no summation-order freedom — and the
     emitted columns are FLOORED to BIGINT. Everything runs on
     |groups|^2/2 * k sketch rows; the corpus is never rescanned."""
-    ov = kmv_pair_overlap(sketch, k)
     from pyspark.sql import Window
 
-    # re-derive the kth (max) retained hash per pair from the sketches
+    # ONE pass over the pair-merged sketch rows: inter/union counts,
+    # the jaccard, AND the kth retained hash come from the same kept
+    # frame (the sketch itself is materialized once by the caller or
+    # recomputed once here — never per metric)
+    sketch = sketch.localCheckpoint()
     groups = sketch.select(F.col("g")).distinct()
     pairs = (
         groups.alias("a")
@@ -696,12 +699,22 @@ def kmv_set_cardinalities(sketch: DataFrame, k: int = 64) -> DataFrame:
         sketch.alias("s"),
         (F.col("s.g") == F.col("g1")) | (F.col("s.g") == F.col("g2")),
     )
-    merged = rows.groupBy("g1", "g2", "h").agg(F.count(F.lit(1)).alias("_n"))
+    merged = rows.groupBy("g1", "g2", "h").agg(
+        F.max((F.col("s.g") == F.col("g1")).cast("int")).alias("in1"),
+        F.max((F.col("s.g") == F.col("g2")).cast("int")).alias("in2"),
+    )
     win = Window.partitionBy("g1", "g2").orderBy("h")
     kept = merged.withColumn("_rk", F.row_number().over(win)).filter(
         F.col("_rk") <= k
     )
-    kth = kept.groupBy("g1", "g2").agg(F.max("h").alias("kth"))
+    agg = kept.groupBy("g1", "g2").agg(
+        F.sum(F.col("in1") * F.col("in2")).cast("int").alias("inter_k"),
+        F.count(F.lit(1)).cast("int").alias("union_k"),
+        (F.sum(F.col("in1") * F.col("in2")) / F.count(F.lit(1))).alias(
+            "_jacc"
+        ),
+        F.max("h").alias("kth"),
+    )
     est_u = F.when(
         F.col("union_k") < k, F.col("union_k").cast("double")
     ).otherwise(
@@ -709,18 +722,13 @@ def kmv_set_cardinalities(sketch: DataFrame, k: int = 64) -> DataFrame:
         * F.lit(float(1 << 60))
         / F.col("kth").cast("double")
     )
-    return (
-        ov.join(kth, ["g1", "g2"])
-        .select(
-            "g1",
-            "g2",
-            "inter_k",
-            "union_k",
-            F.floor(est_u).cast("long").alias("est_union"),
-            F.floor(F.col("jaccard_est") * est_u).cast("long").alias(
-                "est_inter"
-            ),
-        )
+    return agg.select(
+        "g1",
+        "g2",
+        "inter_k",
+        "union_k",
+        F.floor(est_u).cast("long").alias("est_union"),
+        F.floor(F.col("_jacc") * est_u).cast("long").alias("est_inter"),
     )
 
 
