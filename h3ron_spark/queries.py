@@ -1126,6 +1126,7 @@ _DRIVER_ORDER_FIRST = [
     "ann_ivfpq_rerank",
     "sketch_kmv_setops",
     "pipeline_drift_report",
+    "geo_trajectory_similarity",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1219,7 +1220,9 @@ _DRIVER_ORDER_FIRST = [
     # pipeline_pack_sequences deferred to r5 (r2-green, untouched;
     # shard-parallel next-fit machinery standalone) — made room for
     # pipeline_drift_report, the drift-monitoring driver row
-    "pipeline_quality_gate",
+    # pipeline_quality_gate deferred to r5 (r2-green, untouched; the
+    # gate's stage filters are covered in-window by the curation
+    # funnel) — made room for geo_trajectory_similarity
     # rotation: two of the four graph-fixture goldens (heavy
     # algorithmic machinery — refgraph IO + CSR routing, flood — worth
     # a fresh driver row over the pure bit-math fixtures).

@@ -5357,3 +5357,113 @@ def pipeline_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_report(
         a, b, numeric_cols=["n_chars"], string_cols=["text"]
     )
+
+
+_TRAJ_SIM_ORACLE = """
+  WITH cells AS (
+    SELECT user_id, event_id,
+           ((1::BIGINT << 59) | (2::BIGINT << 52)
+            | ((25 + (event_id % 12))::BIGINT << 45)
+            | (((event_id // 12) % 7)::BIGINT << 42)
+            | (((event_id // 84) % 7)::BIGINT << 39)
+            | ((1::BIGINT << 39) - 1)) AS cell
+    FROM events WHERE event_id < 20000
+  ), hops AS (
+    SELECT DISTINCT user_id,
+           CAST(prev AS VARCHAR) || '>' || CAST(cell AS VARCHAR) AS hop
+    FROM (
+      SELECT user_id, cell,
+             lag(cell) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      FROM cells)
+    WHERE prev IS NOT NULL AND prev <> cell
+  ), sizes AS (
+    SELECT user_id, count(*) AS n FROM hops GROUP BY user_id
+  ), inter AS (
+    SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_inter
+    FROM hops a JOIN hops b ON a.hop = b.hop AND a.user_id < b.user_id
+    GROUP BY u1, u2
+  )
+  SELECT i.u1, i.u2,
+         CAST(i.n_inter AS INT) AS inter_hops,
+         CAST(sa.n + sb.n - i.n_inter AS INT) AS union_hops,
+         CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.user_id = i.u1
+  JOIN sizes sb ON sb.user_id = i.u2
+  WHERE i.n_inter >= 5
+  ORDER BY jaccard DESC, u1, u2
+"""
+
+
+@register("geo_trajectory_similarity", oracle=_TRAJ_SIM_ORACLE)
+def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory near-duplicate detection over H3 cell sequences
+    (the REPOSE/trajectory-similarity workload re-expressed with the
+    dedup machinery): each user's movement is its time-ordered
+    res-2 cell sequence (deterministic bit-math synthesis from event
+    ints, same recipe family as stream_cell_transitions); the
+    order-aware signature is the DISTINCT set of cell HOPS
+    (prev>next bigrams, self-hops dropped), and pair similarity is
+    hop-set Jaccard computed through an inverted hop index — a join
+    bounded by hop co-occurrence, NEVER all-pairs-of-users. At fleet
+    scale (10^8 trajectories) the same shape swaps the exact hop join
+    for the MinHash/LSH band stack already in dedup.py; int/int
+    Jaccard is IEEE-exact so the score hash-matches cross-engine."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    b = 25 + F.col("event_id") % 12
+    d1 = F.expr("event_id div 12") % 7
+    d2 = F.expr("event_id div 84") % 7
+    cells = ev.select(
+        "user_id",
+        "event_id",
+        B.h3_build_cell(b, [d1, d2], 2).alias("cell"),
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    hops = (
+        cells.withColumn("prev", F.lag("cell").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("cell")))
+        .select(
+            "user_id",
+            F.concat(
+                F.col("prev").cast("string"),
+                F.lit(">"),
+                F.col("cell").cast("string"),
+            ).alias("hop"),
+        )
+        .distinct()
+    )
+    sizes = hops.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        hops.alias("a")
+        .join(
+            hops.alias("b"),
+            (F.col("a.hop") == F.col("b.hop"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= 5)
+    )
+    sa = sizes.select(F.col("user_id").alias("u1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("user_id").alias("u2"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "u1")
+        .join(F.broadcast(sb), "u2")
+        .select(
+            "u1",
+            "u2",
+            F.col("n_inter").cast("int").alias("inter_hops"),
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("int")
+            .alias("union_hops"),
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u1", "u2")
+    )
