@@ -1127,6 +1127,7 @@ _DRIVER_ORDER_FIRST = [
     "sketch_kmv_setops",
     "pipeline_drift_report",
     "geo_trajectory_similarity",
+    "dedup_editdistance_join",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1144,7 +1145,9 @@ _DRIVER_ORDER_FIRST = [
     # rotation: data-dependent oracles whose last driver row is r2
     "h3_uncompact_join",
     "h3_compact_dataframe",
-    "text_unigram_logprob",
+    # text_unigram_logprob deferred to r5 (r3-green via CORRECTNESS_r03
+    # window — its localCheckpoint swap shipped and verified there;
+    # untouched since) — made room for dedup_editdistance_join
     "rel_pricing_summary",
     # rel_top_revenue_orders deferred to r5 (r2-green, untouched; its
     # broadcast-join + deterministic top-k shape is covered in-window

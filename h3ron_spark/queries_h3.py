@@ -5467,3 +5467,88 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jaccard").desc(), "u1", "u2")
     )
+
+
+_EDIT_JOIN_ORACLE = r"""
+  WITH keys AS (
+    SELECT doc_id, substr(trim(text), 1, 48) AS s FROM documents
+    WHERE len(trim(text)) >= 24
+  ), grams AS (
+    SELECT DISTINCT doc_id, substr(s, t.i, 3) AS g
+    FROM keys, range(1, 47) t(i)
+    WHERE t.i + 2 <= len(s)
+  ), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+    HAVING count(*) >= 16
+  )
+  SELECT c.id_a, c.id_b,
+         CAST(c.shared AS INT) AS shared_grams,
+         CAST(levenshtein(ka.s, kb.s) AS INT) AS edit_dist
+  FROM cand c
+  JOIN keys ka ON ka.doc_id = c.id_a
+  JOIN keys kb ON kb.doc_id = c.id_b
+  WHERE levenshtein(ka.s, kb.s) <= 12
+  ORDER BY edit_dist, id_a, id_b
+"""
+
+
+@register("dedup_editdistance_join", oracle=_EDIT_JOIN_ORACLE)
+def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join — the classic string-join shape
+    (q-gram count filtering a la Gravano et al. 2001, then exact
+    Levenshtein on survivors only): document key prefixes (48 chars)
+    generate positional-free character 3-grams; an inverted-gram
+    index join counts shared grams per pair (>= 16 of <= 46 — the
+    count filter is what makes this NOT an all-pairs O(n^2
+    levenshtein) join, since a pair within edit distance k must share
+    >= |s| - 2 - 3k grams); only the surviving candidates pay the
+    exact DP distance, which runs JVM-side (F.levenshtein — identical
+    integer DP in DuckDB). Completes the similarity-family matrix:
+    token/shingle Jaccard, MinHash, SimHash, winnowing, substring
+    spans, embedding cosine, and now character edit distance."""
+    docs = load(spark, sf_dir, "documents")
+    keys = docs.select(
+        "doc_id", F.substring(F.trim("text"), 1, 48).alias("s")
+    ).filter(F.length(F.trim("text")) >= 24)
+    grams = (
+        keys.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(s) - 2, 1)),"
+                    " i -> substring(s, i, 3))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    cand = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 16)
+    )
+    ka = keys.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    kb = keys.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("sa", "sb"))
+        .filter(F.col("edit_dist") <= 12)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("int").alias("shared_grams"),
+            F.col("edit_dist").cast("int"),
+        )
+        .orderBy("edit_dist", "id_a", "id_b")
+    )
