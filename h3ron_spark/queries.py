@@ -1128,6 +1128,8 @@ _DRIVER_ORDER_FIRST = [
     "pipeline_drift_report",
     "geo_trajectory_similarity",
     "dedup_editdistance_join",
+    "geo_stay_detection",
+    "rel_events_gapfill",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1143,12 +1145,17 @@ _DRIVER_ORDER_FIRST = [
     "mm_real_decode",
     "mm_resize_plumbing",
     # rotation: data-dependent oracles whose last driver row is r2
-    "h3_uncompact_join",
+    # h3_uncompact_join deferred to r5 (r3-green via CORRECTNESS_r03;
+    # untouched since; its broadcast-join machinery is pinned by
+    # test_plans and the in-window compact row)
     "h3_compact_dataframe",
     # text_unigram_logprob deferred to r5 (r3-green via CORRECTNESS_r03
     # window — its localCheckpoint swap shipped and verified there;
     # untouched since) — made room for dedup_editdistance_join
-    "rel_pricing_summary",
+    # rel_pricing_summary deferred to r5 (r2-green canonical Q1;
+    # untouched; scan+agg shape covered by every in-window aggregate)
+    # — with h3_uncompact_join's deferral this made room for
+    # geo_stay_detection + rel_events_gapfill
     # rel_top_revenue_orders deferred to r5 (r2-green, untouched; its
     # broadcast-join + deterministic top-k shape is covered in-window
     # by rel_supplier_part_pricing and the new rel_skew_salted_topk)

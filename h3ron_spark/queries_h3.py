@@ -5552,3 +5552,169 @@ def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("edit_dist", "id_a", "id_b")
     )
+
+
+_STAY_ORACLE = """
+  WITH cells AS (
+    SELECT user_id, event_id,
+           ((1::BIGINT << 59) | (1::BIGINT << 52)
+            | ((25 + ((event_id // 80) % 10))::BIGINT << 45)
+            | (((event_id // 800) % 7)::BIGINT << 42)
+            | ((1::BIGINT << 42) - 1)) AS cell
+    FROM events WHERE event_id < 20000
+  ), runs AS (
+    SELECT user_id, cell, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+           - row_number() OVER (PARTITION BY user_id, cell ORDER BY event_id)
+             AS grp
+    FROM cells
+  ), stays AS (
+    SELECT user_id, cell,
+           count(*) AS n_events,
+           min(event_id) AS first_event,
+           max(event_id) AS last_event
+    FROM runs GROUP BY user_id, cell, grp
+  )
+  SELECT user_id, cell, CAST(n_events AS INT) AS n_events,
+         first_event, last_event
+  FROM stays WHERE n_events >= 3
+  ORDER BY user_id, first_event
+"""
+
+
+@register("geo_stay_detection", oracle=_STAY_ORACLE)
+def geo_stay_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay detection — the movement-analytics complement to
+    transitions and trajectory similarity: maximal runs of CONSECUTIVE
+    same-cell events per user (gaps-and-islands via the difference of
+    two row_numbers, the same idiom dedup_substring_coverage uses for
+    interval union) with runs >= 3 events emitted as stays (user,
+    cell, n_events, first/last event; runs >= 3). One window pass + one
+    aggregate; at fleet scale this is the dwell-extraction stage a
+    visit-attribution pipeline runs per day-partition."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    b = 25 + (F.expr("event_id div 80") % 10)
+    d1 = F.expr("event_id div 800") % 7
+    cells = ev.select(
+        "user_id", "event_id", B.h3_build_cell(b, [d1], 1).alias("cell")
+    )
+    w_all = W.partitionBy("user_id").orderBy("event_id")
+    w_cell = W.partitionBy("user_id", "cell").orderBy("event_id")
+    runs = cells.withColumn(
+        "grp",
+        F.row_number().over(w_all) - F.row_number().over(w_cell),
+    )
+    return (
+        runs.groupBy("user_id", "cell", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .filter(F.col("n_events") >= 3)
+        .select("user_id", "cell", "n_events", "first_event", "last_event")
+        .orderBy("user_id", "first_event")
+    )
+
+
+_GAPFILL_ORACLE = """
+  WITH ev AS (
+    SELECT user_id, epoch_ns(ts) // 60000000000 AS minute,
+           value, event_id
+    FROM events WHERE user_id < 40
+  ), obs AS (
+    -- last observation per (user, minute): latest event_id wins
+    SELECT user_id, minute, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, minute
+                                   ORDER BY event_id DESC) AS rn
+      FROM ev) WHERE rn = 1
+  ), bounds AS (
+    SELECT user_id, min(minute) AS lo, max(minute) AS hi
+    FROM ev GROUP BY user_id
+  ), spine AS (
+    SELECT b.user_id, b.lo + t.i AS minute
+    FROM bounds b, range(0, 100000) t(i)
+    WHERE b.lo + t.i <= b.hi
+  ), joined AS (
+    SELECT s.user_id, s.minute, o.value
+    FROM spine s LEFT JOIN obs o USING (user_id, minute)
+  ), filled AS (
+    SELECT user_id, minute,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY minute
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM joined
+  )
+  SELECT user_id,
+         count(*) AS n_minutes,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unfilled,
+         round(sum(value), 2) AS sum_filled,
+         -- floor(+0.5), not CAST: Spark's double->long truncates while
+         -- DuckDB's rounds; floor is identical in both
+         bit_xor(minute * CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT))
+           AS series_checksum
+  FROM filled GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("rel_events_gapfill", oracle=_GAPFILL_ORACLE)
+def rel_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user minute spine (sequence +
+    explode between each user's first and last observation) left-
+    joined with the last observation per minute, then FORWARD-FILLED
+    with last_value(ignoreNulls) over an unbounded-preceding frame —
+    the standard gap-fill/resample shape sensor and metrics pipelines
+    run before any window arithmetic. One spine generate + one sorted
+    window pass per user partition; the checksum row per user pins
+    the entire filled series (position * scaled value, bit_xor), not
+    just its aggregates."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    minute = (_event_epoch_sec_h3(ev) / 60).cast("long")
+    base = ev.select(
+        "user_id", minute.alias("minute"), "value", "event_id"
+    )
+    w_last = W.partitionBy("user_id", "minute").orderBy(
+        F.col("event_id").desc()
+    )
+    obs = (
+        base.withColumn("rn", F.row_number().over(w_last))
+        .filter("rn = 1")
+        .select("user_id", "minute", "value")
+    )
+    spine = (
+        base.groupBy("user_id")
+        .agg(F.min("minute").alias("lo"), F.max("minute").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("minute"),
+        )
+    )
+    w_fill = W.partitionBy("user_id").orderBy("minute").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    filled = spine.join(obs, ["user_id", "minute"], "left").withColumn(
+        "value", F.last("value", ignorenulls=True).over(w_fill)
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_minutes"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_unfilled"),
+            F.round(F.sum("value"), 2).alias("sum_filled"),
+            F.expr(
+                "bit_xor(minute * CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT))"
+            ).alias("series_checksum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _event_epoch_sec_h3(ev):
+    from h3ron_spark.testdata import event_epoch_sec
+
+    return event_epoch_sec(ev)
