@@ -91,10 +91,17 @@ BENCH_QUERIES = [
     "rel_events_json",
     "rel_events_variant",
     "rel_event_pivot",
+    "sketch_kmv_setops",
+    "pipeline_drift_report",
+    "geo_trajectory_similarity",
+    "dedup_editdistance_join",
+    "geo_stay_detection",
+    "rel_events_gapfill",
     # beyond-broadcast SSSP: 5.76M-edge synthetic torus (1200^2 x 4
     # directions at sf>=0.1) — the regime where the broadcast
     # Dijkstra's collected adjacency would be several GiB
     "graph_sssp_frontier",
+
 ]
 
 # The reference's own route_germany benchmark (BASELINE.md row 1) on

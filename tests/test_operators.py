@@ -616,3 +616,48 @@ def test_partitioned_compaction_preserves_layout(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_driver_window_integrity():
+    """Meta-pin for the hand-rotated driver window: exactly 50
+    entries, no duplicates, every name registered, and every entry
+    oracled (the window exists to give oracles driver rows)."""
+    from h3ron_spark import queries as Q
+
+    win = Q._DRIVER_ORDER_FIRST
+    assert len(win) == 50
+    assert len(set(win)) == 50
+    reg = Q.queries()
+    oracles = Q.oracles()
+    for name in win:
+        assert name in reg, name
+        assert name in oracles, name
+
+
+def test_bench_queries_all_registered():
+    import bench
+
+    from h3ron_spark import queries as Q
+
+    reg = Q.queries()
+    assert all(q in reg for q in bench.BENCH_QUERIES)
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_drift_report_identical_batches_zero_delta(spark):
+    """Drift of a batch against itself is all-zero deltas — the
+    null-hypothesis sanity every monitoring metric must satisfy."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.drift import drift_report
+
+    df = spark.range(400).select(
+        F2.col("id"),
+        (F2.col("id") * 37 % 1000).alias("num"),
+        F2.concat(F2.lit("v"), F2.col("id") % 97).alias("s"),
+    )
+    rep = drift_report(df, df, numeric_cols=["num"], string_cols=["s"])
+    rows = rep.collect()
+    assert len(rows) >= 6
+    assert all(r.delta == 0 for r in rows)
+    assert all(r.batch_a == r.batch_b for r in rows)
