@@ -1142,16 +1142,20 @@ _DRIVER_ORDER_FIRST = [
     "ann_ivf_trained_topk",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
-    "mm_real_decode",
+    # mm_real_decode deferred to r5 (r3-green in CORRECTNESS_r03; its
+    # WAV/PPM decode arms are unchanged — the dispatch edits around
+    # them are exercised by the four in-window codec rows)
     "mm_resize_plumbing",
     # rotation: data-dependent oracles whose last driver row is r2
-    # h3_uncompact_join deferred to r5 (r3-green via CORRECTNESS_r03;
-    # untouched since; its broadcast-join machinery is pinned by
-    # test_plans and the in-window compact row)
+    # h3_uncompact_join deferred to r5 (r2-green, untouched since;
+    # its broadcast-join machinery is pinned by test_plans and the
+    # in-window compact row — its driver row goes 3 rounds stale,
+    # ROTATE FIRST in r5)
     "h3_compact_dataframe",
-    # text_unigram_logprob deferred to r5 (r3-green via CORRECTNESS_r03
-    # window — its localCheckpoint swap shipped and verified there;
-    # untouched since) — made room for dedup_editdistance_join
+    # text_unigram_logprob RESTORED to the window: its r4
+    # localCheckpoint swap has no driver row yet (ADVICE r3 flagged
+    # precisely this pattern) — mm_real_decode deferred instead
+    "text_unigram_logprob",
     # rel_pricing_summary deferred to r5 (r2-green canonical Q1;
     # untouched; scan+agg shape covered by every in-window aggregate)
     # — with h3_uncompact_join's deferral this made room for
