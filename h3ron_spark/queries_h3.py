@@ -5473,15 +5473,22 @@ _EDIT_JOIN_ORACLE = r"""
   WITH keys AS (
     SELECT doc_id, substr(trim(text), 1, 48) AS s FROM documents
     WHERE len(trim(text)) >= 24
-  ), grams AS (
+  ), grams_all AS (
     SELECT DISTINCT doc_id, substr(s, t.i, 3) AS g
     FROM keys, range(1, 47) t(i)
     WHERE t.i + 2 <= len(s)
+  ), grams AS (
+    -- boilerplate cap: grams in > 50 docs are join-fanout bombs and
+    -- carry no pair-discrimination signal (winnowing's doc-freq cap,
+    -- applied identically in the Spark query)
+    SELECT doc_id, g FROM grams_all
+    WHERE g IN (SELECT g FROM grams_all GROUP BY g
+                HAVING count(*) <= 50)
   ), cand AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
     FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
     GROUP BY id_a, id_b
-    HAVING count(*) >= 16
+    HAVING count(*) >= 12
   )
   SELECT c.id_a, c.id_b,
          CAST(c.shared AS INT) AS shared_grams,
@@ -5500,7 +5507,9 @@ def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q-gram count filtering a la Gravano et al. 2001, then exact
     Levenshtein on survivors only): document key prefixes (48 chars)
     generate positional-free character 3-grams; an inverted-gram
-    index join counts shared grams per pair (>= 16 of <= 46 — the
+    index join counts shared RARE grams per pair (>= 12 under a
+    doc-frequency cap of 50 — boilerplate grams inflate the join
+    quadratically while discriminating nothing, winnowing's cap; the
     count filter is what makes this NOT an all-pairs O(n^2
     levenshtein) join, since a pair within edit distance k must share
     >= |s| - 2 - 3k grams); only the surviving candidates pay the
@@ -5512,7 +5521,7 @@ def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = docs.select(
         "doc_id", F.substring(F.trim("text"), 1, 48).alias("s")
     ).filter(F.length(F.trim("text")) >= 24)
-    grams = (
+    grams_all = (
         keys.select(
             "doc_id",
             F.explode(
@@ -5524,6 +5533,17 @@ def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # boilerplate cap (df <= 50): frequent grams quadratically inflate
+    # the inverted-index join while discriminating nothing — the same
+    # doc-frequency cap winnowing applies; without it the join is
+    # O(sum df^2) and a common trigram at sf0.1 costs minutes
+    rare = (
+        grams_all.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= 50)
+        .select("g")
+    )
+    grams = grams_all.join(F.broadcast(rare), "g").localCheckpoint()
     cand = (
         grams.alias("a")
         .join(
@@ -5535,7 +5555,7 @@ def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 16)
+        .filter(F.col("shared") >= 12)
     )
     ka = keys.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     kb = keys.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
