@@ -325,3 +325,64 @@ def test_paragraph_dedup_corpus_hot_key(spark):
         )
     )
     assert "Window" not in plan
+
+
+def test_sql_function_surface_matches_column_layer(spark):
+    """The registered SQL functions (bodies DERIVED from the bits.py
+    Column expressions) agree with the Column layer over the full
+    battery: valid cells of several resolutions, pentagons, corrupted
+    digits, and NULLs — both layers are the same implementation
+    rendered two ways, and this pins the rendering."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.functions import bits as B2
+    from h3ron_spark.functions.sql import register_h3_sql
+
+    names = register_h3_sql(spark)
+    assert "h3_is_valid_cell" in names
+
+    cells = spark.range(4000).select(
+        F2.when(F2.col("id") % 29 == 0, None)
+        .otherwise(
+            B2.h3_build_cell(
+                F2.when(F2.col("id") % 20 == 0, F2.lit(38)).otherwise(
+                    25 + F2.col("id") % 13
+                ),
+                [
+                    F2.when(F2.col("id") % 20 == 0, F2.lit(0)).otherwise(
+                        F2.col("id") % 7
+                    ),
+                    F2.when(F2.col("id") % 20 == 0, F2.lit(0)).otherwise(
+                        (F2.col("id") + 3) % 7
+                    ),
+                ],
+                2,
+            ).bitwiseOR(
+                F2.when(F2.col("id") % 31 == 0, F2.lit(7 << 39)).otherwise(
+                    F2.lit(0)
+                )
+            )
+        )
+        .alias("c")
+    )
+    cells.createOrReplaceTempView("sqlfn_cells")
+    via_sql = spark.sql(
+        """SELECT c, h3_resolution(c) AS r, h3_base_cell(c) AS b,
+                  h3_is_valid_cell(c) AS v, h3_is_pentagon(c) AS p,
+                  h3_to_parent(c, 1) AS par, h3_center_child(c, 4) AS ch,
+                  h3_digit(c, 2) AS d
+           FROM sqlfn_cells"""
+    ).collect()
+    via_col = cells.select(
+        "c",
+        B2.h3_get_resolution("c").alias("r"),
+        B2.h3_get_base_cell("c").alias("b"),
+        B2.h3_is_valid_cell("c").alias("v"),
+        B2.h3_is_pentagon("c").alias("p"),
+        B2.h3_to_parent("c", 1).alias("par"),
+        B2.h3_to_center_child("c", 4).alias("ch"),
+        B2.h3_get_index_digit("c", 2).alias("d"),
+    ).collect()
+    assert sorted(map(tuple, via_sql), key=str) == sorted(
+        map(tuple, via_col), key=str
+    )
