@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "dedup_editdistance_join",
     "geo_stay_detection",
     "rel_events_gapfill",
+    "graph_pagerank",
+    "pipeline_incremental_rollup",
+    "rel_scd2_history",
+    "rel_cohort_retention",
     # beyond-broadcast SSSP: 5.76M-edge synthetic torus (1200^2 x 4
     # directions at sf>=0.1) — the regime where the broadcast
     # Dijkstra's collected adjacency would be several GiB

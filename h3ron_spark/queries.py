@@ -1130,6 +1130,11 @@ _DRIVER_ORDER_FIRST = [
     "dedup_editdistance_join",
     "geo_stay_detection",
     "rel_events_gapfill",
+    # session-3 additions (never driver-verified -> must be in-window)
+    "graph_pagerank",
+    "pipeline_incremental_rollup",
+    "rel_scd2_history",
+    "rel_cohort_retention",
     # oracled queries on this round's changed code paths:
     # h3_ancestors NULL fix -> purge_children; label_components type
     # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
@@ -1151,7 +1156,11 @@ _DRIVER_ORDER_FIRST = [
     # its broadcast-join machinery is pinned by test_plans and the
     # in-window compact row — its driver row goes 3 rounds stale,
     # ROTATE FIRST in r5)
-    "h3_compact_dataframe",
+    # h3_compact_dataframe deferred to r5 with h3_uncompact_join
+    # (both r2-green, untouched; the compact/uncompact machinery is
+    # pinned every pytest by test_oracle_parity + plan pins, and
+    # geo_compact_events is nothing but compact_dataframe on events —
+    # rotate BOTH first in r5) — made room for rel_scd2_history
     # text_unigram_logprob RESTORED to the window: its r4
     # localCheckpoint swap has no driver row yet (ADVICE r3 flagged
     # precisely this pattern) — mm_real_decode deferred instead
@@ -1171,8 +1180,12 @@ _DRIVER_ORDER_FIRST = [
     # join+agg shape is covered in-window by rel_pricing_summary and
     # rel_supplier_part_pricing) — made room for mm_jpeg_decode, the
     # new JPEG codec's end-to-end driver row
-    "h3_bits_accessors",
-    "h3_parent_rollup",
+    # h3_bits_accessors + h3_parent_rollup deferred to r5 (r2-green
+    # rotation refreshes, untouched pure-SQL bit math; the same
+    # bits.py expressions run inside the in-window partition_by_res,
+    # purge_children, and stay-detection rows, and test_oracle_parity
+    # pins both bit-identically every pytest — rotate first in r5)
+    # — made room for graph_pagerank + pipeline_incremental_rollup
     # text_document_stats + text_quality_by_source deferred to r5
     # (r2-green, untouched; the text-stats machinery is covered
     # in-window by the classifier, gate, and quantile queries)
@@ -1246,7 +1259,11 @@ _DRIVER_ORDER_FIRST = [
     # exceeding the 50-entry budget: both are sf-independent VALUES
     # fixtures that test_oracle_parity pins bit-identically locally.
     "golden_germany_route",
-    "golden_isochrone_hist",
+    # golden_isochrone_hist deferred to r5 (r2-green VALUES fixture,
+    # untouched; the flood/threshold machinery shares the CSR stack
+    # golden_germany_route exercises in-window, and test_oracle_parity
+    # pins it bit-identically every pytest) — made room for
+    # rel_cohort_retention
 ]
 
 

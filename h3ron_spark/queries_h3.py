@@ -5738,3 +5738,370 @@ def _event_epoch_sec_h3(ev):
     from h3ron_spark.testdata import event_epoch_sec
 
     return event_epoch_sec(ev)
+
+
+# =====================================================================
+# Round-4 session-3: iterative graph centrality, incremental rollup,
+# SCD2 dimension history, cohort retention
+# =====================================================================
+
+_PR_SCALE = 10**12
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled integer PageRank (graph/pagerank.py) in SQL: the same
+    cell-transition graph, the same fixed-point arithmetic, one CTE
+    per iteration — the kmeans/PQ unrolled-training oracle pattern."""
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""  r{i} AS (
+    SELECT nd.node,
+           (SELECT tele FROM nn) + (85 * coalesce(c.s, 0)) // 100 AS pr
+    FROM nodes nd LEFT JOIN (
+      SELECT e.dst AS node, sum((r.pr * e.w) // e.wt) AS s
+      FROM {prev} r JOIN e ON e.src = r.node GROUP BY e.dst) c
+    ON nd.node = c.node
+  )""")
+        prev = f"r{i}"
+    chain = ",\n".join(its)
+    return f"""
+  WITH cells AS (
+    SELECT user_id, event_id,
+           ((1::BIGINT << 59) | (1::BIGINT << 52)
+            | ((25 + ((event_id // 80) % 10))::BIGINT << 45)
+            | (((event_id // 800) % 7)::BIGINT << 42)
+            | ((1::BIGINT << 42) - 1)) AS cell
+    FROM events WHERE event_id < 20000
+  ), trans AS (
+    SELECT cell AS src,
+           lead(cell) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+    FROM cells
+  ), edges AS (
+    SELECT src, dst, count(*) AS w FROM trans
+    WHERE dst IS NOT NULL AND dst <> src GROUP BY src, dst
+  ), wsum AS (
+    SELECT src, sum(w) AS wt FROM edges GROUP BY src
+  ), e AS (
+    SELECT edges.src, edges.dst, edges.w, wsum.wt
+    FROM edges JOIN wsum USING (src)
+  ), nodes AS (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  ), nn AS (
+    SELECT count(*) AS n, {_PR_SCALE * 15 // 100} // count(*) AS tele
+    FROM nodes
+  ), r0 AS (
+    SELECT node, {_PR_SCALE} // (SELECT n FROM nn) AS pr FROM nodes
+  ),
+{chain}
+  -- CAST: DuckDB's sum() promotes to HUGEINT which pandas renders as
+  -- float64; the values are exact either way but the driver's schema
+  -- compare needs BIGINT
+  SELECT node, CAST(pr AS BIGINT) AS pr_e12 FROM {prev}
+  ORDER BY pr DESC, node LIMIT 20
+"""
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative whole-graph centrality: 5 rounds of integer
+    fixed-point PageRank (graph/pagerank.py) over the per-user H3
+    cell-transition graph (the same synthesized cells as
+    geo_stay_detection). Each iteration is one hash join + one hash
+    aggregate against a once-materialized out-weight edge table; all
+    arithmetic is 64-bit integer, so BIGINT-sum order-independence
+    makes the ranks bit-identical across engines AND across shuffle
+    layouts — the property that lets the oracle unroll the identical
+    iterations in SQL. Top-20 cells by rank, fully tie-broken."""
+    from pyspark.sql import Window as W
+
+    from h3ron_spark.graph.pagerank import pagerank, transition_edges
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    b = 25 + (F.expr("event_id div 80") % 10)
+    d1 = F.expr("event_id div 800") % 7
+    cells = ev.select(
+        "user_id", "event_id", B.h3_build_cell(b, [d1], 1).alias("cell")
+    )
+    edges = transition_edges(
+        cells, node_col="cell", order_col="event_id", partition_col="user_id"
+    )
+    ranks = pagerank(edges, iterations=5, scale=_PR_SCALE)
+    return (
+        ranks.select("node", F.col("pr").alias("pr_e12"))
+        .orderBy(F.col("pr_e12").desc(), "node")
+        .limit(20)
+    )
+
+
+def _incremental_rollup_oracle() -> str:
+    m, width = 256, 52
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = alpha * m * m
+    shard_partial = """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
+    FROM {src} GROUP BY event_type"""
+    shard_regs = f"""
+    SELECT event_type, hv % {m} AS reg,
+           max(CASE WHEN hv // {m} = 0 THEN {width + 1}
+                    ELSE {width + 1} - length(bin(hv // {m})) END) AS M
+    FROM (SELECT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+          FROM {{src}}) GROUP BY event_type, reg"""
+    return f"""
+  WITH ev AS (
+    SELECT event_type, user_id, value,
+           epoch_ns(ts) // 86400000000000 AS day
+    FROM events
+  ), base AS (
+    SELECT * FROM ev WHERE day < 19745
+  ), delta AS (
+    SELECT * FROM ev WHERE day >= 19745
+  ), partials AS (
+    {shard_partial.format(src="base")}
+    UNION ALL
+    {shard_partial.format(src="delta")}
+  ), counts AS (
+    SELECT event_type, sum(n) AS n_events, sum(s) AS sum_value_scaled
+    FROM partials GROUP BY event_type
+  ), regs AS (
+    {shard_regs.format(src="base")}
+    UNION ALL
+    {shard_regs.format(src="delta")}
+  ), merged AS (
+    SELECT event_type, reg, max(M) AS M FROM regs GROUP BY event_type, reg
+  ), agg AS (
+    SELECT event_type, count(*) AS regs_used,
+           sum(pow(2.0, -M)) AS sum_pow
+    FROM merged GROUP BY event_type
+  ), est AS (
+    SELECT event_type,
+           CASE WHEN CAST({amm!r} AS DOUBLE) / (sum_pow + ({m} - regs_used)) <= 2.5 * {m}
+                     AND ({m} - regs_used) > 0
+                THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - regs_used))
+                ELSE CAST({amm!r} AS DOUBLE) / (sum_pow + ({m} - regs_used))
+           END AS hll_est,
+           CAST(regs_used AS INTEGER) AS regs_used
+    FROM agg
+  )
+  SELECT c.event_type, CAST(c.n_events AS BIGINT) AS n_events,
+         CAST(c.sum_value_scaled AS BIGINT) AS sum_value_scaled,
+         round(e.hll_est, 2) AS approx_users, e.regs_used
+  FROM counts c JOIN est e USING (event_type)
+  ORDER BY c.event_type
+"""
+
+
+@register("pipeline_incremental_rollup", oracle=_incremental_rollup_oracle())
+def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the 100-TB rollup pattern:
+    NEVER rescan history when a delta batch lands; keep per-group
+    MONOID state (counts, integer-scaled sums, HLL registers) and
+    merge the delta's partial state algebraically (sums add, registers
+    max). Here the events table splits at day 19745 (2024-01-23) into
+    a 'history' shard and a 'delta' shard; each is partially
+    aggregated INDEPENDENTLY and the query outputs only the merged
+    rollup — counts/sums via one union+re-aggregate, distinct users
+    via pipeline/sketch.py hll_registers -> hll_merge -> hll_estimate.
+    Merged == direct is the monoid property (unit-pinned); the oracle
+    replays the same two-shard merge in SQL. At fleet scale the
+    partial-state table is what you persist per day-partition; each
+    new day costs one scan of that day only."""
+    from h3ron_spark.pipeline import sketch as SK
+
+    raw = load(spark, sf_dir, "events")
+    ev = raw.select(
+        "event_type",
+        "user_id",
+        (_event_epoch_sec(raw) / 86400).cast("long").alias("day"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v100"),
+    )
+    base, delta = ev.filter("day < 19745"), ev.filter("day >= 19745")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v100").alias("s")
+        )
+
+    counts = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("sum_value_scaled"),
+        )
+    )
+    regs = SK.hll_registers(base, "user_id", ["event_type"], p=8).unionByName(
+        SK.hll_registers(delta, "user_id", ["event_type"], p=8)
+    )
+    est = SK.hll_estimate(SK.hll_merge(regs, ["event_type"]), ["event_type"], p=8)
+    return (
+        counts.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "sum_value_scaled",
+            F.round("hll_est", 2).alias("approx_users"),
+            "regs_used",
+        )
+        .orderBy("event_type")
+    )
+
+
+_SCD2_FUTURE = 253402300799  # 9999-12-31T23:59:59Z — open-interval sentinel
+
+_SCD2_ORACLE = f"""
+  WITH ev AS (
+    SELECT user_id, event_id, event_type,
+           epoch_ns(ts) // 1000000000 AS sec
+    FROM events WHERE user_id < 15
+  ), flagged AS (
+    SELECT user_id, event_id, event_type, sec,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+  ), versioned AS (
+    SELECT user_id, event_type, sec,
+           sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS version
+    FROM flagged
+  ), intervals AS (
+    SELECT user_id, version, min(event_type) AS event_type,
+           min(sec) AS valid_from, CAST(count(*) AS INT) AS n_events
+    FROM versioned GROUP BY user_id, version
+  )
+  SELECT user_id, CAST(version AS INT) AS version, event_type,
+         valid_from,
+         coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                         ORDER BY version),
+                  {_SCD2_FUTURE}) AS valid_to,
+         n_events,
+         CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY version) IS NULL
+              THEN 1 ELSE 0 END AS is_current
+  FROM intervals
+  ORDER BY user_id, version
+"""
+
+
+@register("rel_scd2_history", oracle=_SCD2_ORACLE)
+def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse a per-user
+    event stream into attribute validity intervals
+    [valid_from, valid_to) with a far-future sentinel on the open
+    interval and an is_current flag — the dimension-history table
+    every warehouse maintains. Change points via lag() null-safe
+    comparison, version numbers via a running sum of change flags
+    (one window partitioning reused by both), intervals via
+    groupBy + lead(). Linear in events, no self-join; at 100 TB this
+    runs per user-hash-bucket with the same single sort."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 15)
+    ev = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _event_epoch_sec(ev).alias("sec"),
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    intervals = versioned.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("sec").alias("valid_from"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    )
+    w_v = W.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from").over(w_v)
+    return (
+        intervals.select(
+            "user_id",
+            F.col("version").cast("int").alias("version"),
+            "event_type",
+            "valid_from",
+            F.coalesce(nxt, F.lit(_SCD2_FUTURE)).alias("valid_to"),
+            "n_events",
+            nxt.isNull().cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+_COHORT_ORACLE = """
+  WITH activity AS (
+    SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+    FROM events
+  ), cohorts AS (
+    SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+  ), ret AS (
+    SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+           count(*) AS n_active
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY c.cohort_day, day_offset
+  ), sizes AS (
+    SELECT cohort_day, n_active AS cohort_size FROM ret WHERE day_offset = 0
+  )
+  SELECT r.cohort_day, r.day_offset,
+         CAST(r.n_active AS INT) AS n_active,
+         CAST(s.cohort_size AS INT) AS cohort_size,
+         (10000 * r.n_active) // s.cohort_size AS ret_pct_e4
+  FROM ret r JOIN sizes s USING (cohort_day)
+  ORDER BY cohort_day, day_offset
+"""
+
+
+@register("rel_cohort_retention", oracle=_COHORT_ORACLE)
+def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics
+    rollup: users cohorted by first-active day, then for every
+    (cohort, day-offset) the count of cohort members active that day
+    and the retention rate as an integer permyriad (10000*n div size —
+    floor-div, hash-exact cross-engine; every offset-0 row reads
+    10000). Shape: one distinct (user, day) pre-aggregate feeds BOTH
+    the cohort min and the retention count — two aggregates + two
+    joins, all keyed on user_id/cohort_day so the same hash
+    partitioning serves every stage; sizes is |cohorts| rows and
+    broadcasts. Offset-0 membership makes cohort_size definitionally
+    the day-0 active count."""
+    ev = load(spark, sf_dir, "events")
+    activity = (
+        ev.select(
+            "user_id",
+            (_event_epoch_sec(ev) / 86400).cast("long").alias("day"),
+        )
+        .distinct()
+    )
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    ret = (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_active"))
+    )
+    sizes = ret.filter("day_offset = 0").select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("(10000L * n_active) div cohort_size").alias("ret_pct_e4"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -750,3 +750,54 @@ def test_longedge_corridor_grid_skips_interiors():
         p_c, src, dst, longedges=contraction[1]
     )
     assert cells_p == cells_c and edges_p == edges_c
+
+
+def test_pagerank_matches_independent_reference(spark):
+    """Integer fixed-point PageRank vs an independent plain-dict
+    reimplementation of the same arithmetic on a hand-built 4-node
+    digraph (with a dangling node: D has no out-edges)."""
+    from h3ron_spark.graph.pagerank import pagerank
+
+    rows = [  # (src, dst, w)
+        (1, 2, 3), (1, 3, 1), (2, 3, 1), (3, 1, 1), (3, 4, 1),
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iterations=5, scale=10**12).collect()
+    }
+
+    # independent reimplementation: dicts, no Spark
+    scale = 10**12
+    nodes = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    n = len(nodes)
+    wsum = {}
+    for s, _, w in rows:
+        wsum[s] = wsum.get(s, 0) + w
+    tele = (scale * 15 // 100) // n
+    pr = {v: scale // n for v in nodes}
+    for _ in range(5):
+        s_in = {v: 0 for v in nodes}
+        for s, d, w in rows:
+            s_in[d] += (pr[s] * w) // wsum[s]
+        pr = {v: tele + (85 * s_in[v]) // 100 for v in nodes}
+    assert got == pr
+
+
+def test_pagerank_mass_and_determinism(spark):
+    """Total rank mass is bounded by the scale (floor rounding +
+    dangling drop only lose mass, teleport restores its share), and a
+    re-run over a different partitioning is bit-identical."""
+    from h3ron_spark.graph.pagerank import pagerank
+
+    rows = [(i, (i * 3 + 1) % 7, 1 + i % 3) for i in range(7)]
+    edges = spark.createDataFrame(
+        [r for r in rows if r[0] != r[1]], "src long, dst long, w long"
+    )
+    a = {r["node"]: r["pr"] for r in pagerank(edges, iterations=4).collect()}
+    b = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges.repartition(13), iterations=4).collect()
+    }
+    assert a == b
+    assert 0 < sum(a.values()) <= 10**12

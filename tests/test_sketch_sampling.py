@@ -403,3 +403,51 @@ def test_kmv_set_cardinalities_envelope_and_exact_when_unsaturated(spark):
     xy = kmv_set_cardinalities(sk2, k=64).collect()[0]
     assert xy.est_union == 50  # exact: sketch unsaturated
     assert xy.est_inter == 10  # jaccard exact too (10/50)
+
+
+def test_incremental_rollup_merge_equals_direct(spark):
+    """The monoid property behind pipeline_incremental_rollup: partial
+    HLL registers + count/sum state from two disjoint shards, merged,
+    equals the direct whole-table rollup bit-for-bit."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline import sketch as SK
+
+    df = spark.range(3000).select(
+        (F2.col("id") % 7).alias("g"),
+        (F2.col("id") * 37 % 211).alias("u"),
+        (F2.col("id") % 100).alias("v"),
+    )
+    base, delta = df.filter("id % 5 < 4"), df.filter("id % 5 = 4")
+
+    def est(regs):
+        return {
+            tuple(r)
+            for r in SK.hll_estimate(SK.hll_merge(regs, ["g"]), ["g"], p=8)
+            .select("g", "hll_est", "regs_used")
+            .collect()
+        }
+
+    merged = est(
+        SK.hll_registers(base, "u", ["g"], p=8).unionByName(
+            SK.hll_registers(delta, "u", ["g"], p=8)
+        )
+    )
+    direct = est(SK.hll_registers(df, "u", ["g"], p=8))
+    assert merged == direct
+
+    def partial(d):
+        return d.groupBy("g").agg(
+            F2.count(F2.lit(1)).alias("n"), F2.sum("v").alias("s")
+        )
+
+    two_phase = {
+        tuple(r)
+        for r in partial(base)
+        .unionByName(partial(delta))
+        .groupBy("g")
+        .agg(F2.sum("n").alias("n"), F2.sum("s").alias("s"))
+        .collect()
+    }
+    whole = {tuple(r) for r in partial(df).collect()}
+    assert two_phase == whole
