@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "geo_stay_detection",
     "rel_events_gapfill",
     "graph_pagerank",
+    "graph_triangles",
     "pipeline_incremental_rollup",
     "rel_scd2_history",
     "rel_cohort_retention",

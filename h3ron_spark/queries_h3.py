@@ -6105,3 +6105,71 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+_TRIANGLES_ORACLE = """
+  WITH cells AS (
+    -- div 40 (vs stay-detection's 80): a denser transition graph so
+    -- the triangle count is nonzero even at sf0.001 (the local parity
+    -- gate must not pass vacuously on an empty result)
+    SELECT user_id, event_id,
+           ((1::BIGINT << 59) | (1::BIGINT << 52)
+            | ((25 + ((event_id // 40) % 10))::BIGINT << 45)
+            | (((event_id // 400) % 7)::BIGINT << 42)
+            | ((1::BIGINT << 42) - 1)) AS cell
+    FROM events WHERE event_id < 20000
+  ), trans AS (
+    SELECT cell AS src,
+           lead(cell) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+    FROM cells
+  ), und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM trans WHERE dst IS NOT NULL AND dst <> src
+  ), deg AS (
+    SELECT node, count(*) AS d FROM (
+      SELECT a AS node FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY node
+  ), o AS (
+    SELECT CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.a ELSE und.b END AS u,
+           CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.b ELSE und.a END AS v,
+           CASE WHEN (da.d, und.a) < (db.d, und.b) THEN db.d ELSE da.d END AS dv
+    FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b
+  ), tri AS (
+    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+    FROM o e1
+    JOIN o e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+    JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+  )
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+  ORDER BY n_triangles DESC, node LIMIT 25
+"""
+
+
+@register("graph_triangles", oracle=_TRIANGLES_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the undirected cell-transition graph via
+    degree-ordered orientation (graph/motifs.py — Suri &
+    Vassilvitskii WWW'11): wedges enumerate only at each edge's
+    low-(degree, id) endpoint, so per-node join fan-out is bounded by
+    O(sqrt(m)) and hub skew cannot blow up the shuffle; one more
+    equi-join closes the wedges. Pure integer equi-joins + hash
+    aggregates — no windows, no driver state — so the oracle replays
+    the identical plan. Top-25 cells by triangle participation."""
+    from h3ron_spark.graph.motifs import triangle_counts, undirected_edges
+    from h3ron_spark.graph.pagerank import transition_edges
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    b = 25 + (F.expr("event_id div 40") % 10)
+    d1 = F.expr("event_id div 400") % 7
+    cells = ev.select(
+        "user_id", "event_id", B.h3_build_cell(b, [d1], 1).alias("cell")
+    )
+    edges = transition_edges(
+        cells, node_col="cell", order_col="event_id", partition_col="user_id"
+    )
+    counts = triangle_counts(undirected_edges(edges))
+    return counts.orderBy(F.col("n_triangles").desc(), "node").limit(25)

@@ -801,3 +801,30 @@ def test_pagerank_mass_and_determinism(spark):
     }
     assert a == b
     assert 0 < sum(a.values()) <= 10**12
+
+
+def test_triangle_counts_known_graph(spark):
+    """Degree-orientation triangle count vs a brute-force O(n^3)
+    check on a hand-built graph: K4 plus a pendant edge (K4 has 4
+    triangles; every K4 node is in exactly 3)."""
+    from itertools import combinations
+
+    from h3ron_spark.graph.motifs import triangle_counts, undirected_edges
+
+    pairs = list(combinations([1, 2, 3, 4], 2)) + [(4, 5)]
+    # feed duplicates + reversed + self-loop to exercise canonicalization
+    rows = pairs + [(b, a) for a, b in pairs] + [(3, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(undirected_edges(edges)).collect()
+    }
+
+    es = {tuple(sorted(p)) for p in pairs}
+    nodes = sorted({x for p in es for x in p})
+    expect = {}
+    for t in combinations(nodes, 3):
+        if all(tuple(sorted(e)) in es for e in combinations(t, 2)):
+            for v in t:
+                expect[v] = expect.get(v, 0) + 1
+    assert got == expect == {1: 3, 2: 3, 3: 3, 4: 3}
