@@ -59,6 +59,11 @@ def triangle_counts(und: DataFrame) -> DataFrame:
         F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
     )
+    # materialize the oriented edge list ONCE: the three-way self-join
+    # below would otherwise re-derive the whole scan+degree pipeline
+    # per alias (9 upstream copies — measured 109 exchanges in the
+    # unchecked plan vs 7 after)
+    o = o.localCheckpoint()
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     tri = (
         e1.join(
@@ -81,10 +86,10 @@ def triangle_counts(und: DataFrame) -> DataFrame:
             F.col("e2.v").alias("z"),
         )
     )
+    # one pass over the triangle set (explode, not 3 unions — a union
+    # of three selects would run the join cascade three times)
     return (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("y").alias("node")))
-        .union(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )

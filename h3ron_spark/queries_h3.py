@@ -6069,12 +6069,14 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort, day-offset) the count of cohort members active that day
     and the retention rate as an integer permyriad (10000*n div size —
     floor-div, hash-exact cross-engine; every offset-0 row reads
-    10000). Shape: one distinct (user, day) pre-aggregate feeds BOTH
-    the cohort min and the retention count — two aggregates + two
-    joins, all keyed on user_id/cohort_day so the same hash
-    partitioning serves every stage; sizes is |cohorts| rows and
-    broadcasts. Offset-0 membership makes cohort_size definitionally
-    the day-0 active count."""
+    10000). Shape: ONE events scan — the distinct (user, day)
+    pre-aggregate gets each user's cohort from a whole-partition
+    window min (the distinct's hash layout on user_id is reused; no
+    second scan, no cohorts self-join), then one aggregate; sizes is
+    |cohorts| rows and broadcasts. Offset-0 membership makes
+    cohort_size definitionally the day-0 active count."""
+    from pyspark.sql import Window as W
+
     ev = load(spark, sf_dir, "events")
     activity = (
         ev.select(
@@ -6083,14 +6085,16 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    cohorts = activity.groupBy("user_id").agg(
-        F.min("day").alias("cohort_day")
-    )
     ret = (
-        activity.join(cohorts, "user_id")
+        activity.withColumn(
+            "cohort_day", F.min("day").over(W.partitionBy("user_id"))
+        )
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.count(F.lit(1)).cast("int").alias("n_active"))
     )
+    # |cohorts x offsets| rows (days^2 at most): materialize so the
+    # sizes branch doesn't re-run the scan+distinct+window pipeline
+    ret = ret.localCheckpoint()
     sizes = ret.filter("day_offset = 0").select(
         "cohort_day", F.col("n_active").alias("cohort_size")
     )

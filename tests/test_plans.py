@@ -563,3 +563,43 @@ def test_zorder_readback_pushes_z_range_to_parquet(spark, tmp_path):
     assert "GreaterThanOrEqual(z,1000)" in plan
     assert "LessThanOrEqual(z,3000)" in plan
     assert "Python" not in plan
+
+
+def test_cohort_retention_broadcasts_sizes_and_stays_jvm(spark):
+    """rel_cohort_retention: the |cohorts|-row sizes side must come in
+    as a broadcast (never a shuffled join for a dimension that small),
+    and the whole query must be pure codegen."""
+    plan = plan_of(spark, "rel_cohort_retention")
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_triangles_all_equi_joins_no_nested_loop(spark):
+    """graph_triangles: every join in the wedge/close cascade must be
+    a hash equi-join — a BroadcastNestedLoopJoin or CartesianProduct
+    here means the struct-order condition stopped being recognized as
+    an equi key + filter and the plan is quadratic."""
+    plan = plan_of(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pagerank_iteration_is_join_plus_partial_agg(spark):
+    """graph_pagerank: the per-iteration contribution aggregate must
+    partial-combine map-side (partial_sum before the exchange), the
+    plan must stay JVM-only, and nothing may degrade to a nested-loop
+    join."""
+    plan = plan_of(spark, "graph_pagerank")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_incremental_rollup_partial_aggs_both_shards(spark):
+    """pipeline_incremental_rollup: both shard partials and the merge
+    re-aggregate must map-side combine; register state stays JVM."""
+    plan = plan_of(spark, "pipeline_incremental_rollup")
+    assert "partial_sum" in plan and "partial_max" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
