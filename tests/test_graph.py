@@ -828,3 +828,74 @@ def test_triangle_counts_known_graph(spark):
             for v in t:
                 expect[v] = expect.get(v, 0) + 1
     assert got == expect == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_pagerank_random_graphs_match_reference(spark, seed):
+    """Randomized digraphs (seeded): Spark integer PageRank equals the
+    plain-dict reimplementation exactly — the determinism claim is
+    'bit-identical on ANY graph', not just the fixture."""
+    import random
+
+    from h3ron_spark.graph.pagerank import pagerank
+
+    rng = random.Random(seed)
+    n = rng.randint(5, 30)
+    rows = sorted(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(n, 4 * n))
+        }
+    )
+    rows = [(s, d, 1 + (s + d) % 4) for s, d in rows if s != d]
+    if not rows:
+        return
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {
+        r["node"]: r["pr"] for r in pagerank(edges, iterations=4).collect()
+    }
+
+    scale = 10**12
+    nodes = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    wsum = {}
+    for s, _, w in rows:
+        wsum[s] = wsum.get(s, 0) + w
+    tele = (scale * 15 // 100) // len(nodes)
+    pr = {v: scale // len(nodes) for v in nodes}
+    for _ in range(4):
+        acc = {v: 0 for v in nodes}
+        for s, d, w in rows:
+            acc[d] += (pr[s] * w) // wsum[s]
+        pr = {v: tele + (85 * acc[v]) // 100 for v in nodes}
+    assert got == pr
+
+
+@pytest.mark.parametrize("seed", [5, 23, 77])
+def test_triangles_random_graphs_match_bruteforce(spark, seed):
+    """Randomized undirected graphs (seeded): degree-orientation
+    triangle participation equals O(n^3) brute force."""
+    import random
+    from itertools import combinations
+
+    from h3ron_spark.graph.motifs import triangle_counts, undirected_edges
+
+    rng = random.Random(seed)
+    n = rng.randint(6, 18)
+    es = {
+        tuple(sorted((rng.randrange(n), rng.randrange(n))))
+        for _ in range(rng.randint(2 * n, 5 * n))
+    }
+    es = {(a, b) for a, b in es if a != b}
+    if not es:
+        return
+    edges = spark.createDataFrame(sorted(es), "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(undirected_edges(edges)).collect()
+    }
+    expect = {}
+    for t in combinations(sorted({x for e in es for x in e}), 3):
+        if all(tuple(sorted(p)) in es for p in combinations(t, 2)):
+            for v in t:
+                expect[v] = expect.get(v, 0) + 1
+    assert got == expect
