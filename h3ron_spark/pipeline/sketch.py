@@ -126,6 +126,39 @@ def hll_estimate(
     )
 
 
+def hll_regs_sql(value_expr: str, group_cols: list[str], src: str, p: int = 8) -> str:
+    """SELECT fragment producing the per-group register frame
+    ``({groups}, reg, M)`` of :func:`hll_registers` for ``src`` —
+    shared by every HLL-composing oracle so the SQL twin cannot drift
+    from the implementation."""
+    m = 1 << p
+    width = 60 - p
+    g = ", ".join(group_cols)
+    gp = f"{g}, " if g else ""
+    return f"""
+    SELECT {gp}hv % {m} AS reg,
+           max(CASE WHEN hv // {m} = 0 THEN {width + 1}
+                    ELSE {width + 1} - length(bin(hv // {m})) END) AS M
+    FROM (SELECT {gp}('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT AS hv
+          FROM {src}) GROUP BY {gp}reg"""
+
+
+def hll_est_case_sql(p: int = 8) -> str:
+    """The estimate CASE expression of :func:`hll_estimate` over a
+    pre-aggregated ``(regs_used, sum_pow)`` row — the second shared
+    fragment of the HLL SQL twin."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # alpha*m*m is pre-multiplied in Python: DuckDB would parse the
+    # bare literal as DECIMAL and overflow on *m; Spark builds the
+    # same product as one double literal
+    return f"""CASE WHEN CAST({alpha * m * m!r} AS DOUBLE) / (sum_pow + ({m} - regs_used)) <= 2.5 * {m}
+                   AND ({m} - regs_used) > 0
+              THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - regs_used))
+              ELSE CAST({alpha * m * m!r} AS DOUBLE) / (sum_pow + ({m} - regs_used))
+         END"""
+
+
 def hll_oracle_sql(
     value_expr: str,
     group_cols: list[str],
@@ -134,33 +167,16 @@ def hll_oracle_sql(
 ) -> str:
     """The DuckDB replica of :func:`hll_distinct` (shared so the query
     oracle and tests cannot drift from the implementation)."""
-    m = 1 << p
-    width = 60 - p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     g = ", ".join(group_cols)
     return f"""
-  WITH hashes AS (
-    SELECT {g},
-           ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT AS hv
-    FROM {table}
-  ), regs AS (
-    SELECT {g}, hv % {m} AS reg,
-           max(CASE WHEN hv // {m} = 0 THEN {width + 1}
-                    ELSE {width + 1} - length(bin(hv // {m})) END) AS M
-    FROM hashes GROUP BY {g}, reg
+  WITH regs AS (
+{hll_regs_sql(value_expr, group_cols, table, p)}
   ), agg AS (
     SELECT {g}, count(*) AS regs_used, sum(pow(2.0, -M)) AS sum_pow
     FROM regs GROUP BY {g}
   )
   SELECT {g},
-         -- alpha*m*m is pre-multiplied in Python: DuckDB would parse the
-         -- bare literal as DECIMAL and overflow on *m; Spark builds the
-         -- same product as one double literal
-         CASE WHEN CAST({alpha * m * m!r} AS DOUBLE) / (sum_pow + ({m} - regs_used)) <= 2.5 * {m}
-                   AND ({m} - regs_used) > 0
-              THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - regs_used))
-              ELSE CAST({alpha * m * m!r} AS DOUBLE) / (sum_pow + ({m} - regs_used))
-         END AS hll_est,
+         {hll_est_case_sql(p)} AS hll_est,
          CAST(regs_used AS INTEGER) AS regs_used
   FROM agg
 """

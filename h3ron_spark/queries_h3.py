@@ -5813,8 +5813,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the ranks bit-identical across engines AND across shuffle
     layouts — the property that lets the oracle unroll the identical
     iterations in SQL. Top-20 cells by rank, fully tie-broken."""
-    from pyspark.sql import Window as W
-
     from h3ron_spark.graph.pagerank import pagerank, transition_edges
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
@@ -5835,20 +5833,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_rollup_oracle() -> str:
-    m, width = 256, 52
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    amm = alpha * m * m
+    # register + estimate SQL built from the SHARED fragments in
+    # pipeline/sketch.py (hll_regs_sql / hll_est_case_sql) so this
+    # oracle cannot drift from the hll_registers/hll_estimate
+    # implementation it replays
+    from h3ron_spark.pipeline.sketch import hll_est_case_sql, hll_regs_sql
+
     shard_partial = """
     SELECT event_type, count(*) AS n,
            sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
     FROM {src} GROUP BY event_type"""
-    shard_regs = f"""
-    SELECT event_type, hv % {m} AS reg,
-           max(CASE WHEN hv // {m} = 0 THEN {width + 1}
-                    ELSE {width + 1} - length(bin(hv // {m})) END) AS M
-    FROM (SELECT event_type,
-                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
-          FROM {{src}}) GROUP BY event_type, reg"""
     return f"""
   WITH ev AS (
     SELECT event_type, user_id, value,
@@ -5866,9 +5860,9 @@ def _incremental_rollup_oracle() -> str:
     SELECT event_type, sum(n) AS n_events, sum(s) AS sum_value_scaled
     FROM partials GROUP BY event_type
   ), regs AS (
-    {shard_regs.format(src="base")}
+{hll_regs_sql("user_id", ["event_type"], "base", p=8)}
     UNION ALL
-    {shard_regs.format(src="delta")}
+{hll_regs_sql("user_id", ["event_type"], "delta", p=8)}
   ), merged AS (
     SELECT event_type, reg, max(M) AS M FROM regs GROUP BY event_type, reg
   ), agg AS (
@@ -5877,11 +5871,7 @@ def _incremental_rollup_oracle() -> str:
     FROM merged GROUP BY event_type
   ), est AS (
     SELECT event_type,
-           CASE WHEN CAST({amm!r} AS DOUBLE) / (sum_pow + ({m} - regs_used)) <= 2.5 * {m}
-                     AND ({m} - regs_used) > 0
-                THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - regs_used))
-                ELSE CAST({amm!r} AS DOUBLE) / (sum_pow + ({m} - regs_used))
-           END AS hll_est,
+           {hll_est_case_sql(p=8)} AS hll_est,
            CAST(regs_used AS INTEGER) AS regs_used
     FROM agg
   )
@@ -5996,9 +5986,10 @@ def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     every warehouse maintains. Change points via lag() null-safe
     comparison, version numbers via a running sum of change flags
     (one window partitioning reused by both), intervals via
-    groupBy + lead(). Linear in events, no self-join; at 100 TB this
-    runs per user-hash-bucket with the same single sort."""
-    from pyspark.sql import Window as W
+    groupBy + lead() — operators/history.py scd2_intervals. Linear in
+    events, no self-join; at 100 TB this runs per user-hash-bucket
+    with the same single sort."""
+    from h3ron_spark.operators.history import scd2_intervals
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 15)
     ev = ev.select(
@@ -6007,36 +5998,14 @@ def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         _event_epoch_sec(ev).alias("sec"),
     )
-    w = W.partitionBy("user_id").orderBy("event_id")
-    flagged = ev.withColumn(
-        "chg",
-        F.when(
-            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
-        ).otherwise(0),
-    )
-    versioned = flagged.withColumn(
-        "version",
-        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
-    intervals = versioned.groupBy("user_id", "version").agg(
-        F.min("event_type").alias("event_type"),
-        F.min("sec").alias("valid_from"),
-        F.count(F.lit(1)).cast("int").alias("n_events"),
-    )
-    w_v = W.partitionBy("user_id").orderBy("version")
-    nxt = F.lead("valid_from").over(w_v)
-    return (
-        intervals.select(
-            "user_id",
-            F.col("version").cast("int").alias("version"),
-            "event_type",
-            "valid_from",
-            F.coalesce(nxt, F.lit(_SCD2_FUTURE)).alias("valid_to"),
-            "n_events",
-            nxt.isNull().cast("int").alias("is_current"),
-        )
-        .orderBy("user_id", "version")
-    )
+    return scd2_intervals(
+        ev,
+        key_col="user_id",
+        attr_col="event_type",
+        order_col="event_id",
+        time_col="sec",
+        future_sentinel=_SCD2_FUTURE,
+    ).orderBy("user_id", "version")
 
 
 _COHORT_ORACLE = """

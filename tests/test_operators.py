@@ -664,10 +664,11 @@ def test_drift_report_identical_batches_zero_delta(spark):
 
 
 def test_scd2_intervals_fixture(spark):
-    """rel_scd2_history's interval semantics on a hand-built stream:
-    contiguous half-open validity, far-future sentinel on the open
+    """operators/history.py scd2_intervals (the implementation
+    rel_scd2_history registers) on a hand-built stream: contiguous
+    half-open validity, far-future sentinel + is_current on the open
     row, version numbering restarts per user."""
-    from h3ron_spark import queries_h3 as QH
+    from h3ron_spark.operators.history import scd2_intervals
 
     rows = [
         # user, event_id, event_type, sec
@@ -675,39 +676,24 @@ def test_scd2_intervals_fixture(spark):
         (1, 4, "a", 130),
         (2, 5, "x", 200),
     ]
-    # reuse the registered query's window logic by replaying its SQL
-    # shape on a temp view (the query itself is parquet-bound)
-    spark.createDataFrame(
+    df = spark.createDataFrame(
         rows, "user_id long, event_id long, event_type string, sec long"
-    ).createOrReplaceTempView("scd2_fixture")
-    out = spark.sql(
-        """
-        WITH flagged AS (
-          SELECT user_id, event_id, event_type, sec,
-                 CASE WHEN NOT (lag(event_type) OVER w <=> event_type)
-                      THEN 1 ELSE 0 END AS chg
-          FROM scd2_fixture WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-        ), versioned AS (
-          SELECT user_id, event_type, sec,
-                 sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
-          FROM flagged
-        ), intervals AS (
-          SELECT user_id, version, min(event_type) AS event_type,
-                 min(sec) AS valid_from, count(*) AS n_events
-          FROM versioned GROUP BY user_id, version
+    )
+    out = (
+        scd2_intervals(
+            df,
+            key_col="user_id",
+            attr_col="event_type",
+            order_col="event_id",
+            time_col="sec",
         )
-        SELECT user_id, version, event_type, valid_from,
-               coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
-                        253402300799L) AS valid_to,
-               n_events
-        FROM intervals ORDER BY user_id, version
-        """
-    ).collect()
+        .orderBy("user_id", "version")
+        .collect()
+    )
     got = [tuple(r) for r in out]
     assert got == [
-        (1, 1, "a", 100, 120, 2),
-        (1, 2, "b", 120, 130, 1),
-        (1, 3, "a", 130, 253402300799, 1),
-        (2, 1, "x", 200, 253402300799, 1),
+        (1, 1, "a", 100, 120, 2, 0),
+        (1, 2, "b", 120, 130, 1, 0),
+        (1, 3, "a", 130, 253402300799, 1, 1),
+        (2, 1, "x", 200, 253402300799, 1, 1),
     ]
