@@ -37,6 +37,9 @@ _LAZY_MODULES = {
     "skew": "h3ron_spark.operators.skew",
     "layout": "h3ron_spark.operators.layout",
     "maintenance": "h3ron_spark.operators.maintenance",
+    "history": "h3ron_spark.operators.history",
+    "pagerank": "h3ron_spark.graph.pagerank",
+    "motifs": "h3ron_spark.graph.motifs",
     "h3core": "h3ron_spark.h3core",
 }
 
