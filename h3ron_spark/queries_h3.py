@@ -4829,7 +4829,10 @@ def _zorder_oracle() -> str:
   SELECT event_type,
          count(*) AS n_rows,
          bit_xor(z) AS z_checksum,
-         sum(user_id) AS sum_users,
+         -- CAST: DuckDB sum() promotes BIGINT to HUGEINT, which
+         -- pandas renders float64 — the one int-vs-float schema
+         -- drift the full-registry dtype audit found
+         CAST(sum(user_id) AS BIGINT) AS sum_users,
          round(sum(value), 2) AS sum_value
   FROM zd
   WHERE z BETWEEN 4096 AND 20480
