@@ -770,7 +770,13 @@ def h3_purge_children(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(B.h3_to_parent("cell", 1).alias("cell"))
         .distinct()
     )
-    u = valid.select("cell").unionByName(pars)
+    # materialize the battery-synthesized cells once: the deep
+    # bit-math expression tree otherwise inlines into purge_children's
+    # distinct hash aggregate and overflows the JVM's 64 KB generated-
+    # method limit (Spark falls back to interpreted — correct but the
+    # stage loses codegen; real inputs are plain parquet columns and
+    # never hit this)
+    u = valid.select("cell").unionByName(pars).localCheckpoint()
     out = purge_children(u, "cell")
     return out.groupBy(
         B.h3_get_resolution("cell").alias("res")
