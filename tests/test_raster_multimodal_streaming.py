@@ -885,3 +885,87 @@ def test_stream_cms_counters_equal_batch_bit_for_bit(spark, tmp_path):
             ).collect()
         }
         assert streamed == batch, kval
+
+
+def test_stream_rollup_equals_batch_and_is_idempotent(spark, tmp_path):
+    """streaming/rollup.py: the versioned foreachBatch rollup over
+    three file micro-batches equals the direct batch rollup over the
+    union of rows bit-for-bit (counts, sums, registers, estimate),
+    and re-running a batch merge with the same batch_id (crash-retry)
+    leaves the result unchanged."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline import sketch as SK
+    from h3ron_spark.streaming.rollup import (
+        merge_rollup_batch,
+        rollup_result,
+        rollup_stream,
+    )
+
+    df = spark.range(600).select(
+        F2.col("id").alias("event_id"),
+        F2.concat(F2.lit("g"), F2.col("id") % 4).alias("g"),
+        ((F2.col("id") * 37) % 90).alias("u"),
+        (F2.col("id") % 50 / 3.0).alias("value"),
+    )
+    for i in range(3):
+        df.filter(F2.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{tmp_path}/in/b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("event_id long, g string, u long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    q = rollup_stream(
+        stream,
+        base_path=f"{tmp_path}/state",
+        checkpoint=f"{tmp_path}/ckpt",
+        keys=["g"],
+        value_col="value",
+        user_col="u",
+        p=6,
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        tuple(r)
+        for r in rollup_result(spark, f"{tmp_path}/state", ["g"], p=6)
+        .select("g", "n_events", "sum_value_scaled", "hll_est", "regs_used")
+        .collect()
+    }
+    counts = df.groupBy("g").agg(
+        F2.count(F2.lit(1)).alias("n_events"),
+        F2.sum(
+            F2.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        ).alias("sum_value_scaled"),
+    )
+    est = SK.hll_estimate(SK.hll_registers(df, "u", ["g"], p=6), ["g"], p=6)
+    want = {
+        tuple(r)
+        for r in counts.join(est, "g")
+        .select("g", "n_events", "sum_value_scaled", "hll_est", "regs_used")
+        .collect()
+    }
+    assert got == want
+
+    # crash-retry: re-merge the LAST batch with its own batch_id — it
+    # must read state strictly below its id and overwrite its version
+    # to the identical result
+    last = spark.read.parquet(f"{tmp_path}/in/b2.parquet")
+    versions = sorted(
+        int(p.name[1:])
+        for p in (tmp_path / "state").iterdir()
+        if p.name.startswith("v")
+    )
+    merge_rollup_batch(
+        last, f"{tmp_path}/state", versions[-1],
+        keys=["g"], value_col="value", user_col="u", p=6,
+    )
+    again = {
+        tuple(r)
+        for r in rollup_result(spark, f"{tmp_path}/state", ["g"], p=6)
+        .select("g", "n_events", "sum_value_scaled", "hll_est", "regs_used")
+        .collect()
+    }
+    assert again == want
