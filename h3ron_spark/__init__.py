@@ -38,6 +38,7 @@ _LAZY_MODULES = {
     "layout": "h3ron_spark.operators.layout",
     "maintenance": "h3ron_spark.operators.maintenance",
     "history": "h3ron_spark.operators.history",
+    "rollup": "h3ron_spark.streaming.rollup",
     "pagerank": "h3ron_spark.graph.pagerank",
     "motifs": "h3ron_spark.graph.motifs",
     "h3core": "h3ron_spark.h3core",

@@ -318,3 +318,66 @@ def winnow_overlap_pairs(
         b, (a["fp"] == b["fp2"]) & (a["doc_a"] < b["doc_b"])
     ).groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_shared"))
     return pairs.filter(F.col("n_shared") >= min_shared)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking (the retrieval/embedding
+    pre-pass): whitespace tokens re-joined into windows of
+    ``chunk_tokens`` with ``overlap`` tokens of context carried
+    between consecutive chunks (stride = chunk_tokens - overlap); the
+    final window is the remainder (never empty, never duplicated).
+
+    Pure higher-order SQL — tokenize once, compute the stride count
+    arithmetically, ``explode(sequence(...))`` + ``slice`` + join back
+    to text — so it is whole-stage-codegen end to end, linear in
+    corpus size, with deterministic ``chunk_id`` = (doc, index). At
+    100 TB this is one scan with no shuffle at all (explode is
+    pipeline-local); chunk rows flow straight into the embedding or
+    fingerprint stage.
+
+    Output: ``(id, chunk_id, n_chunks, chunk_text, n_tokens)``.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(text_col), r"\s+").alias("_t"),
+    ).withColumn("_n", F.size("_t"))
+    # windows start at 0, stride, 2*stride, ...; the last start is the
+    # largest multiple of stride strictly below n (so a doc shorter
+    # than chunk_tokens yields exactly one chunk)
+    n_chunks = (
+        F.when(F.col("_n") <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.ceil((F.col("_n") - F.lit(chunk_tokens)) / F.lit(stride)) + 1
+        )
+        .cast("int")
+    )
+    chunks = toks.withColumn("_k", n_chunks).select(
+        "id",
+        "_t",
+        "_n",
+        "_k",
+        F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("chunk_id"),
+    )
+    return chunks.select(
+        "id",
+        "chunk_id",
+        F.col("_k").alias("n_chunks"),
+        F.array_join(
+            F.slice(
+                "_t", F.col("chunk_id") * stride + 1, F.lit(chunk_tokens)
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.col("_n") - F.col("chunk_id") * stride
+        ).cast("int").alias("n_tokens"),
+    )

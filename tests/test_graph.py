@@ -899,3 +899,13 @@ def test_triangles_random_graphs_match_bruteforce(spark, seed):
             for v in t:
                 expect[v] = expect.get(v, 0) + 1
     assert got == expect
+
+
+def test_pagerank_rejects_bad_iterations_and_empty_graph(spark):
+    from h3ron_spark.graph.pagerank import pagerank
+
+    edges = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
+    empty = spark.createDataFrame([], "src long, dst long, w long")
+    assert pagerank(empty, iterations=3).count() == 0

@@ -451,3 +451,45 @@ def test_incremental_rollup_merge_equals_direct(spark):
     }
     whole = {tuple(r) for r in partial(df).collect()}
     assert two_phase == whole
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """text.chunk_documents: every token covered exactly once outside
+    overlaps, consecutive chunks share exactly `overlap` tokens,
+    short docs give one chunk, reconstruction round-trips."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.text import chunk_documents
+
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(10))),   # 10 toks: 1 chunk
+        (2, " ".join(f"x{i}" for i in range(12))),   # 12: 12<=ct -> 1
+        (3, " ".join(f"y{i}" for i in range(13))),   # 13: 2 chunks
+        (4, " ".join(f"z{i}" for i in range(40))),   # 40: ceil(28/8)+1=5
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=12, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for d in by_doc.values():
+        d.sort(key=lambda r: r["chunk_id"])
+    assert [len(by_doc[i]) for i in (1, 2, 3, 4, 5)] == [1, 1, 2, 5, 1]
+    # consecutive chunks overlap by exactly 4 tokens; stride 8
+    for r1, r2 in zip(by_doc[4], by_doc[4][1:]):
+        t1, t2 = r1["chunk_text"].split(), r2["chunk_text"].split()
+        assert t1[8:] == t2[: len(t1) - 8]
+    # reconstruction: first chunk whole, subsequent chunks minus the
+    # 4-token overlap = the original token stream exactly
+    for i, text in docs:
+        rec = by_doc[i][0]["chunk_text"].split()
+        for r in by_doc[i][1:]:
+            rec.extend(r["chunk_text"].split()[4:])
+        assert rec == text.split(), i
+    # n_tokens matches the actual window sizes
+    for r in out:
+        assert r["n_tokens"] == len(r["chunk_text"].split())
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
