@@ -21,7 +21,6 @@ import math
 
 from h3ron_spark.h3core import index as ix
 from h3ron_spark.h3core.constants import (
-    BC_OFFSET,
     EARTH_RADIUS_KM,
     MAX_H3_RES,
     MODE_CELL,
@@ -41,8 +40,6 @@ from h3ron_spark.h3core.coords import (
     ijk_add,
     ijk_normalize,
     ijk_to_hex2d,
-    up_ap7,
-    up_ap7r,
 )
 from h3ron_spark.h3core.index import (  # noqa: F401  (re-exported)
     get_base_cell,
@@ -367,7 +364,7 @@ def _local_axial(origin: int, h: int) -> tuple[int, int] | None:
         c = ocoord
     else:
         lat, lng = ix.cell_to_latlng(h)
-        from h3ron_spark.h3core.coords import geo_to_face, geo_azimuth, pos_angle
+        from h3ron_spark.h3core.coords import geo_azimuth, pos_angle
         from h3ron_spark.h3core.constants import (
             FACE_AXES_AZ_0,
             FACE_CENTER_GEO,

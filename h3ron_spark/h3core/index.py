@@ -11,9 +11,7 @@ from h3ron_spark.h3core import derive
 from h3ron_spark.h3core.constants import (
     BASE_CELL_DATA,
     BC_OFFSET,
-    DIGITS_MASK,
     H3_INIT,
-    IK_AXES_DIGIT,
     INVALID_DIGIT,
     K_AXES_DIGIT,
     MAX_DIM_BY_CII_RES,

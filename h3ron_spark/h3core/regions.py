@@ -23,10 +23,7 @@ Implementation notes:
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 from h3ron_spark.h3core.cells import (
-    are_neighbor_cells,
     cell_to_boundary,
     cell_to_latlng,
     cells_to_directed_edge,

@@ -13,7 +13,7 @@ codegen; no Python in the hot path).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from h3ron_spark.functions import bits as B

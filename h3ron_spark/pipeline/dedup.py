@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from h3ron_spark.pipeline.text import fingerprint, tokens, with_tokens
+from h3ron_spark.pipeline.text import fingerprint, with_tokens
 
 # MinHash parameters shared with the oracle SQL generator.
 MINHASH_PERMS = 16

@@ -950,7 +950,6 @@ def blocked_exact_topk(
     the deliberately-quadratic :func:`brute_force_topk` baseline
     whenever exactness is required at scale."""
     import numpy as np
-    import pandas as pd
 
     spark = corpus.sparkSession
     qp = queries.select(

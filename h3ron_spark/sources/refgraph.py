@@ -222,9 +222,6 @@ def reference_graph_to_edges(spark, path: str, cache_dir: str | None = None):
     import os
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from h3ron_spark.functions import bits as B
     from h3ron_spark.functions import geo as G
 
     if cache_dir is None:

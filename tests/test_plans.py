@@ -7,8 +7,6 @@ silently loses one fails CI.
 
 from __future__ import annotations
 
-import pytest
-
 from h3ron_spark import queries as Q
 
 SF = "/root/testdata/sf0.001"

@@ -67,7 +67,6 @@ def test_vector_decode_integer_parity_and_tolerance():
     latlng) is the CANONICAL path and agrees with the scalar libm path
     within transcendental-ulp tolerance (the round-1 bit-exact
     cross-kernel contract is retired per the tolerance contract)."""
-    import math
 
     import h3ron_spark.h3core.index as ix
     from h3ron_spark.h3core import vectorized as V
