@@ -764,19 +764,24 @@ def h3_purge_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h3ron_spark.operators.frame import purge_children
 
     acc = h3_bits_accessors(spark, sf_dir)
-    valid = acc.filter(F.col("is_valid")).select("event_id", "cell")
+    # materialize the battery ONCE: (a) both the valid branch and the
+    # parents branch read it (uncheckpointed, the synthesized battery
+    # recomputes per branch), and (b) its deep bit-math expression
+    # tree otherwise fuses into purge_children's distinct hash
+    # aggregate and overflows the JVM's 64 KB generated-method limit
+    # (interpreted fallback — correct but the stage loses codegen).
+    # Real inputs are plain parquet columns and never hit either.
+    valid = (
+        acc.filter(F.col("is_valid"))
+        .select("event_id", "cell")
+        .localCheckpoint()
+    )
     pars = (
         valid.filter(F.col("event_id") % 5 == 0)
         .select(B.h3_to_parent("cell", 1).alias("cell"))
         .distinct()
     )
-    # materialize the battery-synthesized cells once: the deep
-    # bit-math expression tree otherwise inlines into purge_children's
-    # distinct hash aggregate and overflows the JVM's 64 KB generated-
-    # method limit (Spark falls back to interpreted — correct but the
-    # stage loses codegen; real inputs are plain parquet columns and
-    # never hit this)
-    u = valid.select("cell").unionByName(pars).localCheckpoint()
+    u = valid.select("cell").unionByName(pars)
     out = purge_children(u, "cell")
     return out.groupBy(
         B.h3_get_resolution("cell").alias("res")
