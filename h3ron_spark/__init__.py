@@ -39,6 +39,7 @@ _LAZY_MODULES = {
     "maintenance": "h3ron_spark.operators.maintenance",
     "history": "h3ron_spark.operators.history",
     "rollup": "h3ron_spark.streaming.rollup",
+    "bpe": "h3ron_spark.pipeline.bpe",
     "pagerank": "h3ron_spark.graph.pagerank",
     "motifs": "h3ron_spark.graph.motifs",
     "h3core": "h3ron_spark.h3core",

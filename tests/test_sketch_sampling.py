@@ -493,3 +493,80 @@ def test_chunk_documents_coverage_and_overlap(spark):
         assert r["n_tokens"] == len(r["chunk_text"].split())
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def _reference_bpe(word_counts, num_merges):
+    """Independent single-process BPE (Sennrich et al.): word-freq
+    dict in, ordered merge list out. Same tie-break contract as
+    pipeline/bpe.py: count desc, then lexicographic pair."""
+    from h3ron_spark.pipeline.bpe import END
+
+    vocab = {tuple(list(w) + [END]): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for syms, n in vocab.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        nv = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + n
+        vocab = nv
+    return merges
+
+
+def test_bpe_train_matches_reference_and_encode_roundtrips(spark):
+    """Distributed BPE training == the independent reference on the
+    same corpus (merge list equality — order and all), and encoding
+    is lossless: concatenating a word's BPE tokens (end sentinel
+    stripped) reconstructs the word."""
+    from collections import Counter
+
+    from h3ron_spark.pipeline.bpe import END, bpe_encode, bpe_train
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quicker the better said the brown bear",
+        "low lower lowest newer newest wider widest",
+        "low low low lower lower newest newest newest",
+        "hugging faces hug huge hugs hugely",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    got = bpe_train(df, num_merges=25)
+    wc = Counter(w for t in texts for w in t.split())
+    want = _reference_bpe(wc, 25)
+    assert got == want and len(got) == 25
+
+    enc = bpe_encode(df.limit(5), got).collect()
+    for r in enc:
+        rebuilt = "".join(r["bpe_tokens"]).replace(END, " ").strip()
+        assert rebuilt == " ".join(r["text"].split())
+        # every token is either learned vocab or a residual char
+        assert all(len(t) >= 1 for t in r["bpe_tokens"])
+
+
+def test_bpe_train_partitioning_invariant(spark):
+    """The merge list is bit-identical regardless of input layout —
+    integer counts + total tie-break leave nothing to shuffle order."""
+    from h3ron_spark.pipeline.bpe import bpe_train
+
+    texts = [("ab ab abc abcd " * 4,), ("xy xyz ab abc " * 3,)] * 4
+    df1 = spark.createDataFrame(texts, "text string").coalesce(1)
+    df2 = spark.createDataFrame(texts, "text string").repartition(16)
+    assert bpe_train(df1, num_merges=10) == bpe_train(df2, num_merges=10)
