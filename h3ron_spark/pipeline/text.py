@@ -346,10 +346,18 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(text_col), r"\s+").alias("_t"),
-    ).withColumn("_n", F.size("_t"))
+    # array_remove(…, ""): split emits empty strings for leading
+    # whitespace (trim strips spaces only, not tabs/newlines) and for
+    # the fully-empty document; a doc with zero real tokens must emit
+    # ZERO chunks, not one empty chunk
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_remove(F.split(text_col, r"\s+"), "").alias("_t"),
+        )
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") > 0)
+    )
     # windows start at 0, stride, 2*stride, ...; the last start is the
     # largest multiple of stride strictly below n (so a doc shorter
     # than chunk_tokens yields exactly one chunk)

@@ -30,16 +30,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _state_versions(spark: SparkSession, base: str) -> list[int]:
+_COMMIT_MARKER = "_COMMITTED"
+
+
+def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(base)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _state_versions(spark: SparkSession, base: str) -> list[int]:
+    """COMMITTED version ids under ``base`` — a version counts only
+    once its ``_COMMITTED`` marker exists (written after both tables),
+    so a crash mid-write leaves a directory no reader ever selects."""
+    fs, hpath = _fs(spark, base)
     if not fs.exists(hpath):
         return []
+    jvm = spark._jvm
     out = []
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+        if (
+            st.isDirectory()
+            and name.startswith("v")
+            and name[1:].isdigit()
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{base}/{name}/{_COMMIT_MARKER}")
+            )
+        ):
             out.append(int(name[1:]))
     return sorted(out)
 
@@ -76,13 +94,28 @@ def merge_rollup_batch(
         pv = f"{base_path}/v{prev[-1]}"
         counts = counts.unionByName(spark.read.parquet(f"{pv}/counts"))
         regs = regs.unionByName(spark.read.parquet(f"{pv}/regs"))
+    from h3ron_spark.pipeline import sketch as SK
+
     merged_counts = counts.groupBy(*keys).agg(
         F.sum("n").alias("n"), F.sum("s").alias("s")
     )
-    merged_regs = regs.groupBy(*keys, "_reg").agg(F.max("_M").alias("_M"))
+    merged_regs = SK.hll_merge(regs, keys)
     out = f"{base_path}/v{batch_id}"
     merged_counts.write.mode("overwrite").parquet(f"{out}/counts")
     merged_regs.write.mode("overwrite").parquet(f"{out}/regs")
+    # commit marker LAST: only fully-written versions are readable
+    fs, _ = _fs(spark, base_path)
+    jvm = spark._jvm
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{out}/{_COMMIT_MARKER}"), True
+    ).close()
+    # prune: a retry only ever re-runs the latest not-yet-checkpointed
+    # batch, which reads the newest version strictly below its id —
+    # keep that one, delete everything older (state is a snapshot, not
+    # a log; without pruning storage grows one full copy per batch)
+    for v in _state_versions(spark, base_path):
+        if v < batch_id and prev and v < prev[-1]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_path}/v{v}"), True)
 
 
 def rollup_stream(
@@ -93,9 +126,13 @@ def rollup_stream(
     value_col: str,
     user_col: str,
     p: int = 8,
+    trigger: dict | None = None,
 ):
     """Attach the incremental-rollup maintenance to a stream; returns
-    the started query (caller awaits / stops)."""
+    the started query (caller awaits / stops). ``trigger`` passes
+    through to ``writeStream.trigger`` — default drain-and-stop
+    (``availableNow``); pass ``{"processingTime": "..."}`` for a
+    continuously running maintenance loop."""
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
         merge_rollup_batch(
@@ -105,7 +142,7 @@ def rollup_stream(
     return (
         stream_df.writeStream.foreachBatch(_body)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

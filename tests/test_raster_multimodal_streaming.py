@@ -969,3 +969,31 @@ def test_stream_rollup_equals_batch_and_is_idempotent(spark, tmp_path):
         .collect()
     }
     assert again == want
+
+
+def test_stream_rollup_ignores_uncommitted_versions(spark, tmp_path):
+    """A half-written state version (counts present, no _COMMITTED
+    marker — the crash-mid-write shape) must be invisible to both
+    rollup_result and the next batch's merge."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.streaming.rollup import (
+        merge_rollup_batch,
+        rollup_result,
+    )
+
+    df = spark.range(100).select(
+        F2.lit("g0").alias("g"),
+        (F2.col("id") % 9).alias("u"),
+        (F2.col("id") % 10 * 1.0).alias("value"),
+    )
+    base = f"{tmp_path}/state"
+    merge_rollup_batch(df, base, 0, ["g"], "value", "u", p=6)
+    want = rollup_result(spark, base, ["g"], p=6).collect()
+
+    # simulate a crash: v99 gets a counts table but never the marker
+    df.groupBy("g").agg(F2.count(F2.lit(1)).alias("n")).write.parquet(
+        f"{base}/v99/counts"
+    )
+    got = rollup_result(spark, base, ["g"], p=6).collect()
+    assert got == want

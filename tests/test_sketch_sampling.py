@@ -570,3 +570,19 @@ def test_bpe_train_partitioning_invariant(spark):
     df1 = spark.createDataFrame(texts, "text string").coalesce(1)
     df2 = spark.createDataFrame(texts, "text string").repartition(16)
     assert bpe_train(df1, num_merges=10) == bpe_train(df2, num_merges=10)
+
+
+def test_chunk_documents_degenerate_inputs(spark):
+    """Empty / whitespace-only / tab-led docs: zero real tokens emit
+    ZERO chunks (not one empty chunk), and non-space whitespace does
+    not inflate token counts."""
+    from h3ron_spark.pipeline.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n "), (4, "\thello\nworld")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    assert {r["id"] for r in out} == {4}
+    assert len(out) == 1
+    assert out[0]["chunk_text"] == "hello world" and out[0]["n_tokens"] == 2
