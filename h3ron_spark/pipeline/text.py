@@ -389,3 +389,49 @@ def chunk_documents(
             F.lit(chunk_tokens), F.col("_n") - F.col("chunk_id") * stride
         ).cast("int").alias("n_tokens"),
     )
+
+
+# PII patterns (Java regex — evaluated JVM-side by regexp_replace; kept
+# deliberately conservative: high-precision formats, not NER)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}"
+            r"(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\b",
+    "phone": r"\+?[0-9][0-9 ()\-]{7,16}[0-9]",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def redact_pii(text, kinds: list[str] | None = None):
+    """Struct column ``(clean_text, n_<kind>...)``: high-precision PII
+    redaction (emails, IPv4, phone-shaped digit runs, SSN-shaped ids)
+    replacing each match with ``<KIND>`` sentinels, plus per-kind
+    match counts for the curation report.
+
+    Pure JVM ``regexp_replace`` chain — no Python in the hot path, one
+    pass per kind, whole-stage codegen. Counts are derived from the
+    length delta of literally deleting the marker. Precedence is
+    fixed regardless of caller order: ssn before phone (an SSN is
+    phone-shaped), email before ipv4 (an address can embed a dotted
+    quad in its host part). ``kinds`` defaults to all four.
+    """
+    kinds = list(PII_PATTERNS) if kinds is None else kinds
+    bad = [k for k in kinds if k not in PII_PATTERNS]
+    if bad:
+        raise ValueError(f"unknown PII kinds: {bad}")
+    # fixed precedence regardless of caller order
+    kinds = [k for k in ("ssn", "email", "phone", "ipv4") if k in kinds]
+    cur = F.col(text) if isinstance(text, str) else text
+    out_fields = []
+    for k in kinds:
+        marker = f"<{k.upper()}>"
+        nxt = F.regexp_replace(cur, PII_PATTERNS[k], marker)
+        # every replacement leaves exactly one marker: count occurrences
+        # via the length delta of literally deleting the marker text
+        n = (
+            (F.length(nxt) - F.length(F.replace(nxt, F.lit(marker), F.lit(""))))
+            / len(marker)
+        ).cast("int")
+        out_fields.append(n.alias(f"n_{k}"))
+        cur = nxt
+    return F.struct(cur.alias("clean_text"), *out_fields)

@@ -586,3 +586,47 @@ def test_chunk_documents_degenerate_inputs(spark):
     assert {r["id"] for r in out} == {4}
     assert len(out) == 1
     assert out[0]["chunk_text"] == "hello world" and out[0]["n_tokens"] == 2
+
+
+def test_redact_pii_battery(spark):
+    """text.redact_pii: each kind redacted with its sentinel and
+    counted; SSN wins over phone; emails keep embedded dotted quads
+    from matching ipv4 twice; clean text untouched with zero counts;
+    plan stays JVM-only."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.text import redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org today"),
+        (2, "server 10.0.255.7 and 999.1.1.1 are not both IPs"),
+        (3, "ssn 123-45-6789 vs phone +1 (415) 555-0199 ok"),
+        (4, "totally clean text with no identifiers"),
+        (5, "two mails: a@b.io c@d.co and ip 192.168.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["pii"]
+        for r in df.select("id", redact_pii("text").alias("pii")).collect()
+    }
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["clean_text"]
+    assert "jane" not in out[1]["clean_text"]
+    assert out[2]["n_ipv4"] == 1  # 999.1.1.1 is not a valid dotted quad
+    assert out[3]["n_ssn"] == 1 and out[3]["n_phone"] == 1
+    assert "<SSN>" in out[3]["clean_text"] and "<PHONE>" in out[3]["clean_text"]
+    assert out[4]["clean_text"] == rows[3][1]
+    assert all(out[4][f"n_{k}"] == 0 for k in ("ssn", "email", "phone", "ipv4"))
+    assert out[5]["n_email"] == 2 and out[5]["n_ipv4"] == 1
+
+    plan = (
+        df.select(redact_pii("text"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        redact_pii("text", kinds=["email", "dna"])
