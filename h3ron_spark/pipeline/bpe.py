@@ -155,3 +155,21 @@ def bpe_encode(
         )
 
     return df.withColumn(out_col, encode(text_col))
+
+
+def save_merges(
+    spark, merges: list[tuple[str, str]], path: str
+) -> None:
+    """Persist the learned merge list as a rank-ordered parquet table
+    (the model artifact — same pattern as similarity.save_quantizer)."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge list saved by :func:`save_merges`, rank order
+    restored exactly."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]

@@ -630,3 +630,25 @@ def test_redact_pii_battery(spark):
 
     with _pytest.raises(ValueError):
         redact_pii("text", kinds=["email", "dna"])
+
+
+def test_bpe_merges_persist_roundtrip(spark, tmp_path):
+    """save_merges/load_merges: the model round-trips exactly and the
+    loaded model encodes identically to the in-memory one."""
+    from h3ron_spark.pipeline.bpe import (
+        bpe_encode,
+        bpe_train,
+        load_merges,
+        save_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("low lower lowest low low newer newest",)] * 4, "text string"
+    )
+    merges = bpe_train(df, num_merges=8)
+    save_merges(spark, merges, f"{tmp_path}/bpe_model")
+    loaded = load_merges(spark, f"{tmp_path}/bpe_model")
+    assert loaded == merges
+    a = bpe_encode(df.limit(1), merges).collect()[0]["bpe_tokens"]
+    b = bpe_encode(df.limit(1), loaded).collect()[0]["bpe_tokens"]
+    assert a == b
