@@ -38,6 +38,7 @@ _LAZY_MODULES = {
     "layout": "h3ron_spark.operators.layout",
     "maintenance": "h3ron_spark.operators.maintenance",
     "history": "h3ron_spark.operators.history",
+    "convolve": "h3ron_spark.operators.convolve",
     "rollup": "h3ron_spark.streaming.rollup",
     "bpe": "h3ron_spark.pipeline.bpe",
     "pagerank": "h3ron_spark.graph.pagerank",

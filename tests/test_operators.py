@@ -697,3 +697,49 @@ def test_scd2_intervals_fixture(spark):
         (1, 3, "a", 130, 253402300799, 1, 1),
         (2, 1, "x", 200, 253402300799, 1, 1),
     ]
+
+
+def test_hex_smooth_conserves_mass_and_matches_scalar(spark):
+    """operators/convolve.py hex_smooth: (a) normalized smoothing
+    conserves total mass exactly on a hexagon AND on a pentagon-
+    containing disk (deficient neighborhoods); (b) per-cell outputs
+    equal an independent scalar-python convolution over
+    h3core.grid_disk_distances; (c) k=0 is the identity."""
+    import h3ron_spark.h3core as h3c
+    from h3ron_spark.operators.convolve import hex_smooth
+
+    hexa = h3c.latlng_to_cell(37.0, -122.0, 4)
+    penta = next(
+        c
+        for c in h3c.res0_cells()
+        if h3c.is_pentagon(c)
+    )
+    rows = [(hexa, 10.0), (penta, 7.0)]
+    df = spark.createDataFrame(rows, "cell long, value double")
+
+    got = {
+        r["cell"]: r["smoothed"]
+        for r in hex_smooth(df, k=2).collect()
+    }
+    # independent reference: scalar disks + same kernel
+    w = [1.0, 0.5, 1.0 / 3.0]
+    expect = {}
+    for cell, v in rows:
+        disk = h3c.grid_disk_distances(cell, 2)  # [(cell, d), ...]
+        z = sum(w[d] for _, d in disk)
+        for nb, d in disk:
+            expect[nb] = expect.get(nb, 0.0) + v * w[d] / z
+    assert set(got) == set(expect)
+    for c in got:
+        assert abs(got[c] - expect[c]) < 1e-12
+    assert abs(sum(got.values()) - 17.0) < 1e-9  # mass conserved
+
+    ident = hex_smooth(df, k=0).collect()
+    assert {(r["cell"], r["smoothed"]) for r in ident} == {
+        (hexa, 10.0), (penta, 7.0)
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hex_smooth(df, k=1, weights=[1.0])
