@@ -43,6 +43,7 @@ _LAZY_MODULES = {
     "bpe": "h3ron_spark.pipeline.bpe",
     "pagerank": "h3ron_spark.graph.pagerank",
     "motifs": "h3ron_spark.graph.motifs",
+    "mapmatch": "h3ron_spark.graph.mapmatch",
     "h3core": "h3ron_spark.h3core",
 }
 

@@ -909,3 +909,75 @@ def test_pagerank_rejects_bad_iterations_and_empty_graph(spark):
         pagerank(edges, iterations=0)
     empty = spark.createDataFrame([], "src long, dst long, w long")
     assert pagerank(empty, iterations=3).count() == 0
+
+
+def test_map_match_viterbi_beats_pointwise_snap(spark, path_cells):
+    """graph/mapmatch.py: (a) exact points on the path match
+    themselves; (b) a noisy middle point whose NEAREST node is an
+    off-path spur still matches the path cell, because Viterbi trades
+    snap cost against the transition detour (the HMM point); (c) the
+    result equals an independent brute-force joint minimization."""
+    from itertools import product
+
+    import h3ron_spark.h3core as h3c
+    from h3ron_spark.graph.mapmatch import map_match, match_candidates
+
+    # graph nodes: the traced line + a spur hanging off the middle —
+    # positioned so routing THROUGH it is a real detour (>= 4 from
+    # both trace anchors) while still being the nearest node to the
+    # noisy observation
+    mid = path_cells[5]
+    spur, noisy = next(
+        (s, n)
+        for s in h3c.grid_disk(mid, 3)
+        if s not in set(path_cells)
+        and h3c.grid_distance(s, mid) == 3
+        and h3c.grid_distance(s, path_cells[3]) >= 4
+        and h3c.grid_distance(s, path_cells[7]) >= 4
+        for n in h3c.grid_disk(s, 1)
+        if n not in set(path_cells)
+        and h3c.grid_distance(n, mid) == 2
+        and h3c.grid_distance(n, s) == 1
+    )
+    nodes = spark.createDataFrame(
+        [(c,) for c in path_cells] + [(spur,)], "cell long"
+    )
+    obs = [path_cells[1], path_cells[3], noisy, path_cells[7], path_cells[9]]
+    pts = spark.createDataFrame(
+        [("t1", i, c) for i, c in enumerate(obs)], "trace string, seq int, cell long"
+    )
+    got = {
+        r["seq"]: (r["matched_cell"], r["total_cost"])
+        for r in map_match(pts, nodes, max_k=2).collect()
+    }
+    assert len(got) == 5
+
+    # independent brute force over the same candidate sets
+    cand_rows = match_candidates(pts, nodes, 2).collect()
+    cands = {}
+    for r in cand_rows:
+        cands.setdefault(r["seq"], []).append((r["cand"], r["snap_k"]))
+    best_cost, best_pick = None, None
+    seqs = sorted(cands)
+    for pick in product(*[range(len(cands[s])) for s in seqs]):
+        cost = sum(float(cands[s][p][1]) for s, p in zip(seqs, pick))
+        ok = True
+        for (s1, p1), (s2, p2) in zip(
+            list(zip(seqs, pick)), list(zip(seqs, pick))[1:]
+        ):
+            d = h3c.grid_distance(cands[s1][p1][0], cands[s2][p2][0])
+            if d is None:
+                ok = False
+                break
+            cost += float(d)
+        if ok and (best_cost is None or cost < best_cost):
+            best_cost, best_pick = cost, pick
+    assert abs(got[0][1] - best_cost) < 1e-9
+    for s, p in zip(seqs, best_pick):
+        assert got[s][0] == cands[s][p][0]
+
+    # exact points match themselves; the noisy point lands ON PATH
+    for i in (0, 1, 3, 4):
+        assert got[i][0] == obs[i]
+    assert got[2][0] in set(path_cells)
+    assert got[2][0] != spur  # pointwise nearest would have picked this
