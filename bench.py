@@ -165,18 +165,57 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += timings[name]
 
-    print(
-        json.dumps(
-            {
-                "metric": "h3ron_spark_bench_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "h3ron_spark_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # stop Spark BEFORE printing: nothing (progress bars, shutdown
+    # warnings) may land on the stream after the JSON lines, because
+    # the driver records only the LAST ~2000 chars of output
     spark.stop()
+
+    # full record -> BENCH_LAST.json (authoritative; BENCH_r04.json
+    # proved the 81-query dict cannot fit the driver's 2000-char tail
+    # capture: the query names alone are 1.5k chars)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
+        json.dump(result, f)
+
+    # full line first (complete in any un-clipped log) ...
+    print(json.dumps(result))
+    # ... then, as the FINAL line, a compact JSON guaranteed to fit the
+    # tail capture: same schema, queries filled in priority order
+    # (B1-B6 + graph headliners, then most-expensive first) under a
+    # hard budget, with a pointer to the full dict
+    PRIORITY = [
+        "geo_cell_rollup", "geo_disk_explode", "geo_compact_events",
+        "geo_polyfill_filter", "geo_route_line", "geo_raster_cells",
+        "golden_germany_route", "graph_sssp_frontier", "graph_pagerank",
+    ]
+    ordered = [n for n in PRIORITY if n in timings] + sorted(
+        (n for n in timings if n not in PRIORITY),
+        key=lambda n: -timings[n],
+    )
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "queries_file": "BENCH_LAST.json",
+        "queries": {},
+    }
+    budget = 1800
+    for name in ordered:
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            break
+    compact["n_shown"] = len(compact["queries"])
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -10,10 +10,17 @@ centrality measure is the natural next ask on the same H3 edge graphs
   followed by ONE hash aggregate on ``dst`` — no driver-side rank
   state, nothing collected but the node-count scalar that sizes the
   teleport constant;
-- the out-weight-annotated edge table is materialized ONCE
-  (``localCheckpoint``) so the per-iteration lineage is flat and the
-  rank frame is the only thing that re-shuffles each round (at fleet
-  scale: bucket the edge table by ``src`` and the join co-locates);
+- the out-weight-annotated edge table is hash-partitioned on ``src``
+  and cached ONCE; the node frame (and therefore every rank frame —
+  projections preserve partitioning) is hash-partitioned on ``node``.
+  Because ``cache()`` preserves outputPartitioning (InMemoryRelation;
+  ``localCheckpoint`` does NOT — its LogicalRDD plans as a bare
+  ``Scan ExistingRDD`` and EnsureRequirements re-shuffles both join
+  sides), every per-iteration join reuses those partitionings and the
+  ONLY new exchange per iteration is the unavoidable contribution
+  re-key from ``src``-space to ``dst``-space (measured: 10 exchanges /
+  5 iterations down to 5). At fleet scale the same property comes
+  from bucketing the edge table by ``src``;
 - ALL arithmetic is 64-bit integer fixed-point (``scale`` = 1e12 by
   default): contributions are ``(pr * w) div wsum`` floor-divisions,
   damping is ``(85 * s) div 100``, teleport is an integer literal.
@@ -66,13 +73,16 @@ def pagerank(
             F.col("_wt").cast("long"),
         )
         .repartition("_src")
-        .localCheckpoint()
+        .cache()
     )
+    # distinct() already leaves nodes hash-partitioned on `node`;
+    # cache() PRESERVES that partitioning, so the per-iteration
+    # rank-update join needs no exchange on the nodes/ranks side
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .cache()
     )
     # the ONLY driver-side value: |V|, needed to size the integer
     # teleport constant baked into the plan (same pattern as

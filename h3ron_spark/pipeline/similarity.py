@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import arrow_udf
 from pyspark.sql.types import ArrayType, LongType
 
+# blocked_exact_topk collects + broadcasts the query vectors as one
+# dense float64 matrix; 200k rows x 256 dims is already ~400 MiB of
+# broadcast — beyond that the query set itself must be blocked
+_QUERY_BROADCAST_LIMIT = 200_000
+
 
 def dot(a, b) -> Column:
     a = F.col(a) if isinstance(a, str) else a
@@ -952,9 +957,25 @@ def blocked_exact_topk(
     import numpy as np
 
     spark = corpus.sparkSession
-    qp = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("v")
-    ).toPandas()
+    # the query side is collected and broadcast as a dense matrix —
+    # guard it exactly like prepare_routing_graph guards its edge
+    # collect (algorithms.py _BROADCAST_EDGE_LIMIT): limit(N+1) so an
+    # oversized query set raises a clear error instead of OOMing the
+    # driver mid-toPandas
+    qp = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("v")
+        )
+        .limit(_QUERY_BROADCAST_LIMIT + 1)
+        .toPandas()
+    )
+    if len(qp) > _QUERY_BROADCAST_LIMIT:
+        raise ValueError(
+            f"query count exceeds the broadcast limit "
+            f"({_QUERY_BROADCAST_LIMIT}); block the query set and run "
+            "blocked_exact_topk per block (results concatenate exactly "
+            "— each query's top-k is independent)"
+        )
     Q = np.stack(qp["v"].to_numpy()).astype(np.float64)
     qids = qp["query_id"].to_numpy(np.int64)
     qn = np.sqrt((Q * Q).sum(axis=1))

@@ -1094,194 +1094,85 @@ def rel_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order after these (all were hash-verified green in r2).
 # ---------------------------------------------------------------------
 _DRIVER_ORDER_FIRST = [
-    # --- round 4 window: everything NEW this round first, then every
-    # oracled query whose execution path a round-4 code change touches
-    # (ADVICE r3: changed code ships inside the driver budget), then
-    # the rotation of entries whose last driver row is r2. The list is
-    # exactly 50 = the observed per-round verification budget. The 16
-    # pure-fixture golden_* VALUES oracles verified in r2
-    # (golden_directed_edges .. golden_neighbor_window) are the ONLY
-    # entries deferred to round 5: they ignore sf_dir entirely, so the
-    # local test_oracle_parity run pins them bit-identically to what
-    # the driver would compute; they rotate to the front next round.
-    # new queries this round
-    "golden_edge_metrics",
-    "golden_disk_checksums",
-    "golden_encode_sweep",
-    "golden_route_lines",
-    "golden_polyfill_rect",
-    "golden_route_path_stats",
-    "ann_ivf_sampled_topk",
-    "mm_png_decode",
-    "mm_gif_decode",
-    "mm_jpeg_decode",
-    "sketch_hll_distinct",
-    "pipeline_weighted_sample",
-    "dedup_source_overlap",
-    "stream_interval_join",
-    "sketch_hll_merged",
-    "text_cms_heavy_hitters",
-    "rel_range_join",
-    "h3_partition_by_res",
-    "sketch_bloom_decontaminate",
-    "rel_skew_salted_topk",
-    "sketch_hdr_quantiles",
-    "stream_hll_distinct",
-    "rel_zorder_scan",
-    "ann_blocked_exact_topk",
-    "mm_avi_decode",
-    "rel_events_json",
-    "mm_frame_features",
-    "rel_event_pivot",
-    "rel_events_variant",
-    "ann_ivfpq_rerank",
-    "sketch_kmv_setops",
-    "pipeline_drift_report",
-    "geo_trajectory_similarity",
-    "dedup_editdistance_join",
-    "geo_stay_detection",
-    "rel_events_gapfill",
-    # session-3 additions (never driver-verified -> must be in-window)
+    # --- round 5 window: the staleness-rotation round (VERDICT r4
+    # "Next round" #1-2, executing NOTES_r4's written rotation plan).
+    # Registry growth is FROZEN this round so the 50-slot window can
+    # catch up. Composition, in policy order:
+    #   (a) oracled queries whose code path an r5 change touches
+    #       (ADVICE-r3 rule: changed code never ships without a
+    #       driver row): graph_pagerank (cache-based exchange reuse),
+    #       ann_blocked_exact_topk (query-side collect guard);
+    #   (b) mm_real_decode (r3-green, but its dispatch was edited in
+    #       r4 without a driver row — VERDICT r4 said rotate FIRST);
+    #   (c) 47 of the 48 oracles whose last driver row is r2 —
+    #       h3_uncompact_join / h3_compact_dataframe /
+    #       golden_germany_route first (named "rotate FIRST" at their
+    #       r4 deferral sites), then the data-dependent r2 set, then
+    #       the sf-independent golden_* VALUES fixtures.
+    # The ONLY r2 entry deferred to r6 is golden_route_selfloop: an
+    # sf-independent VALUES fixture whose CSR routing machinery is
+    # exercised in-window by golden_germany_route and whose Path
+    # semantics got a fresh r4 row via golden_route_path_stats;
+    # test_oracle_parity pins it bit-identically on every pytest.
+    # After this round the r3-verified set (42 entries) is the oldest
+    # cohort (2 rounds) and rotates in r6 — steady state reached.
+    # (a) r5-changed code paths
     "graph_pagerank",
-    "pipeline_incremental_rollup",
-    "rel_scd2_history",
-    "rel_cohort_retention",
-    "graph_triangles",
-    # oracled queries on this round's changed code paths:
-    # h3_ancestors NULL fix -> purge_children; label_components type
-    # guard -> *_clusters; tile_expr equality -> sssp; kmeans_fit/
-    # pq_fit train_fraction plumbing -> trained/PQ ANN; PNG dispatch
-    # in real_decode_features/resize_media -> mm decode/resize
-    "h3_purge_children",
-    "dedup_minhash_clusters",
-    "dedup_embedding_clusters",
-    "graph_sssp_frontier",
-    "ann_ivf_trained_topk",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    # mm_real_decode deferred to r5 (r3-green in CORRECTNESS_r03; its
-    # WAV/PPM decode arms are unchanged — the dispatch edits around
-    # them are exercised by the four in-window codec rows)
-    "mm_resize_plumbing",
-    # rotation: data-dependent oracles whose last driver row is r2
-    # h3_uncompact_join deferred to r5 (r2-green, untouched since;
-    # its broadcast-join machinery is pinned by test_plans and the
-    # in-window compact row — its driver row goes 3 rounds stale,
-    # ROTATE FIRST in r5)
-    # h3_compact_dataframe deferred to r5 with h3_uncompact_join
-    # (both r2-green, untouched; the compact/uncompact machinery is
-    # pinned every pytest by test_oracle_parity + plan pins, and
-    # geo_compact_events is nothing but compact_dataframe on events —
-    # rotate BOTH first in r5) — made room for rel_scd2_history
-    # text_unigram_logprob RESTORED to the window: its r4
-    # localCheckpoint swap has no driver row yet (ADVICE r3 flagged
-    # precisely this pattern) — mm_real_decode deferred instead
-    "text_unigram_logprob",
-    # rel_pricing_summary deferred to r5 (r2-green canonical Q1;
-    # untouched; scan+agg shape covered by every in-window aggregate)
-    # — with h3_uncompact_join's deferral this made room for
-    # geo_stay_detection + rel_events_gapfill
-    # rel_top_revenue_orders deferred to r5 (r2-green, untouched; its
-    # broadcast-join + deterministic top-k shape is covered in-window
-    # by rel_supplier_part_pricing and the new rel_skew_salted_topk)
-    # rel_customer_order_rank deferred to r5 (r2-green, untouched; its
-    # rank-window shape is covered in-window by pipeline_weighted_sample's
-    # WindowGroupLimit and the rolling-window query) — made room for
-    # sketch_bloom_decontaminate, the new Bloom sketch's driver row
-    # rel_nation_order_stats deferred to r5 (r2-green, untouched; its
-    # join+agg shape is covered in-window by rel_pricing_summary and
-    # rel_supplier_part_pricing) — made room for mm_jpeg_decode, the
-    # new JPEG codec's end-to-end driver row
-    # h3_bits_accessors + h3_parent_rollup deferred to r5 (r2-green
-    # rotation refreshes, untouched pure-SQL bit math; the same
-    # bits.py expressions run inside the in-window partition_by_res,
-    # purge_children, and stay-detection rows, and test_oracle_parity
-    # pins both bit-identically every pytest — rotate first in r5)
-    # — made room for graph_pagerank + pipeline_incremental_rollup
-    # text_document_stats + text_quality_by_source deferred to r5
-    # (r2-green, untouched; the text-stats machinery is covered
-    # in-window by the classifier, gate, and quantile queries)
-    # text_lang_id deferred to r5 (r2-green, untouched heuristic
-    # lookup; its tokenizer is exercised by the in-window text suite)
-    # dedup_exact deferred to r5 (r2-green, untouched one-agg op; its
-    # hash-groupBy machinery underlies half the in-window dedup suite)
-    # dedup_groups_summary + ann_topk_cosine deferred to r5 with the
-    # fixture goldens: both r2-green and untouched, their machinery
-    # covered by in-window siblings (dedup_exact; the bucketed ANN
-    # suite). ann_topk_cosine note: it is
-    # the deliberate brute-force baseline, r2-green and untouched,
-    # and all four of its bucketed siblings are in this window
-    # embedding_label_centroid_norms deferred to r5 (r2-green,
-    # untouched; embedding machinery is covered in-window by the five
-    # ANN queries and dedup_embedding_*) — made room for
-    # sketch_hdr_quantiles, the new quantile sketch's driver row
-    # text_token_counts deferred to r5 (r2-green, untouched; its
-    # tokenizer is exercised by five other in-window text queries)
-    # h3_set_ops deferred to r5 (r2-green, untouched distinct/set
-    # machinery; exercised transitively by the in-window compaction
-    # and purge_children rows) — these two deferrals made room for
-    # rel_event_pivot + rel_events_variant, the new relational rows
-    # rel_event_sessions deferred to r5 (r2-green, untouched; its
-    # sessionization window shape is exercised in-window by
-    # stream_session_windows and the funnel/asof queries)
-    # dedup_minhash_lsh deferred to r5 (r2-green, untouched; its
-    # banded-signature machinery backs the IN-WINDOW
-    # dedup_minhash_clusters row, which consumes its pair output) —
-    # made room for ann_ivfpq_rerank, the two-stage retrieval row
-    # dedup_simhash_groups deferred to r5 (r2-green, untouched; its
-    # bit-majority machinery shares the shingle-hash stack the
-    # in-window minhash suite verifies) — made room for
-    # mm_frame_features, the real frame-sampling driver row
-    # dedup_ngram_jaccard deferred to r5 (r2-green, untouched; its
-    # shingle-Jaccard refine runs inside in-window dedup_minhash_lsh)
-    # — made room for rel_events_json, the semi-structured column
-    # surface's driver row
-    # dedup_paragraphs deferred to r5 (r2-green, untouched; paragraph
-    # explode machinery covered in-window by the substring/winnow
-    # suite) — made room for mm_avi_decode, the video modality's
-    # driver row
-    # text_decontaminate deferred to r5 (r2-green, untouched; the
-    # contamination surface is covered in-window by the new
-    # sketch_bloom_decontaminate) — made room for
-    # ann_blocked_exact_topk, the exact-search scale path's driver row
-    # pipeline_train_test_split deferred to r5 (r2-green, untouched;
-    # the md5-bucket split machinery is exercised in-window by
-    # pack_sequences + weighted_sample) — made room for
-    # sketch_kmv_setops, the set-cardinality algebra's driver row
-    # pipeline_source_quota deferred to r5 (r2-green, untouched;
-    # deterministic-sampling machinery covered in-window by
-    # train_test_split/pack_sequences + weighted_sample) — made room
-    # for rel_zorder_scan, the new layout operator's driver row
-    # pipeline_mixture_epoch deferred to r5 (r2-green, untouched;
-    # deterministic-sampling machinery covered in-window by
-    # train_test_split/source_quota/pack_sequences + weighted_sample)
-    # — made room for stream_hll_distinct, the streaming sketch row
-    # pipeline_pack_sequences deferred to r5 (r2-green, untouched;
-    # shard-parallel next-fit machinery standalone) — made room for
-    # pipeline_drift_report, the drift-monitoring driver row
-    # pipeline_quality_gate deferred to r5 (r2-green, untouched; the
-    # gate's stage filters are covered in-window by the curation
-    # funnel) — made room for geo_trajectory_similarity
-    # rotation: two of the four graph-fixture goldens (heavy
-    # algorithmic machinery — refgraph IO + CSR routing, flood — worth
-    # a fresh driver row over the pure bit-math fixtures).
-    # golden_route_selfloop / golden_nearest_nodes joined the deferred
-    # fixture set to make room for the two late round-4 queries
-    # (sketch_hll_distinct, pipeline_weighted_sample) without
-    # exceeding the 50-entry budget: both are sf-independent VALUES
-    # fixtures that test_oracle_parity pins bit-identically locally.
-    # golden_germany_route deferred to r5 (r2-green fixture on the
-    # reference's committed graph, untouched this session; it stays a
-    # BENCH_QUERIES headliner so a crash-level regression still
-    # surfaces in BENCH_r04, and test_oracle_parity pins its values
-    # every pytest; the CSR/routing machinery shares the stack the
-    # in-window graph_sssp_frontier exercises — rotate FIRST in r5
-    # with h3_uncompact_join) — made room for graph_triangles
-    # golden_isochrone_hist deferred to r5 (r2-green VALUES fixture,
-    # untouched; the flood/threshold machinery shares the CSR stack
-    # golden_germany_route exercises in-window, and test_oracle_parity
-    # pins it bit-identically every pytest) — made room for
-    # rel_cohort_retention
+    "ann_blocked_exact_topk",
+    # (b) r4-edited dispatch without a driver row
+    "mm_real_decode",
+    # (c) r2-stale rotation: the three named "rotate FIRST"
+    "h3_uncompact_join",
+    "h3_compact_dataframe",
+    "golden_germany_route",
+    # (c) r2-stale rotation: data-dependent queries
+    "rel_pricing_summary",
+    "rel_top_revenue_orders",
+    "rel_customer_order_rank",
+    "rel_nation_order_stats",
+    "rel_event_sessions",
+    "h3_bits_accessors",
+    "h3_parent_rollup",
+    "h3_set_ops",
+    "text_document_stats",
+    "text_quality_by_source",
+    "text_lang_id",
+    "text_token_counts",
+    "text_decontaminate",
+    "dedup_exact",
+    "dedup_groups_summary",
+    "dedup_minhash_lsh",
+    "dedup_simhash_groups",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "ann_topk_cosine",
+    "embedding_label_centroid_norms",
+    "pipeline_train_test_split",
+    "pipeline_source_quota",
+    "pipeline_mixture_epoch",
+    "pipeline_pack_sequences",
+    "pipeline_quality_gate",
+    # (c) r2-stale rotation: sf-independent golden_* VALUES fixtures
+    # (bit-pinned locally every pytest; driver rows refreshed here so
+    # no oracle's last row predates r3 after this round)
+    "golden_directed_edges",
+    "golden_direction_digits",
+    "golden_cell_api",
+    "golden_localij",
+    "golden_dissolve_donut",
+    "golden_smoothen_donut",
+    "golden_isochrone_hist",
+    "golden_clusters_disks",
+    "golden_raster_file",
+    "golden_osm_pbf_graph",
+    "golden_nearest_nodes",
+    "golden_graph_nodes",
+    "golden_downsample",
+    "golden_spatial_masks",
+    "golden_edge_iterators",
+    "golden_partition_by_resolution",
+    "golden_cells_to_edges",
+    "golden_neighbor_window",
 ]
 
 

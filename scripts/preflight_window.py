@@ -1,0 +1,103 @@
+"""Pre-flight the driver window: replay every _DRIVER_ORDER_FIRST
+query at the driver's sf (default sf0.01) and compare Spark vs the
+DuckDB oracle the way the driver does — row count, column names, and
+an order-insensitive value hash (columns sorted by name, rows sorted
+by all columns, floats rounded to 9 dp before hashing).
+
+    python scripts/preflight_window.py [sf_dir] [name ...]
+
+Exit code 0 only if every compared query matches.
+"""
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duck_run(sf_dir: str, sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def value_hash(pdf) -> str:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    rows = []
+    for tup in pdf.itertuples(index=False):
+        cells = []
+        for x in tup:
+            if isinstance(x, float):
+                if math.isnan(x):
+                    cells.append("NaN")
+                else:
+                    cells.append(f"{round(x, 9):.9f}")
+            elif isinstance(x, bool):
+                cells.append(str(int(x)))
+            else:
+                cells.append(str(x))
+        rows.append("\x1f".join(cells))
+    rows.sort()
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from h3ron_spark import queries as Q
+    from h3ron_spark.session import get_spark
+
+    spark = get_spark("preflight_window")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = Q.queries()
+    oracles = Q.oracles()
+    names = [n for n in Q._DRIVER_ORDER_FIRST if not only or n in only]
+
+    n_ok = 0
+    failures: list[str] = []
+    for i, name in enumerate(names, 1):
+        try:
+            sdf = registry[name](spark, sf_dir).toPandas()
+            ddf = duck_run(sf_dir, oracles[name])
+            rows_ok = len(sdf) == len(ddf)
+            cols_ok = sorted(sdf.columns) == sorted(ddf.columns)
+            hash_ok = rows_ok and cols_ok and (
+                value_hash(sdf) == value_hash(ddf)
+            )
+            status = "OK" if hash_ok else "FAIL"
+            if hash_ok:
+                n_ok += 1
+            else:
+                failures.append(name)
+            print(
+                f"[{i}/{len(names)}] {status} {name} "
+                f"rows={len(sdf)}/{len(ddf)} cols_ok={cols_ok}",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"[{i}/{len(names)}] ERROR {name}: {exc}", flush=True)
+    print(f"\npreflight: {n_ok}/{len(names)} exact", flush=True)
+    if failures:
+        print("failures:", ", ".join(failures), flush=True)
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

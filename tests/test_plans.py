@@ -595,6 +595,32 @@ def test_pagerank_iteration_is_join_plus_partial_agg(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_pagerank_one_exchange_per_iteration(spark):
+    """Exchange-reuse pin (VERDICT r4): the cached, hash-partitioned
+    edge/node frames must make every per-iteration join reuse their
+    partitioning, leaving exactly ONE new shuffle exchange per
+    iteration — the unavoidable contribution re-key from src-space to
+    dst-space. Counted by walking the physical tree (InMemoryTableScan
+    is a leaf; its one-time build is not a per-run cost). Budget: 5
+    iterations -> 5 re-key exchanges + 1 for the final global sort of
+    the registered query's output, + nothing else."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from plan_report import digest
+
+    from h3ron_spark import queries as Q
+
+    df = Q.queries()["graph_pagerank"](spark, "/root/testdata/sf0.001")
+    d = digest(df)["nodes"]
+    assert d.get("Exchange", 0) <= 6, d
+    # the rank-update join must read the cached node frame in place
+    assert d.get("InMemoryTableScan", 0) >= 2, d
+
+
 def test_incremental_rollup_partial_aggs_both_shards(spark):
     """pipeline_incremental_rollup: both shard partials and the merge
     re-aggregate must map-side combine; register state stays JVM."""

@@ -294,6 +294,31 @@ def test_blocked_exact_topk_plan_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_blocked_exact_topk_query_limit_guard(spark, monkeypatch):
+    """An oversized query set raises a clear ValueError BEFORE the
+    driver materializes it (limit(N+1) + raise, mirroring
+    prepare_routing_graph's _BROADCAST_EDGE_LIMIT) — never an OOM
+    mid-toPandas."""
+    import pytest
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline import similarity as sim
+
+    corpus = spark.range(50).select(
+        F2.col("id").alias("vec_id"),
+        F2.array(
+            (F2.col("id") % 3).cast("float"), F2.lit(1.0).cast("float")
+        ).alias("embedding"),
+    )
+    queries = corpus.select(F2.col("vec_id").alias("query_id"), "embedding")
+    monkeypatch.setattr(sim, "_QUERY_BROADCAST_LIMIT", 10)
+    with pytest.raises(ValueError, match="query count exceeds"):
+        sim.blocked_exact_topk(corpus, queries, k=3)
+    # at/under the limit still works
+    monkeypatch.setattr(sim, "_QUERY_BROADCAST_LIMIT", 50)
+    assert sim.blocked_exact_topk(corpus, queries, k=1).count() > 0
+
+
 def test_quantizer_save_load_bit_identical_search(spark, tmp_path, emb):
     """Persisted IVF centroids + PQ codebooks round-trip exactly
     (parquet doubles are lossless), and a search with the LOADED
