@@ -135,7 +135,6 @@ def main() -> None:
             # partial total that reads as a complete scale run
             raise SystemExit(f"unknown bench queries: {unknown}")
     timings: dict[str, float] = {}
-    total = 0.0
     # three runs per query, report the min: the first execution of
     # each plan shape is dominated by Catalyst analysis + whole-stage
     # codegen JIT (measured up to 4x the steady-state on small SFs) —
@@ -163,15 +162,8 @@ def main() -> None:
                 best[name] = dt
     for name, dt in best.items():
         timings[name] = round(dt, 3)
-        total += timings[name]
 
-    result = {
-        "metric": "h3ron_spark_bench_total",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
+    result = build_result(timings, sf)
     # stop Spark BEFORE printing: nothing (progress bars, shutdown
     # warnings) may land on the stream after the JSON lines, because
     # the driver records only the LAST ~2000 chars of output
@@ -179,24 +171,47 @@ def main() -> None:
 
     # full record -> BENCH_LAST.json (authoritative; BENCH_r04.json
     # proved the 81-query dict cannot fit the driver's 2000-char tail
-    # capture: the query names alone are 1.5k chars)
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
-        json.dump(result, f)
+    # capture: the query names alone are 1.5k chars). Subset runs
+    # (SPARK_GRAFT_BENCH_QUERIES debug/scale overrides) must not
+    # clobber the official full-suite record.
+    if not override:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
+            json.dump(result, f)
 
-    # full line first (complete in any un-clipped log) ...
+    # full line first (complete in any un-clipped log), then — as the
+    # FINAL line — a compact JSON guaranteed to fit the tail capture
     print(json.dumps(result))
-    # ... then, as the FINAL line, a compact JSON guaranteed to fit the
-    # tail capture: same schema, queries filled in priority order
-    # (B1-B6 + graph headliners, then most-expensive first) under a
-    # hard budget, with a pointer to the full dict
-    PRIORITY = [
-        "geo_cell_rollup", "geo_disk_explode", "geo_compact_events",
-        "geo_polyfill_filter", "geo_route_line", "geo_raster_cells",
-        "golden_germany_route", "graph_sssp_frontier", "graph_pagerank",
-    ]
-    ordered = [n for n in PRIORITY if n in timings] + sorted(
-        (n for n in timings if n not in PRIORITY),
+    print(json.dumps(build_compact(result), separators=(",", ":")))
+
+
+# B1-B6 + graph headliners lead the compact line; the remaining slots
+# go most-expensive-first (the rows a perf reviewer looks at first)
+COMPACT_PRIORITY = [
+    "geo_cell_rollup", "geo_disk_explode", "geo_compact_events",
+    "geo_polyfill_filter", "geo_route_line", "geo_raster_cells",
+    "golden_germany_route", "graph_sssp_frontier", "graph_pagerank",
+]
+COMPACT_BUDGET = 1800  # chars; driver tail capture holds ~2000
+
+
+def build_result(timings: dict[str, float], sf: str) -> dict:
+    return {
+        "metric": "h3ron_spark_bench_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+
+def build_compact(result: dict) -> dict:
+    """Compact sibling of the full result: same schema, queries filled
+    in priority order under a hard serialized-size budget so the final
+    stdout line always survives a bounded tail capture intact."""
+    timings = result["queries"]
+    ordered = [n for n in COMPACT_PRIORITY if n in timings] + sorted(
+        (n for n in timings if n not in COMPACT_PRIORITY),
         key=lambda n: -timings[n],
     )
     compact = {
@@ -208,14 +223,13 @@ def main() -> None:
         "queries_file": "BENCH_LAST.json",
         "queries": {},
     }
-    budget = 1800
     for name in ordered:
         compact["queries"][name] = timings[name]
-        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+        if len(json.dumps(compact, separators=(",", ":"))) > COMPACT_BUDGET:
             del compact["queries"][name]
             break
     compact["n_shown"] = len(compact["queries"])
-    print(json.dumps(compact, separators=(",", ":")))
+    return compact
 
 
 if __name__ == "__main__":

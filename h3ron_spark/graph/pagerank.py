@@ -10,17 +10,26 @@ centrality measure is the natural next ask on the same H3 edge graphs
   followed by ONE hash aggregate on ``dst`` — no driver-side rank
   state, nothing collected but the node-count scalar that sizes the
   teleport constant;
-- the out-weight-annotated edge table is hash-partitioned on ``src``
-  and cached ONCE; the node frame (and therefore every rank frame —
-  projections preserve partitioning) is hash-partitioned on ``node``.
-  Because ``cache()`` preserves outputPartitioning (InMemoryRelation;
-  ``localCheckpoint`` does NOT — its LogicalRDD plans as a bare
-  ``Scan ExistingRDD`` and EnsureRequirements re-shuffles both join
-  sides), every per-iteration join reuses those partitionings and the
-  ONLY new exchange per iteration is the unavoidable contribution
-  re-key from ``src``-space to ``dst``-space (measured: 10 exchanges /
-  5 iterations down to 5). At fleet scale the same property comes
-  from bucketing the edge table by ``src``;
+- the out-weight-annotated edge table and node frame are materialized
+  ONCE. Two modes, both bit-identical (integer arithmetic):
+  ``reuse_partitioning=False`` (default) uses ``localCheckpoint`` —
+  cheap raw-row materialization, but its LogicalRDD DROPS
+  outputPartitioning (plans as a bare ``Scan ExistingRDD``), so
+  EnsureRequirements re-shuffles the small rank frames every
+  iteration (~2 exchanges/iteration). ``reuse_partitioning=True``
+  repartitions + ``cache()``s instead: InMemoryRelation PRESERVES
+  partitioning, every per-iteration join reuses it, and the only new
+  exchange per iteration is the unavoidable contribution re-key from
+  ``src``-space to ``dst``-space (plan-pinned: 5 exchanges for 5
+  iterations, was 10). The default stays localCheckpoint because the
+  measured crossover favors it at single-node scale — rank-frame
+  shuffles of |V| rows are trivial locally while the columnar
+  InMemoryRelation encode/scan of the edge table is not (sf0.1
+  min-of-4 A/B: 2.11 s localCheckpoint vs 3.41 s cache vs 3.94 s
+  no-materialization exchange-reuse) — whereas on a 1000-executor
+  cluster with |V|-sized rank tables the per-iteration NETWORK
+  shuffle dominates and ``reuse_partitioning=True`` (or bucketing the
+  edge table by ``src``) is the right call;
 - ALL arithmetic is 64-bit integer fixed-point (``scale`` = 1e12 by
   default): contributions are ``(pr * w) div wsum`` floor-divisions,
   damping is ``(85 * s) div 100``, teleport is an integer literal.
@@ -53,6 +62,7 @@ def pagerank(
     weight: str = "w",
     iterations: int = 5,
     scale: int = 10**12,
+    reuse_partitioning: bool = False,
 ) -> DataFrame:
     """Fixed ``iterations`` of integer PageRank; returns
     ``(node, pr)`` with ``pr`` in units of ``1/scale``.
@@ -60,29 +70,42 @@ def pagerank(
     ``edges`` must be pre-aggregated (one row per (src, dst)); weights
     must be positive BIGINT-safe integers with per-src totals small
     enough that ``scale * wsum`` fits in 64 bits.
+
+    ``reuse_partitioning=True`` materializes the edge/node frames with
+    ``cache()`` (partitioning-preserving) instead of
+    ``localCheckpoint`` (partitioning-dropping), halving the exchange
+    count to one per iteration — the cluster-scale mode; see the
+    module docstring for the measured local-vs-cluster crossover.
+    Results are bit-identical either way (integer fixed-point;
+    partitioning-invariance is oracle- and unit-pinned).
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+
+    def _materialize(df: DataFrame, key: str) -> DataFrame:
+        if reuse_partitioning:
+            return df.repartition(key).cache()
+        return df.localCheckpoint()
+
     wsums = edges.groupBy(src).agg(F.sum(weight).alias("_wt"))
-    e = (
-        edges.join(wsums, src)
-        .select(
+    e = _materialize(
+        edges.join(wsums, src).select(
             F.col(src).alias("_src"),
             F.col(dst).alias("_dst"),
             F.col(weight).cast("long").alias("_w"),
             F.col("_wt").cast("long"),
-        )
-        .repartition("_src")
-        .cache()
+        ),
+        "_src",
     )
-    # distinct() already leaves nodes hash-partitioned on `node`;
-    # cache() PRESERVES that partitioning, so the per-iteration
-    # rank-update join needs no exchange on the nodes/ranks side
-    nodes = (
+    # distinct() leaves nodes hash-partitioned on `node`; in the
+    # cache mode that partitioning SURVIVES materialization, so the
+    # per-iteration rank-update join needs no exchange on the
+    # nodes/ranks side (projections preserve partitioning)
+    nodes = _materialize(
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
-        .distinct()
-        .cache()
+        .distinct(),
+        "node",
     )
     # the ONLY driver-side value: |V|, needed to size the integer
     # teleport constant baked into the plan (same pattern as

@@ -1,0 +1,81 @@
+"""The bench CLI's output contract: the FINAL stdout line must be a
+complete JSON that fits the driver's bounded (~2000-char) tail
+capture, no matter how many queries the suite grows to — BENCH_r04
+was lost to exactly this (81 full query names alone are 1.5k chars).
+Pure-python tests over bench.build_result / build_compact; no Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from bench import (  # noqa: E402
+    BENCH_QUERIES,
+    COMPACT_BUDGET,
+    COMPACT_PRIORITY,
+    build_compact,
+    build_result,
+)
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    return {
+        f"some_rather_long_query_name_{i:04d}": round(0.1 + i * 0.013, 3)
+        for i in range(n)
+    }
+
+
+def test_compact_line_fits_budget_at_any_suite_size():
+    for n in (1, 10, 81, 200, 500):
+        result = build_result(_fake_timings(n), "0.1")
+        line = json.dumps(build_compact(result), separators=(",", ":"))
+        assert len(line) <= COMPACT_BUDGET + 100, (n, len(line))
+        parsed = json.loads(line)  # complete, parseable
+        assert parsed["n_queries"] == n
+        assert parsed["value"] == result["value"]
+        assert parsed["queries_file"] == "BENCH_LAST.json"
+
+
+def test_compact_priority_queries_lead():
+    """B1-B6 + graph headliners must survive truncation: they come
+    first, then the most expensive rows."""
+    timings = _fake_timings(300)
+    for i, name in enumerate(COMPACT_PRIORITY):
+        timings[name] = 0.001 * (i + 1)  # cheap — would sort last
+    compact = build_compact(build_result(timings, "0.1"))
+    shown = list(compact["queries"])
+    assert shown[: len(COMPACT_PRIORITY)] == COMPACT_PRIORITY
+    # the non-priority tail is most-expensive-first
+    rest = shown[len(COMPACT_PRIORITY):]
+    vals = [timings[n] for n in rest]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_compact_includes_all_when_suite_is_small():
+    timings = _fake_timings(5)
+    compact = build_compact(build_result(timings, "0.01"))
+    assert compact["n_shown"] == 5
+    assert compact["queries"] == {k: v for k, v in timings.items()}
+
+
+def test_full_result_schema():
+    result = build_result({"q1": 1.5, "q2": 2.25}, "0.1")
+    assert result["metric"] == "h3ron_spark_bench_total"
+    assert result["value"] == 3.75
+    assert result["unit"] == "sec"
+    assert result["sf"] == 0.1
+
+
+def test_current_suite_compact_line_fits():
+    """The REAL suite (BENCH_QUERIES) with realistic timings must
+    produce a final line within budget — the regression BENCH_r04
+    hit."""
+    timings = {n: 1.234 for n in BENCH_QUERIES}
+    result = build_result(timings, "0.1")
+    line = json.dumps(build_compact(result), separators=(",", ":"))
+    assert len(line) <= COMPACT_BUDGET + 100
+    assert json.loads(line)["n_queries"] == len(BENCH_QUERIES)

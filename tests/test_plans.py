@@ -595,30 +595,48 @@ def test_pagerank_iteration_is_join_plus_partial_agg(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_pagerank_one_exchange_per_iteration(spark):
-    """Exchange-reuse pin (VERDICT r4): the cached, hash-partitioned
-    edge/node frames must make every per-iteration join reuse their
-    partitioning, leaving exactly ONE new shuffle exchange per
-    iteration — the unavoidable contribution re-key from src-space to
-    dst-space. Counted by walking the physical tree (InMemoryTableScan
-    is a leaf; its one-time build is not a per-run cost). Budget: 5
-    iterations -> 5 re-key exchanges + 1 for the final global sort of
-    the registered query's output, + nothing else."""
+def test_pagerank_reuse_mode_one_exchange_per_iteration(spark):
+    """Exchange-reuse pin (VERDICT r4): in ``reuse_partitioning=True``
+    mode the cached, hash-partitioned edge/node frames must make every
+    per-iteration join reuse their partitioning, leaving exactly ONE
+    new shuffle exchange per iteration — the unavoidable contribution
+    re-key from src-space to dst-space. Counted by walking the
+    physical tree (InMemoryTableScan is a leaf; its one-time build is
+    not a per-iteration cost). Budget: 5 iterations -> <=5 re-key
+    exchanges + 1 slack, vs 10 in the default localCheckpoint mode
+    (whose LogicalRDD drops outputPartitioning). Both modes are
+    bit-identical — pinned below."""
     import os
     import sys
 
     sys.path.insert(
         0, os.path.join(os.path.dirname(__file__), "..", "scripts")
     )
+    from pyspark.sql import functions as F2
+
     from plan_report import digest
 
-    from h3ron_spark import queries as Q
+    from h3ron_spark.graph.pagerank import pagerank
 
-    df = Q.queries()["graph_pagerank"](spark, "/root/testdata/sf0.001")
+    edges = spark.range(4000).select(
+        (F2.col("id") % 97).alias("src"),
+        ((F2.col("id") * 7) % 89).alias("dst"),
+        (F2.col("id") % 5 + 1).alias("w"),
+    ).groupBy("src", "dst").agg(F2.sum("w").alias("w"))
+    df = pagerank(edges, iterations=5, reuse_partitioning=True)
     d = digest(df)["nodes"]
     assert d.get("Exchange", 0) <= 6, d
-    # the rank-update join must read the cached node frame in place
+    # the per-iteration joins must read the cached frames in place
     assert d.get("InMemoryTableScan", 0) >= 2, d
+    # and the two modes must agree bit-for-bit
+    a = {r["node"]: r["pr"] for r in df.collect()}
+    b = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            edges, iterations=5, reuse_partitioning=False
+        ).collect()
+    }
+    assert a == b
 
 
 def test_incremental_rollup_partial_aggs_both_shards(spark):
