@@ -66,7 +66,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = Q.queries()
     oracles = Q.oracles()
-    names = [n for n in Q._DRIVER_ORDER_FIRST if not only or n in only]
+    if only:
+        # explicit names: replay ANY oracled queries (e.g. a future
+        # round's rotation cohort), not just the current window
+        names = [n for n in registry if n in only and n in oracles]
+        unknown = only - set(names)
+        if unknown:
+            raise SystemExit(f"unknown/unoracled names: {sorted(unknown)}")
+    else:
+        names = list(Q._DRIVER_ORDER_FIRST)
 
     n_ok = 0
     failures: list[str] = []
