@@ -137,6 +137,13 @@ def raster_to_dataframe(
         arr.shape
     ).reshape(2, -1)
     vals = arr[rr, cc] if nodata is not None else arr.reshape(-1)
+    if vals.dtype.kind == "u":
+        # unsigned dtypes (uint8 GeoTIFF bands) are unsupported by the
+        # Arrow converter — createDataFrame would silently fall back to
+        # slow row-wise serialization AND infer LongType anyway; cast
+        # to int64 up front so the Arrow fast path keeps the exact
+        # same output schema
+        vals = vals.astype("int64")
     pdf = pd.DataFrame(
         {
             "row": rr.astype("int32"),

@@ -44,6 +44,19 @@ QUERIES = [
     "pipeline_incremental_rollup",
     "rel_scd2_history",
     "rel_cohort_retention",
+    # round-5 additions: the remaining top-cost bench rows, so every
+    # query a perf reviewer would ask about has a committed digest
+    "mm_jpeg_decode",
+    "mm_frame_features",
+    "sketch_hdr_quantiles",
+    "sketch_kmv_setops",
+    "ann_ivf_sampled_topk",
+    "pipeline_weighted_sample",
+    "text_cms_heavy_hitters",
+    "dedup_source_overlap",
+    "graph_sssp_frontier",
+    "golden_germany_route",
+    "geo_raster_cells",
 ]
 
 # physical-node class name -> digest label (Exec suffix stripped).
