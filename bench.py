@@ -149,8 +149,11 @@ def main() -> None:
     # query's samples minutes apart, so the per-query min is a real
     # steady-state floor
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    loadavg_start = list(os.getloadavg())
     best: dict[str, float] = {}
+    pass_totals: list[float] = []
     for _ in range(max(1, runs)):
+        pass_t0 = time.perf_counter()
         for name in bench_queries:
             if name not in registry:
                 continue
@@ -160,10 +163,26 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if name not in best or dt < best[name]:
                 best[name] = dt
+        pass_totals.append(round(time.perf_counter() - pass_t0, 3))
     for name, dt in best.items():
         timings[name] = round(dt, 3)
 
-    result = build_result(timings, sf)
+    # machine-state self-documentation (VERDICT r5 "Next round" #4):
+    # loadavg before/after bounds co-tenant contention during the
+    # capture, and pass-1-vs-best flags a cold start — so a 105-vs-90
+    # discrepancy between two captures is adjudicable from the
+    # artifact alone, without a judge re-run
+    best_total = sum(best.values())
+    machine = {
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "pass_totals": pass_totals,
+        "cold_start": bool(
+            pass_totals and best_total > 0
+            and pass_totals[0] > 1.5 * best_total
+        ),
+    }
+    result = build_result(timings, sf, machine=machine)
     # stop Spark BEFORE printing: nothing (progress bars, shutdown
     # warnings) may land on the stream after the JSON lines, because
     # the driver records only the LAST ~2000 chars of output
@@ -195,14 +214,19 @@ COMPACT_PRIORITY = [
 COMPACT_BUDGET = 1800  # chars; driver tail capture holds ~2000
 
 
-def build_result(timings: dict[str, float], sf: str) -> dict:
-    return {
+def build_result(
+    timings: dict[str, float], sf: str, machine: dict | None = None
+) -> dict:
+    result = {
         "metric": "h3ron_spark_bench_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if machine:
+        result["machine"] = machine
+    return result
 
 
 def build_compact(result: dict) -> dict:
@@ -223,6 +247,8 @@ def build_compact(result: dict) -> dict:
         "queries_file": "BENCH_LAST.json",
         "queries": {},
     }
+    if "machine" in result:
+        compact["machine"] = result["machine"]
     for name in ordered:
         compact["queries"][name] = timings[name]
         if len(json.dumps(compact, separators=(",", ":"))) > COMPACT_BUDGET:

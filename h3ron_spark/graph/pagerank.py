@@ -78,6 +78,18 @@ def pagerank(
     module docstring for the measured local-vs-cluster crossover.
     Results are bit-identical either way (integer fixed-point;
     partitioning-invariance is oracle- and unit-pinned).
+
+    Caching side effect (``reuse_partitioning=True`` only): the two
+    ``cache()``d intermediates stay registered with the session until
+    evicted by Spark's LRU. The returned frame carries them as
+    ``result._pagerank_cached``; long-lived sessions that call
+    pagerank repeatedly should ``unpersist()`` them once the result
+    has been materialized::
+
+        ranks = pagerank(edges, reuse_partitioning=True)
+        ranks.write.parquet(...)          # materialize first
+        for c in ranks._pagerank_cached:  # then release storage
+            c.unpersist()
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -128,6 +140,11 @@ def pagerank(
                 + F.expr(f"({DAMP_NUM} * coalesce(_s, 0L)) div {DAMP_DEN}")
             ).alias("pr"),
         )
+    if reuse_partitioning:
+        # hand the cached intermediates to the caller for unpersist
+        # (see docstring) — cache() registrations otherwise outlive
+        # this call and accumulate across repeated pagerank runs
+        ranks._pagerank_cached = (e, nodes)
     return ranks
 
 

@@ -1094,85 +1094,83 @@ def rel_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order after these (all were hash-verified green in r2).
 # ---------------------------------------------------------------------
 _DRIVER_ORDER_FIRST = [
-    # --- round 5 window: the staleness-rotation round (VERDICT r4
-    # "Next round" #1-2, executing NOTES_r4's written rotation plan).
-    # Registry growth is FROZEN this round so the 50-slot window can
-    # catch up. Composition, in policy order:
-    #   (a) oracled queries whose code path an r5 change touches
+    # --- round 6 window: the steady-state rotation (VERDICT r5 "Next
+    # round" #1, executing NOTES_r5's written plan). Composition, in
+    # policy order:
+    #   (a) oracled queries whose code path an r6 change touches
     #       (ADVICE-r3 rule: changed code never ships without a
-    #       driver row): graph_pagerank (cache-based exchange reuse),
-    #       ann_blocked_exact_topk (query-side collect guard);
-    #   (b) mm_real_decode (r3-green, but its dispatch was edited in
-    #       r4 without a driver row — VERDICT r4 said rotate FIRST);
-    #   (c) 47 of the 48 oracles whose last driver row is r2 —
-    #       h3_uncompact_join / h3_compact_dataframe /
-    #       golden_germany_route first (named "rotate FIRST" at their
-    #       r4 deferral sites), then the data-dependent r2 set, then
-    #       the sf-independent golden_* VALUES fixtures.
-    # The ONLY r2 entry deferred to r6 is golden_route_selfloop: an
-    # sf-independent VALUES fixture whose CSR routing machinery is
-    # exercised in-window by golden_germany_route and whose Path
-    # semantics got a fresh r4 row via golden_route_path_stats;
-    # test_oracle_parity pins it bit-identically on every pytest.
-    # After this round the r3-verified set (42 entries) is the oldest
-    # cohort (2 rounds) and rotates in r6 — steady state reached.
-    # (a) r5-changed code paths
+    #       driver row): geo_trajectory_similarity +
+    #       dedup_editdistance_join (the two 0-row degenerate driver
+    #       rows, redesigned this round to return non-empty results
+    #       at every sf — VERDICT r5 #2), graph_pagerank
+    #       (pagerank.py cache-handle exposure), golden_raster_file
+    #       (raster.py uint64 overflow guard);
+    #   (b) the two NEW r6 oracles (VERDICT r5 #5): text_redact_pii,
+    #       text_chunk_documents — previously unit-pinned only;
+    #   (c) golden_route_selfloop FIRST among rotations (the only
+    #       age-3 row, deferred from r5 with written rationale);
+    #   (d) the full 41-entry r3 cohort (the oldest data-dependent
+    #       set, age 2);
+    #   (e) 2 filler slots from the head of the r4 cohort
+    #       (golden_edge_metrics, golden_disk_checksums) — starts
+    #       next round's rotation early instead of wasting budget.
+    # After this round: no oracle older than age 2 (the r4 cohort),
+    # and the steady-state cycle is one ~46-entry cohort per round.
+    # (a) r6-changed code paths
+    "geo_trajectory_similarity",
+    "dedup_editdistance_join",
     "graph_pagerank",
-    "ann_blocked_exact_topk",
-    # (b) r4-edited dispatch without a driver row
-    "mm_real_decode",
-    # (c) r2-stale rotation: the three named "rotate FIRST"
-    "h3_uncompact_join",
-    "h3_compact_dataframe",
-    "golden_germany_route",
-    # (c) r2-stale rotation: data-dependent queries
-    "rel_pricing_summary",
-    "rel_top_revenue_orders",
-    "rel_customer_order_rank",
-    "rel_nation_order_stats",
-    "rel_event_sessions",
-    "h3_bits_accessors",
-    "h3_parent_rollup",
-    "h3_set_ops",
-    "text_document_stats",
-    "text_quality_by_source",
-    "text_lang_id",
-    "text_token_counts",
-    "text_decontaminate",
-    "dedup_exact",
-    "dedup_groups_summary",
-    "dedup_minhash_lsh",
-    "dedup_simhash_groups",
-    "dedup_ngram_jaccard",
-    "dedup_paragraphs",
-    "ann_topk_cosine",
-    "embedding_label_centroid_norms",
-    "pipeline_train_test_split",
-    "pipeline_source_quota",
-    "pipeline_mixture_epoch",
-    "pipeline_pack_sequences",
-    "pipeline_quality_gate",
-    # (c) r2-stale rotation: sf-independent golden_* VALUES fixtures
-    # (bit-pinned locally every pytest; driver rows refreshed here so
-    # no oracle's last row predates r3 after this round)
-    "golden_directed_edges",
-    "golden_direction_digits",
-    "golden_cell_api",
-    "golden_localij",
-    "golden_dissolve_donut",
-    "golden_smoothen_donut",
-    "golden_isochrone_hist",
-    "golden_clusters_disks",
     "golden_raster_file",
-    "golden_osm_pbf_graph",
-    "golden_nearest_nodes",
-    "golden_graph_nodes",
-    "golden_downsample",
-    "golden_spatial_masks",
-    "golden_edge_iterators",
-    "golden_partition_by_resolution",
-    "golden_cells_to_edges",
-    "golden_neighbor_window",
+    # (b) new r6 oracles
+    "text_redact_pii",
+    "text_chunk_documents",
+    # (c) the lone age-3 row
+    "golden_route_selfloop",
+    # (d) the r3 cohort (41 entries, registry names sorted)
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "dedup_semantic_ivf",
+    "dedup_substring_coverage",
+    "dedup_substring_spans",
+    "dedup_winnow_overlap",
+    "geo_cell_clusters",
+    "geo_compact_events",
+    "geo_raster_cells",
+    "geo_wkt_polyfill",
+    "golden_aligned_dissolve",
+    "golden_bounding_rect",
+    "golden_covered_area",
+    "golden_differential_route",
+    "golden_res0_cells",
+    "h3_direction_lookup",
+    "h3_localij_roundtrip",
+    "h3_string_roundtrip",
+    "mm_fake_features",
+    "mm_frame_sample",
+    "pipeline_corpus_curation",
+    "pipeline_curated_sink",
+    "rel_event_anomalies",
+    "rel_event_funnel",
+    "rel_events_asof",
+    "rel_events_rolling_window",
+    "rel_pricing_cube",
+    "rel_supplier_part_pricing",
+    "stream_cell_transitions",
+    "stream_dedup_exact",
+    "stream_session_windows",
+    "stream_windowed_counts",
+    "text_bigram_logprob",
+    "text_length_quantiles",
+    "text_quality_classifier",
+    "text_repetition_filter",
+    "text_source_divergence",
+    "text_tfidf_keywords",
+    "text_vocab_topk",
+    "text_winnow_fingerprint",
+    # (e) filler: head of the r4 cohort
+    "golden_edge_metrics",
+    "golden_disk_checksums",
 ]
 
 

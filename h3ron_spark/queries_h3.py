@@ -5365,11 +5365,10 @@ def pipeline_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRAJ_SIM_ORACLE = """
   WITH cells AS (
     SELECT user_id, event_id,
-           ((1::BIGINT << 59) | (2::BIGINT << 52)
-            | ((25 + (event_id % 12))::BIGINT << 45)
-            | (((event_id // 12) % 7)::BIGINT << 42)
-            | (((event_id // 84) % 7)::BIGINT << 39)
-            | ((1::BIGINT << 39) - 1)) AS cell
+           ((1::BIGINT << 59) | (1::BIGINT << 52)
+            | ((25 + (event_id % 6))::BIGINT << 45)
+            | (((event_id // 6) % 5)::BIGINT << 42)
+            | ((1::BIGINT << 42) - 1)) AS cell
     FROM events WHERE event_id < 20000
   ), hops AS (
     SELECT DISTINCT user_id,
@@ -5411,17 +5410,25 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by hop co-occurrence, NEVER all-pairs-of-users. At fleet
     scale (10^8 trajectories) the same shape swaps the exact hop join
     for the MinHash/LSH band stack already in dedup.py; int/int
-    Jaccard is IEEE-exact so the score hash-matches cross-engine."""
+    Jaccard is IEEE-exact so the score hash-matches cross-engine.
+
+    The res-1 30-cell lattice (6 bases x 5 digits) is deliberately
+    coarse so real overlap EXISTS at every shipped sf: the original
+    res-2 588-cell recipe produced a max hop intersection of 2 at all
+    sfs, so the n_inter >= 5 gate matched the oracle on the EMPTY SET
+    (CORRECTNESS_r04 spark_rows=0 — the r5 verdict's degenerate-row
+    finding). Measured under this recipe: 69 / 4940 / 4 result rows at
+    sf0.001 / 0.01 / 0.1 — the hop join, intersection count, and
+    Jaccard scoring are all exercised on non-empty data."""
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    b = 25 + F.col("event_id") % 12
-    d1 = F.expr("event_id div 12") % 7
-    d2 = F.expr("event_id div 84") % 7
+    b = 25 + F.col("event_id") % 6
+    d1 = F.expr("event_id div 6") % 5
     cells = ev.select(
         "user_id",
         "event_id",
-        B.h3_build_cell(b, [d1, d2], 2).alias("cell"),
+        B.h3_build_cell(b, [d1], 1).alias("cell"),
     )
     w = W.partitionBy("user_id").orderBy("event_id")
     hops = (
@@ -5473,13 +5480,31 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EDIT_JOIN_ORACLE = r"""
-  WITH keys AS (
+  WITH base AS (
     SELECT doc_id, substr(trim(text), 1, 48) AS s FROM documents
     WHERE len(trim(text)) >= 24
+  ), keys AS (
+    SELECT doc_id, s FROM base
+    UNION ALL
+    -- planted near-duplicates (1-in-10 docs, 4 substituted chars):
+    -- the corpus has no natural pairs within edit distance 12 at any
+    -- shipped sf (max shared grams 9), so without these the query
+    -- matched the oracle on the EMPTY SET (CORRECTNESS_r04
+    -- spark_rows=0). Deriving a mutated twin from the real text
+    -- makes the q-gram join and the Levenshtein DP run on pairs
+    -- that actually survive, at every sf, scaling with the corpus.
+    SELECT doc_id + 100000000,
+           substr(s, 1, 8) || 'zq' || substr(s, 11, 20)
+             || 'qz' || substr(s, 33, 16)
+    FROM base WHERE doc_id % 10 = 0 AND len(s) = 48
   ), grams_all AS (
-    SELECT DISTINCT doc_id, substr(s, t.i, 3) AS g
-    FROM keys, range(1, 47) t(i)
-    WHERE t.i + 2 <= len(s)
+    -- 5-grams, not 3-grams: the synthetic corpus draws from a ~20
+    -- word vocabulary, so trigram doc-frequency reaches 60% of the
+    -- corpus and the df-cap strips nearly every shared gram; 5-grams
+    -- keep enough rare shared signal for real pairs to survive.
+    SELECT DISTINCT doc_id, substr(s, t.i, 5) AS g
+    FROM keys, range(1, 45) t(i)
+    WHERE t.i + 4 <= len(s)
   ), grams AS (
     -- boilerplate cap: grams in > 50 docs are join-fanout bombs and
     -- carry no pair-discrimination signal (winnowing's doc-freq cap,
@@ -5509,28 +5534,52 @@ def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join — the classic string-join shape
     (q-gram count filtering a la Gravano et al. 2001, then exact
     Levenshtein on survivors only): document key prefixes (48 chars)
-    generate positional-free character 3-grams; an inverted-gram
+    generate positional-free character 5-grams; an inverted-gram
     index join counts shared RARE grams per pair (>= 12 under a
     doc-frequency cap of 50 — boilerplate grams inflate the join
     quadratically while discriminating nothing, winnowing's cap; the
     count filter is what makes this NOT an all-pairs O(n^2
-    levenshtein) join, since a pair within edit distance k must share
-    >= |s| - 2 - 3k grams); only the surviving candidates pay the
-    exact DP distance, which runs JVM-side (F.levenshtein — identical
-    integer DP in DuckDB). Completes the similarity-family matrix:
-    token/shingle Jaccard, MinHash, SimHash, winnowing, substring
-    spans, embedding cosine, and now character edit distance."""
+    levenshtein) join — Gravano's exact bound is vacuous at k=12 on
+    48-char keys, so the gate is an explicitly heuristic candidate
+    filter that the planted pairs pass by construction); only the
+    surviving candidates pay the exact DP distance, which runs
+    JVM-side (F.levenshtein — identical integer DP in DuckDB).
+    Completes the similarity-family matrix: token/shingle Jaccard,
+    MinHash, SimHash, winnowing, substring spans, embedding cosine,
+    and now character edit distance.
+
+    The corpus has no natural near-pairs within edit distance 12 at
+    any shipped sf (max shared grams 9 at sf0.01, 2 at sf0.1), so the
+    query PLANTS a deterministic mutated twin for every 10th document
+    (4 substituted characters at fixed offsets, derived from the real
+    text, id offset +1e8): the gram join, count filter, and exact DP
+    all run on pairs that genuinely survive — ~50 result rows at
+    sf0.001/0.01, ~500 at sf0.1 — instead of hash-matching the empty
+    set (the r5 verdict's degenerate-row finding)."""
     docs = load(spark, sf_dir, "documents")
-    keys = docs.select(
+    base = docs.select(
         "doc_id", F.substring(F.trim("text"), 1, 48).alias("s")
     ).filter(F.length(F.trim("text")) >= 24)
+    planted = base.filter(
+        (F.col("doc_id") % 10 == 0) & (F.length("s") == 48)
+    ).select(
+        (F.col("doc_id") + 100000000).alias("doc_id"),
+        F.concat(
+            F.substring("s", 1, 8),
+            F.lit("zq"),
+            F.substring("s", 11, 20),
+            F.lit("qz"),
+            F.substring("s", 33, 16),
+        ).alias("s"),
+    )
+    keys = base.unionByName(planted)
     grams_all = (
         keys.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(length(s) - 2, 1)),"
-                    " i -> substring(s, i, 3))"
+                    "transform(sequence(1, greatest(length(s) - 4, 1)),"
+                    " i -> substring(s, i, 5))"
                 )
             ).alias("g"),
         )
@@ -6149,3 +6198,142 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = triangle_counts(undirected_edges(edges))
     return counts.orderBy(F.col("n_triangles").desc(), "node").limit(25)
+
+
+# =====================================================================
+# Round 6: oracles for the previously unit-only pipeline operators
+# (VERDICT r5 "Next round" #5) — redact_pii and chunk_documents are
+# ANSI-expressible, so they graduate from unit-pinned to exact-oracle.
+# =====================================================================
+
+def _pii_synth_sql(cast_type: str) -> str:
+    """Deterministic PII-bearing text synthesized from (doc_id, text),
+    written once and rendered for both dialects (cast_type STRING for
+    Spark, VARCHAR for DuckDB): the corpus itself contains no
+    PII-shaped strings, so without synthesis the redaction chain
+    would 'pass' without a single regex ever firing. Emails/IP/SSN/
+    phone are derived from doc_id (varying digits per row); every 3rd
+    doc carries a second email, every 5th drops its phone — so the
+    per-kind counts genuinely vary across rows."""
+    T = cast_type
+    return (
+        "concat(substr(trim(text), 1, 24),"
+        f" ' mail u', CAST(doc_id AS {T}), '@ex-',"
+        f" CAST(doc_id % 7 AS {T}), '.net',"
+        " CASE WHEN doc_id % 3 = 0 THEN"
+        f" concat(' cc b', CAST(doc_id AS {T}), '@alt.org')"
+        " ELSE '' END,"
+        f" ' host 10.', CAST(doc_id % 250 AS {T}), '.0.',"
+        f" CAST(doc_id % 200 AS {T}),"
+        f" ' id 123-45-', lpad(CAST(doc_id % 10000 AS {T}), 4, '0'),"
+        " CASE WHEN doc_id % 5 > 0 THEN"
+        f" concat(' tel +49 30 1', lpad(CAST(doc_id % 100000 AS {T}), 6, '0'))"
+        " ELSE '' END)"
+    )
+
+
+def _redact_oracle() -> str:
+    """DuckDB replay of pipeline.text.redact_pii's fixed-precedence
+    regexp_replace chain (ssn -> email -> phone -> ipv4; text.py
+    PII_PATTERNS) with the same length-delta marker counting. RE2 and
+    Java regex agree on these anchored high-precision patterns ('g'
+    flag makes DuckDB replace-all like Spark)."""
+    from h3ron_spark.pipeline.text import PII_PATTERNS
+
+    synth = _pii_synth_sql("VARCHAR")
+    p = {k: v.replace("'", "''") for k, v in PII_PATTERNS.items()}
+    return f"""
+  WITH synth AS (
+    SELECT doc_id, {synth} AS s FROM documents
+  ), c1 AS (
+    SELECT doc_id, regexp_replace(s, '{p["ssn"]}', '<SSN>', 'g') AS s
+    FROM synth
+  ), c2 AS (
+    SELECT doc_id, s,
+           CAST((len(s) - len(replace(s, '<SSN>', ''))) // 5 AS INT)
+             AS n_ssn,
+           regexp_replace(s, '{p["email"]}', '<EMAIL>', 'g') AS s2
+    FROM c1
+  ), c3 AS (
+    SELECT doc_id, n_ssn, s2,
+           CAST((len(s2) - len(replace(s2, '<EMAIL>', ''))) // 7 AS INT)
+             AS n_email,
+           regexp_replace(s2, '{p["phone"]}', '<PHONE>', 'g') AS s3
+    FROM c2
+  ), c4 AS (
+    SELECT doc_id, n_ssn, n_email, s3,
+           CAST((len(s3) - len(replace(s3, '<PHONE>', ''))) // 7 AS INT)
+             AS n_phone,
+           regexp_replace(s3, '{p["ipv4"]}', '<IPV4>', 'g') AS s4
+    FROM c3
+  )
+  SELECT doc_id, s4 AS clean_text, n_ssn, n_email, n_phone,
+         CAST((len(s4) - len(replace(s4, '<IPV4>', ''))) // 6 AS INT)
+           AS n_ipv4
+  FROM c4
+  ORDER BY doc_id
+"""
+
+
+@register("text_redact_pii", oracle=_redact_oracle())
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as a driver-verified oracle (previously
+    unit-pinned only): synthesizes deterministic PII-bearing text per
+    document (see _pii_synth_sql — the corpus has no natural PII, so
+    synthesis is what makes every regex in the chain actually fire),
+    then applies pipeline.text.redact_pii — the pure-JVM
+    regexp_replace chain with fixed ssn->email->phone->ipv4
+    precedence and length-delta match counts. Whole-stage codegen end
+    to end; at 100 TB this is one scan, no shuffle."""
+    from h3ron_spark.pipeline.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id", F.expr(_pii_synth_sql("STRING")).alias("text")
+    )
+    red = synth.select("doc_id", redact_pii("text").alias("r"))
+    return red.select(
+        "doc_id",
+        F.col("r.clean_text").alias("clean_text"),
+        F.col("r.n_ssn").alias("n_ssn"),
+        F.col("r.n_email").alias("n_email"),
+        F.col("r.n_phone").alias("n_phone"),
+        F.col("r.n_ipv4").alias("n_ipv4"),
+    ).orderBy("doc_id")
+
+
+_CHUNK_ORACLE = r"""
+  WITH toks AS (
+    SELECT doc_id AS id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+  ), sized AS (
+    SELECT id, t, len(t) AS n,
+           CASE WHEN len(t) <= 32 THEN 1
+                ELSE CAST(ceil((len(t) - 32) / 24.0) AS INT) + 1 END AS k
+    FROM toks WHERE len(t) > 0
+  )
+  SELECT id, CAST(u.chunk_id AS INT) AS chunk_id, CAST(k AS INT) AS n_chunks,
+         array_to_string(list_slice(t, u.chunk_id * 24 + 1,
+                                    least(u.chunk_id * 24 + 32, n)),
+                         ' ') AS chunk_text,
+         CAST(least(32, n - u.chunk_id * 24) AS INT) AS n_tokens
+  FROM sized, LATERAL unnest(generate_series(0, k - 1)) AS u(chunk_id)
+  ORDER BY id, chunk_id
+"""
+
+
+@register("text_chunk_documents", oracle=_CHUNK_ORACLE)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking as a driver-verified oracle
+    (previously unit-pinned only): pipeline.text.chunk_documents with
+    chunk_tokens=32 / overlap=8 (stride 24) over the documents table —
+    tokenize once, explode(sequence) + slice, no shuffle, linear in
+    corpus size. The oracle replays the identical window arithmetic
+    with DuckDB list functions."""
+    from h3ron_spark.pipeline.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, id_col="doc_id", text_col="text", chunk_tokens=32, overlap=8
+    ).orderBy("id", "chunk_id")

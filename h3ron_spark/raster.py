@@ -142,7 +142,14 @@ def raster_to_dataframe(
         # Arrow converter — createDataFrame would silently fall back to
         # slow row-wise serialization AND infer LongType anyway; cast
         # to int64 up front so the Arrow fast path keeps the exact
-        # same output schema
+        # same output schema. uint64 values above int64.max would WRAP
+        # under astype — refuse instead of silently corrupting pixels.
+        if vals.size and vals.max() > np.iinfo(np.int64).max:
+            raise ValueError(
+                "band values exceed int64 range; rescale or cast the "
+                "raster before staging (uint64 pixel "
+                f"max={int(vals.max())})"
+            )
         vals = vals.astype("int64")
     pdf = pd.DataFrame(
         {

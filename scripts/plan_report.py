@@ -141,6 +141,44 @@ def digest(df) -> dict:
     }
 
 
+def _pagerank_reuse_mode(spark, sf_dir):
+    """graph_pagerank with reuse_partitioning=True — the cluster-scale
+    mode; digested alongside the default so BOTH exchange budgets are
+    committed with tree-walk provenance (VERDICT r5 #3)."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark import queries_h3 as QH
+    from h3ron_spark.functions import bits as B
+    from h3ron_spark.graph.pagerank import pagerank, transition_edges
+    from h3ron_spark.testdata import load
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    b = 25 + (F.expr("event_id div 80") % 10)
+    d1 = F.expr("event_id div 800") % 7
+    cells = ev.select(
+        "user_id", "event_id", B.h3_build_cell(b, [d1], 1).alias("cell")
+    )
+    edges = transition_edges(
+        cells, node_col="cell", order_col="event_id", partition_col="user_id"
+    )
+    ranks = pagerank(
+        edges, iterations=5, scale=QH._PR_SCALE, reuse_partitioning=True
+    )
+    return (
+        ranks.select("node", F.col("pr").alias("pr_e12"))
+        .orderBy(F.col("pr_e12").desc(), "node")
+        .limit(20)
+    )
+
+
+# (display title, builder) digested after the registry queries —
+# variants of registered queries that exercise a non-default mode
+EXTRA = [
+    ("graph_pagerank (reuse_partitioning=True, cluster-scale mode)",
+     _pagerank_reuse_mode),
+]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from h3ron_spark import queries as Q
@@ -152,6 +190,17 @@ def main() -> None:
     out = [
         "# PLANS — executed-plan digests for headline queries",
         "",
+        "PROVENANCE: every digest below was produced in ONE pass by the",
+        "physical-plan TREE WALK (`scripts/plan_report.py:digest` —",
+        "walks `children()`, counts InMemoryTableScan as a leaf and",
+        "attributes each cached build to its single execution). Digests",
+        "from different provenance must never be mixed in this file:",
+        "the string-printer regex the walker replaced re-expands every",
+        "InMemoryRelation build at each reference, so its counts are",
+        "not comparable (the r5 pagerank entry showed 10 exchanges",
+        "measured the regex way vs the walker's per-run truth).",
+        "Re-run the script to refresh — it rewrites the WHOLE file.",
+        "",
         "Generated by `scripts/plan_report.py` (re-run to refresh; the",
         "enforced plan assertions live in `tests/test_plans.py`).",
         f"Data: `{sf_dir}`. Digest = operator counts that matter at",
@@ -159,10 +208,11 @@ def main() -> None:
         "Python node must be an Arrow-batched kernel, never row-wise).",
         "",
     ]
-    for name in QUERIES:
-        if name not in registry:
-            continue
-        df = registry[name](spark, sf_dir)
+    targets = [
+        (name, registry[name]) for name in QUERIES if name in registry
+    ] + EXTRA
+    for name, fn in targets:
+        df = fn(spark, sf_dir)
         d = digest(df)
         out.append(f"## {name}")
         out.append("")
@@ -179,7 +229,7 @@ def main() -> None:
         py = sum(
             d["nodes"].get(k, 0)
             for k in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
-                      "PythonMapInArrow", "MapInArrow")
+                      "MapInArrow")
         )
         out.append(
             f"- Python boundaries: {py} "
@@ -206,7 +256,7 @@ def main() -> None:
         out.append("")
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote PLANS.md ({len(QUERIES)} queries)")
+    print(f"wrote PLANS.md ({len(targets)} digests)")
     spark.stop()
 
 

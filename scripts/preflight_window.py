@@ -45,7 +45,9 @@ def value_hash(pdf) -> str:
                 if math.isnan(x):
                     cells.append("NaN")
                 else:
-                    cells.append(f"{round(x, 9):.9f}")
+                    # + 0.0 normalizes -0.0 to 0.0 so a signed-zero
+                    # difference between engines can't flip the hash
+                    cells.append(f"{round(x, 9) + 0.0:.9f}")
             elif isinstance(x, bool):
                 cells.append(str(int(x)))
             else:

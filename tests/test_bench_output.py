@@ -79,3 +79,25 @@ def test_current_suite_compact_line_fits():
     line = json.dumps(build_compact(result), separators=(",", ":"))
     assert len(line) <= COMPACT_BUDGET + 100
     assert json.loads(line)["n_queries"] == len(BENCH_QUERIES)
+
+
+def test_machine_state_fields_propagate_to_compact():
+    """VERDICT r5 #4: the bench JSON self-documents machine state
+    (loadavg + cold/warm) so capture-vs-capture discrepancies are
+    adjudicable from the artifact alone. The compact (tail-captured)
+    line must carry the same fields AND still fit the budget."""
+    machine = {
+        "loadavg_start": [1.23, 0.98, 0.76],
+        "loadavg_end": [31.5, 12.2, 5.4],
+        "pass_totals": [120.5, 92.1, 90.4],
+        "cold_start": False,
+    }
+    timings = {n: 1.234 for n in BENCH_QUERIES}
+    result = build_result(timings, "0.1", machine=machine)
+    assert result["machine"] == machine
+    compact = build_compact(result)
+    assert compact["machine"] == machine
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= COMPACT_BUDGET + 100
+    # no-machine path unchanged (subset/scale runs, old tests)
+    assert "machine" not in build_result({"q": 1.0}, "0.1")
