@@ -55,6 +55,46 @@ from pyspark.sql import functions as F
 DAMP_NUM, DAMP_DEN = 85, 100
 
 
+def persist_edges_bucketed(
+    edges: DataFrame,
+    table_name: str,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """One-time persisted layout for REPEATED PageRank runs: annotate
+    the edge table with per-src out-weight totals and write it
+    BUCKETED (and sorted) by ``_src`` — the true cluster-scale answer
+    the module docstring names. A bucketed table's scan carries its
+    hash layout from catalog metadata, so every per-iteration
+    ranks-x-edges join reads the edge side IN PLACE: zero shuffle
+    exchanges on the |E|-sized side, every iteration, every run,
+    across sessions — where the cache mode must rebuild (and spend
+    memory on) its layout per session. Plan-pinned in
+    test_plans.test_pagerank_bucketed_edges_shuffle_free.
+
+    Returns the catalog-backed frame; feed it to
+    ``pagerank(..., assume_prepared=True)``.
+    """
+    wsums = edges.groupBy(src).agg(F.sum(weight).alias("_wt"))
+    annotated = edges.join(wsums, src).select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight).cast("long").alias("_w"),
+        F.col("_wt").cast("long").alias("_wt"),
+    )
+    (
+        annotated.write.mode(mode)
+        .bucketBy(n_buckets, "_src")
+        .sortBy("_src")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    return edges.sparkSession.table(table_name)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -63,6 +103,7 @@ def pagerank(
     iterations: int = 5,
     scale: int = 10**12,
     reuse_partitioning: bool = False,
+    assume_prepared: bool = False,
 ) -> DataFrame:
     """Fixed ``iterations`` of integer PageRank; returns
     ``(node, pr)`` with ``pr`` in units of ``1/scale``.
@@ -90,6 +131,12 @@ def pagerank(
         ranks.write.parquet(...)          # materialize first
         for c in ranks._pagerank_cached:  # then release storage
             c.unpersist()
+
+    ``assume_prepared=True`` declares that ``edges`` is ALREADY the
+    annotated ``(_src, _dst, _w, _wt)`` frame — typically the
+    bucketed table from :func:`persist_edges_bucketed` — and uses it
+    directly with no re-annotation and no materialization: the scan's
+    own catalog layout is what the per-iteration joins reuse.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -99,16 +146,25 @@ def pagerank(
             return df.repartition(key).cache()
         return df.localCheckpoint()
 
-    wsums = edges.groupBy(src).agg(F.sum(weight).alias("_wt"))
-    e = _materialize(
-        edges.join(wsums, src).select(
-            F.col(src).alias("_src"),
-            F.col(dst).alias("_dst"),
-            F.col(weight).cast("long").alias("_w"),
-            F.col("_wt").cast("long"),
-        ),
-        "_src",
-    )
+    if assume_prepared:
+        missing = {"_src", "_dst", "_w", "_wt"} - set(edges.columns)
+        if missing:
+            raise ValueError(
+                f"assume_prepared edge frame lacks columns {sorted(missing)}"
+                " (use persist_edges_bucketed to build it)"
+            )
+        e = edges
+    else:
+        wsums = edges.groupBy(src).agg(F.sum(weight).alias("_wt"))
+        e = _materialize(
+            edges.join(wsums, src).select(
+                F.col(src).alias("_src"),
+                F.col(dst).alias("_dst"),
+                F.col(weight).cast("long").alias("_w"),
+                F.col("_wt").cast("long"),
+            ),
+            "_src",
+        )
     # distinct() leaves nodes hash-partitioned on `node`; in the
     # cache mode that partitioning SURVIVES materialization, so the
     # per-iteration rank-update join needs no exchange on the

@@ -3099,6 +3099,8 @@ def _sssp_grid_n(sf_dir: str) -> int:
         sf = float(tag)
     except ValueError:
         sf = 0.01
+    if sf >= 10:
+        return 12000  # 576M edges — the 100x scale-proof point (r6)
     if sf >= 1:
         return 3800  # 57.76M edges — the 10x scale-proof point
     if sf >= 0.1:

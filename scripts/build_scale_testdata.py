@@ -45,8 +45,14 @@ VECS_TPL = """
 
 
 def main() -> None:
+    # usage: build_scale_testdata.py [out_root] [replicas] [label]
+    # defaults reproduce the original sf1 decade (10 replicas); the
+    # sf10 decade (VERDICT r5 #6) is `... /tmp/h3ron_scale 100 sf10`
+    # -> 10M events / 500k docs / 200k embeddings.
     out_root = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/h3ron_scale")
-    out = out_root / "sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else REPLICAS
+    label = sys.argv[3] if len(sys.argv) > 3 else "sf1"
+    out = out_root / label
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
 
@@ -62,7 +68,7 @@ def main() -> None:
     ):
         n = count(table)
         union = " UNION ALL ".join(
-            tpl.format(i=i, n=n, src=SRC) for i in range(REPLICAS)
+            tpl.format(i=i, n=n, src=SRC) for i in range(replicas)
         )
         con.execute(
             f"COPY ({union}) TO '{out}/{table}.parquet' (FORMAT parquet)"
