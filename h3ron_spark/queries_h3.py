@@ -6220,10 +6220,10 @@ def _pii_synth_sql(cast_type: str) -> str:
     T = cast_type
     return (
         "concat(substr(trim(text), 1, 24),"
-        f" ' mail u', CAST(doc_id AS {T}), '@ex-',"
-        f" CAST(doc_id % 7 AS {T}), '.net',"
+        f" ' mail u', CAST(doc_id AS {T}), '@m',"
+        f" CAST(doc_id % 7 AS {T}), '.example.com',"
         " CASE WHEN doc_id % 3 = 0 THEN"
-        f" concat(' cc b', CAST(doc_id AS {T}), '@alt.org')"
+        f" concat(' cc b', CAST(doc_id AS {T}), '@alt.example.org')"
         " ELSE '' END,"
         f" ' host 10.', CAST(doc_id % 250 AS {T}), '.0.',"
         f" CAST(doc_id % 200 AS {T}),"
