@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "geo_trajectory_similarity",
     "dedup_editdistance_join",
     "geo_stay_detection",
+    "text_redact_pii",
+    "text_chunk_documents",
     "rel_events_gapfill",
     "graph_pagerank",
     "graph_triangles",
