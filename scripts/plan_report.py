@@ -57,6 +57,9 @@ QUERIES = [
     "graph_sssp_frontier",
     "golden_germany_route",
     "geo_raster_cells",
+    # round-6 additions: the new pipeline oracles
+    "text_redact_pii",
+    "text_chunk_documents",
 ]
 
 # physical-node class name -> digest label (Exec suffix stripped).

@@ -737,3 +737,41 @@ def test_pagerank_bucketed_edges_shuffle_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP DATABASE IF EXISTS pr_bkt CASCADE")
+
+
+def test_redact_pii_stays_jvm_side(spark):
+    """text_redact_pii: the whole redaction chain is JVM
+    regexp_replace — zero Python boundaries of any kind, filters
+    reach the scan."""
+    plan = plan_of(spark, "text_redact_pii")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """pipeline.text.chunk_documents claims 'no shuffle at all'
+    (explode is pipeline-local): pin it — one Generate, zero shuffle
+    exchanges, zero Python — on the operator itself (the registered
+    query adds a presentation orderBy, which legitimately range-
+    partitions)."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.pipeline.text import chunk_documents
+
+    docs = spark.range(200).select(
+        F2.col("id").alias("doc_id"),
+        F2.concat_ws(
+            " ",
+            *[F2.concat(F2.lit(f"w{i}_"), F2.col("id")) for i in range(40)],
+        ).alias("text"),
+    )
+    df = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    jmode = (
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
