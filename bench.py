@@ -179,9 +179,14 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "pass_totals": pass_totals,
-        "cold_start": bool(
-            pass_totals and best_total > 0
-            and pass_totals[0] > 1.5 * best_total
+        # None (json null) when only one pass ran: a single pass has
+        # no warm floor to compare against, so every timing in it is
+        # a first-execution number and the flag would otherwise read
+        # "warm" in exactly the capture it matters most for
+        "cold_start": (
+            bool(best_total > 0 and pass_totals[0] > 1.5 * best_total)
+            if len(pass_totals) > 1
+            else None
         ),
     }
     result = build_result(timings, sf, machine=machine)

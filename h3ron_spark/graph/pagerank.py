@@ -55,6 +55,23 @@ from pyspark.sql import functions as F
 DAMP_NUM, DAMP_DEN = 85, 100
 
 
+def _annotate_out_weights(
+    edges: DataFrame, src: str, dst: str, weight: str
+) -> DataFrame:
+    """The ``(_src, _dst, _w, _wt)`` out-weight-annotated edge frame —
+    the ONE definition shared by pagerank's inline path and
+    :func:`persist_edges_bucketed`; the bit-equality contract between
+    the prepared and inline modes depends on both using this exact
+    recipe."""
+    wsums = edges.groupBy(src).agg(F.sum(weight).alias("_wt"))
+    return edges.join(wsums, src).select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight).cast("long").alias("_w"),
+        F.col("_wt").cast("long").alias("_wt"),
+    )
+
+
 def persist_edges_bucketed(
     edges: DataFrame,
     table_name: str,
@@ -78,13 +95,7 @@ def persist_edges_bucketed(
     Returns the catalog-backed frame; feed it to
     ``pagerank(..., assume_prepared=True)``.
     """
-    wsums = edges.groupBy(src).agg(F.sum(weight).alias("_wt"))
-    annotated = edges.join(wsums, src).select(
-        F.col(src).alias("_src"),
-        F.col(dst).alias("_dst"),
-        F.col(weight).cast("long").alias("_w"),
-        F.col("_wt").cast("long").alias("_wt"),
-    )
+    annotated = _annotate_out_weights(edges, src, dst, weight)
     (
         annotated.write.mode(mode)
         .bucketBy(n_buckets, "_src")
@@ -128,8 +139,9 @@ def pagerank(
     has been materialized::
 
         ranks = pagerank(edges, reuse_partitioning=True)
-        ranks.write.parquet(...)          # materialize first
-        for c in ranks._pagerank_cached:  # then release storage
+        handles = ranks._pagerank_cached  # capture BEFORE deriving —
+        ranks.write.parquet(...)          # a transformed frame does
+        for c in handles:                 # NOT carry the attribute
             c.unpersist()
 
     ``assume_prepared=True`` declares that ``edges`` is ALREADY the
@@ -155,15 +167,8 @@ def pagerank(
             )
         e = edges
     else:
-        wsums = edges.groupBy(src).agg(F.sum(weight).alias("_wt"))
         e = _materialize(
-            edges.join(wsums, src).select(
-                F.col(src).alias("_src"),
-                F.col(dst).alias("_dst"),
-                F.col(weight).cast("long").alias("_w"),
-                F.col("_wt").cast("long"),
-            ),
-            "_src",
+            _annotate_out_weights(edges, src, dst, weight), "_src"
         )
     # distinct() leaves nodes hash-partitioned on `node`; in the
     # cache mode that partitioning SURVIVES materialization, so the

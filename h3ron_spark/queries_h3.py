@@ -5404,7 +5404,7 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory near-duplicate detection over H3 cell sequences
     (the REPOSE/trajectory-similarity workload re-expressed with the
     dedup machinery): each user's movement is its time-ordered
-    res-2 cell sequence (deterministic bit-math synthesis from event
+    res-1 cell sequence (deterministic bit-math synthesis from event
     ints, same recipe family as stream_cell_transitions); the
     order-aware signature is the DISTINCT set of cell HOPS
     (prev>next bigrams, self-hops dropped), and pair similarity is

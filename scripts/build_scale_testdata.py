@@ -32,7 +32,8 @@ DOCS_TPL = """
     SELECT doc_id + {i} * {n} AS doc_id,
            CASE WHEN {i} = 0 THEN text ELSE text || ' r{i}' END AS text,
            lang, source,
-           CASE WHEN {i} = 0 THEN n_chars ELSE n_chars + 3 END AS n_chars
+           CASE WHEN {i} = 0 THEN n_chars
+                ELSE n_chars + {suffix_len} END AS n_chars
     FROM read_parquet('{src}/documents.parquet')
 """
 VECS_TPL = """
@@ -67,8 +68,12 @@ def main() -> None:
         ("embeddings", VECS_TPL),
     ):
         n = count(table)
+        # suffix_len: DOCS_TPL appends ' r{i}' — 2 + len(str(i)) chars
+        # (was a flat +3, which broke the n_chars == len(text)
+        # invariant for replicas i >= 10 in multi-decade builds)
         union = " UNION ALL ".join(
-            tpl.format(i=i, n=n, src=SRC) for i in range(replicas)
+            tpl.format(i=i, n=n, src=SRC, suffix_len=2 + len(str(i)))
+            for i in range(replicas)
         )
         con.execute(
             f"COPY ({union}) TO '{out}/{table}.parquet' (FORMAT parquet)"

@@ -89,6 +89,27 @@ _NODE_LABELS = {
 }
 
 
+def unwrap(p):
+    """Resolve AQE / query-stage WRAPPER nodes to the real subtree
+    root (AdaptiveSparkPlanExec -> .executedPlan(),
+    *QueryStageExec -> .plan()). The single place that knows Spark's
+    wrapper-node quirks — test-side plan walkers import this instead
+    of re-implementing it (a Spark upgrade adding a wrapper gets
+    fixed once, here)."""
+    name = p.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        return unwrap(p.executedPlan())
+    if name.endswith("QueryStageExec"):
+        return unwrap(p.plan())
+    return p
+
+
+def children(p) -> list:
+    """Physical-plan children as a python list (py4j Seq unpacking)."""
+    c = p.children()
+    return [c.apply(i) for i in range(c.size())]
+
+
 def digest(df) -> dict:
     """Tree-walk digest of the executed plan. A string regex over
     ``executedPlan().toString()`` over-counts once caching is involved
@@ -102,6 +123,7 @@ def digest(df) -> dict:
     seen_caches: set[int] = set()
 
     def walk(p, into: dict) -> None:
+        p = unwrap(p)
         name = p.getClass().getSimpleName()
         label = _NODE_LABELS.get(name)
         if label:
@@ -124,16 +146,8 @@ def digest(df) -> dict:
                 seen_caches.add(cid)
                 walk(cached, build_counts)
             return
-        if name == "AdaptiveSparkPlanExec":
-            walk(p.executedPlan(), into)
-            return
-        if name.endswith("QueryStageExec"):
-            # AQE stage wrappers are leaves; the real subtree is .plan()
-            walk(p.plan(), into)
-            return
-        kids = p.children()
-        for i in range(kids.size()):
-            walk(kids.apply(i), into)
+        for k in children(p):
+            walk(k, into)
 
     walk(df._jdf.queryExecution().executedPlan(), counts)
     return {

@@ -678,22 +678,19 @@ def test_pagerank_bucketed_edges_shuffle_free(spark, tmp_path):
         )
         df = pagerank(prepared, iterations=5, assume_prepared=True)
 
+        import os
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+        )
+        from plan_report import children as kids
+        from plan_report import unwrap
+
         JOINS = ("SortMergeJoinExec", "ShuffledHashJoinExec")
 
         def simple(p):
             return p.getClass().getSimpleName()
-
-        def kids(p):
-            c = p.children()
-            return [c.apply(i) for i in range(c.size())]
-
-        def unwrap(p):
-            n = simple(p)
-            if n == "AdaptiveSparkPlanExec":
-                return unwrap(p.executedPlan())
-            if n.endswith("QueryStageExec"):
-                return unwrap(p.plan())
-            return p
 
         def find(p, pred, acc):
             p = unwrap(p)
