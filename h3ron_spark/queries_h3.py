@@ -5365,13 +5365,25 @@ def pipeline_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRAJ_SIM_ORACLE = """
-  WITH cells AS (
+  WITH ranked AS (
+    -- sf-robust trimming (round 7): a bounded USER universe
+    -- (user_id < 400 — replica builds offset user_id by 1e6, so this
+    -- stays 400 users at every scale) and a USER-RELATIVE sequence
+    -- cap (first 64 events per user). The r6 recipe's absolute
+    -- event_id < 20000 cap shrank per-user sequences as sf grew
+    -- (13 events/user at sf0.1 -> 4 result rows); per-user rank
+    -- keeps trajectory length constant across sf.
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY event_id) AS r
+    FROM events WHERE user_id < 400
+  ), cells AS (
     SELECT user_id, event_id,
            ((1::BIGINT << 59) | (1::BIGINT << 52)
             | ((25 + (event_id % 6))::BIGINT << 45)
             | (((event_id // 6) % 5)::BIGINT << 42)
             | ((1::BIGINT << 42) - 1)) AS cell
-    FROM events WHERE event_id < 20000
+    FROM ranked WHERE r <= 64
   ), hops AS (
     SELECT DISTINCT user_id,
            CAST(prev AS VARCHAR) || '>' || CAST(cell AS VARCHAR) AS hop
@@ -5419,12 +5431,26 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     res-2 588-cell recipe produced a max hop intersection of 2 at all
     sfs, so the n_inter >= 5 gate matched the oracle on the EMPTY SET
     (CORRECTNESS_r04 spark_rows=0 — the r5 verdict's degenerate-row
-    finding). Measured under this recipe: 69 / 4940 / 4 result rows at
-    sf0.001 / 0.01 / 0.1 — the hop join, intersection count, and
-    Jaccard scoring are all exercised on non-empty data."""
+    finding). Round 7 replaced the r6 recipe's absolute
+    event_id < 20000 cap (which shrank per-user sequences as sf grew:
+    4 result rows at sf0.1) with sf-robust trimming — a bounded user
+    universe (user_id < 400; replica scale builds offset user_id by
+    1e6 per replica, so the universe stays 400 users at ANY scale)
+    plus a user-relative sequence cap (first 64 events per user), so
+    trajectory length and pair-space are constant in sf. Measured:
+    60 / 3624 / 26238 result rows at sf0.001 / 0.01 / 0.1 — the hop
+    join, intersection count, and Jaccard scoring are exercised on
+    non-empty data at every shipped sf (pinned by
+    test_driver_window.py's non-degeneracy gate)."""
     from pyspark.sql import Window as W
 
-    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 400)
+    rw = W.partitionBy("user_id").orderBy("event_id")
+    ev = (
+        ev.withColumn("r", F.row_number().over(rw))
+        .filter(F.col("r") <= 64)
+        .drop("r")
+    )
     b = 25 + F.col("event_id") % 6
     d1 = F.expr("event_id div 6") % 5
     cells = ev.select(
@@ -5495,7 +5521,11 @@ _EDIT_JOIN_ORACLE = r"""
     -- spark_rows=0). Deriving a mutated twin from the real text
     -- makes the q-gram join and the Levenshtein DP run on pairs
     -- that actually survive, at every sf, scaling with the corpus.
-    SELECT doc_id + 100000000,
+    -- The planted-id offset is a HIGH BIT (2^40), not an additive
+    -- round number: replica scale builds offset doc_id by
+    -- i * n_docs, so any fixed decimal offset eventually collides
+    -- with real ids; 2^40 is collision-free below 1.1e12 docs.
+    SELECT doc_id + (1::BIGINT << 40),
            substr(s, 1, 8) || 'zq' || substr(s, 11, 20)
              || 'qz' || substr(s, 33, 16)
     FROM base WHERE doc_id % 10 = 0 AND len(s) = 48
@@ -5507,13 +5537,23 @@ _EDIT_JOIN_ORACLE = r"""
     SELECT DISTINCT doc_id, substr(s, t.i, 5) AS g
     FROM keys, range(1, 45) t(i)
     WHERE t.i + 4 <= len(s)
+  ), cap AS (
+    -- boilerplate cap: high-df grams are join-fanout bombs and carry
+    -- no pair-discrimination signal (winnowing's doc-freq cap,
+    -- applied identically in the Spark query). The cap has a
+    -- CORPUS-RELATIVE floor (n_docs / 10, min 50) because the ~20
+    -- word synthetic vocabulary has NO absolutely-rare grams — every
+    -- gram's df grows linearly with corpus size, so a fixed cap of
+    -- 50 stripped every shared gram at sf0.1 (planted twins maxed at
+    -- 10 shared grams -> 8 result rows, the same sf-fragility class
+    -- as the r6 trajectory cap). On real heavy-tailed text keep the
+    -- absolute cap; the relative floor is a testdata-quirk
+    -- accommodation, documented here for the oracle diff.
+    SELECT greatest(50, count(*) // 10) AS df_cap FROM base
   ), grams AS (
-    -- boilerplate cap: grams in > 50 docs are join-fanout bombs and
-    -- carry no pair-discrimination signal (winnowing's doc-freq cap,
-    -- applied identically in the Spark query)
     SELECT doc_id, g FROM grams_all
     WHERE g IN (SELECT g FROM grams_all GROUP BY g
-                HAVING count(*) <= 50)
+                HAVING count(*) <= (SELECT df_cap FROM cap))
   ), cand AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
     FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -5554,18 +5594,29 @@ def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     any shipped sf (max shared grams 9 at sf0.01, 2 at sf0.1), so the
     query PLANTS a deterministic mutated twin for every 10th document
     (4 substituted characters at fixed offsets, derived from the real
-    text, id offset +1e8): the gram join, count filter, and exact DP
-    all run on pairs that genuinely survive — ~50 result rows at
-    sf0.001/0.01, ~500 at sf0.1 — instead of hash-matching the empty
-    set (the r5 verdict's degenerate-row finding)."""
+    text, id offset 2^40 — a high bit, collision-free below 1.1e12
+    docs even under replica scale builds): the gram join, count
+    filter, and exact DP
+    all run on pairs that genuinely survive — 94 / 81 / 819 result
+    rows at sf0.001 / 0.01 / 0.1 (pinned by test_driver_window.py's
+    non-degeneracy gate) — instead of hash-matching the empty set
+    (the r5 verdict's degenerate-row finding). The df cap's
+    corpus-relative floor (see inline comment) is what keeps the
+    sf0.1 row count healthy: a fixed cap of 50 left only 8 rows
+    there, because the synthetic vocabulary's gram frequencies grow
+    linearly with corpus size."""
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", F.substring(F.trim("text"), 1, 48).alias("s")
     ).filter(F.length(F.trim("text")) >= 24)
+    # planted-id offset = 2^40 (high bit, not an additive decimal):
+    # replica scale builds offset doc_id by i * n_docs, so a fixed
+    # decimal offset would eventually collide with real ids;
+    # 2^40 is collision-free below 1.1e12 docs (ADVICE r6)
     planted = base.filter(
         (F.col("doc_id") % 10 == 0) & (F.length("s") == 48)
     ).select(
-        (F.col("doc_id") + 100000000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"),
         F.concat(
             F.substring("s", 1, 8),
             F.lit("zq"),
@@ -5587,14 +5638,24 @@ def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # boilerplate cap (df <= 50): frequent grams quadratically inflate
-    # the inverted-index join while discriminating nothing — the same
+    # boilerplate cap: frequent grams quadratically inflate the
+    # inverted-index join while discriminating nothing — the same
     # doc-frequency cap winnowing applies; without it the join is
-    # O(sum df^2) and a common trigram at sf0.1 costs minutes
+    # O(sum df^2) and a common trigram at sf0.1 costs minutes. The
+    # cap floor is CORPUS-RELATIVE (n_docs/10, min 50): the synthetic
+    # ~20-word vocabulary has no absolutely-rare grams (every df
+    # grows linearly with corpus size), so a fixed 50 stripped every
+    # shared gram at sf0.1 and the twins died before the count gate
+    # (8 rows — the r6 trajectory sf-fragility class). On real
+    # heavy-tailed text an absolute cap is the right call; n_docs is
+    # the one driver-side scalar (same bounded pattern as pagerank's
+    # |V| count).
+    n_docs = base.count()
+    df_cap = max(50, n_docs // 10)
     rare = (
         grams_all.groupBy("g")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= 50)
+        .filter(F.col("_df") <= df_cap)
         .select("g")
     )
     grams = grams_all.join(F.broadcast(rare), "g").localCheckpoint()

@@ -44,3 +44,45 @@ def test_window_entries_registered_and_oracled():
 def test_registry_order_leads_with_the_window():
     ordered = list(Q.queries())
     assert ordered[:WINDOW_BUDGET] == list(Q._DRIVER_ORDER_FIRST)
+
+
+# ---------------------------------------------------------------------
+# Fixture non-degeneracy gate (VERDICT r6 #2): the hash-compare
+# correctness gate is blind to a query that matches its oracle on the
+# EMPTY (or near-empty) set — exactly how dedup_editdistance_join and
+# geo_trajectory_similarity shipped 0-row driver rows in r4, and how
+# dedup_editdistance_join silently went 8-row-thin at sf0.1 under the
+# r6 fixed df cap. These floors make that failure mode loud at EVERY
+# shipped sf: a future fixture tweak or testdata regeneration that
+# drives any of these below its floor fails CI instead of
+# hash-matching a degenerate result. Floors are ~half the measured
+# r7 row counts (trajectory 60/3624/26238, editdistance 94/81/819,
+# redact_pii 500/500/5000) — loose enough for benign drift, tight
+# enough that "the join found nothing" can never pass.
+# ---------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+_MIN_ROWS = {
+    "geo_trajectory_similarity": {
+        "0.001": 30, "0.01": 1500, "0.1": 10000,
+    },
+    "dedup_editdistance_join": {
+        "0.001": 40, "0.01": 40, "0.1": 300,
+    },
+    "text_redact_pii": {
+        "0.001": 200, "0.01": 200, "0.1": 2000,
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(_MIN_ROWS))
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_redesigned_fixture_is_non_degenerate(spark, name, sf):
+    floor = _MIN_ROWS[name][sf]
+    n = Q.queries()[name](spark, f"/root/testdata/sf{sf}").count()
+    assert n >= floor, (
+        f"{name} returned {n} rows at sf{sf} (floor {floor}) — the "
+        "fixture has gone degenerate; the hash gate alone cannot see "
+        "this (it would happily match a thin or empty oracle)"
+    )

@@ -911,6 +911,65 @@ def test_pagerank_rejects_bad_iterations_and_empty_graph(spark):
     assert pagerank(empty, iterations=3).count() == 0
 
 
+def test_pagerank_handle_api_tracks_only_cached_frames(spark):
+    """VERDICT r6 #4 / ADVICE r6: the handle API must (a) return an
+    empty cached tuple in the default localCheckpoint mode, (b) hold
+    exactly the two cache()d frames in reuse mode and unpersist them
+    on context exit, (c) match pagerank()'s frame bit-for-bit, and
+    (d) raise — not silently ignore — when custom src/dst/weight
+    names are combined with assume_prepared=True."""
+    from pyspark.sql import functions as F2
+
+    from h3ron_spark.graph.pagerank import pagerank, pagerank_with_handles
+
+    edges = (
+        spark.range(600)
+        .select(
+            (F2.col("id") % 29).alias("src"),
+            ((F2.col("id") * 7) % 31).alias("dst"),
+            (F2.col("id") % 5 + 1).alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F2.sum("w").alias("w"))
+    )
+    # (a) default mode: localCheckpoint is GC-managed, nothing cached
+    run = pagerank_with_handles(edges, iterations=3)
+    assert run.cached == ()
+    base = {r["node"]: r["pr"] for r in run.ranks.collect()}
+
+    # (b) reuse mode: exactly the edge + node frames, both cache()d,
+    # and the context manager unpersists them
+    with pagerank_with_handles(
+        edges, iterations=3, reuse_partitioning=True
+    ) as run2:
+        assert len(run2.cached) == 2
+        got = {r["node"]: r["pr"] for r in run2.ranks.collect()}
+        assert all(c.storageLevel.useMemory for c in run2.cached)
+    assert all(not c.storageLevel.useMemory for c in run2.cached)
+
+    # (c) bit-equality with the wrapper
+    assert got == base
+    assert {
+        r["node"]: r["pr"] for r in pagerank(edges, iterations=3).collect()
+    } == base
+
+    # tuple unpacking works
+    ranks, cached = pagerank_with_handles(edges, iterations=3)
+    assert cached == () and ranks.columns == ["node", "pr"]
+
+    # (d) contradictory arguments raise instead of being discarded
+    prepared = edges.select(
+        F2.col("src").alias("_src"),
+        F2.col("dst").alias("_dst"),
+        F2.col("w").alias("_w"),
+        F2.lit(10).alias("_wt"),
+    )
+    with pytest.raises(ValueError, match="silently ignored"):
+        pagerank(prepared, src="from_cell", assume_prepared=True)
+    # default names + prepared frame still fine
+    assert pagerank(prepared, iterations=1, assume_prepared=True).count() > 0
+
+
 def test_map_match_viterbi_beats_pointwise_snap(spark, path_cells):
     """graph/mapmatch.py: (a) exact points on the path match
     themselves; (b) a noisy middle point whose NEAREST node is an
