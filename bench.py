@@ -195,14 +195,18 @@ def main() -> None:
     # the driver records only the LAST ~2000 chars of output
     spark.stop()
 
-    # full record -> BENCH_LAST.json (authoritative; BENCH_r04.json
-    # proved the 81-query dict cannot fit the driver's 2000-char tail
-    # capture: the query names alone are 1.5k chars). Subset runs
-    # (SPARK_GRAFT_BENCH_QUERIES debug/scale overrides) must not
+    # full record -> BENCH_LAST.local.json (authoritative;
+    # BENCH_r04.json proved the 81-query dict cannot fit the driver's
+    # 2000-char tail capture: the query names alone are 1.5k chars).
+    # The path is UNTRACKED by design (VERDICT r6: every capture —
+    # builder, driver, judge — clobbers the last one, so a committed
+    # copy sat permanently "modified" in git status; only the
+    # per-round BENCH_r{N}.json records belong in history). Subset
+    # runs (SPARK_GRAFT_BENCH_QUERIES debug/scale overrides) must not
     # clobber the official full-suite record.
     if not override:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
+        with open(os.path.join(here, "BENCH_LAST.local.json"), "w") as f:
             json.dump(result, f)
 
     # full line first (complete in any un-clipped log), then — as the
@@ -251,7 +255,7 @@ def build_compact(result: dict) -> dict:
         "unit": "sec",
         "sf": result["sf"],
         "n_queries": len(timings),
-        "queries_file": "BENCH_LAST.json",
+        "queries_file": "BENCH_LAST.local.json",
         "queries": {},
     }
     if "machine" in result:

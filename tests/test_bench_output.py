@@ -37,7 +37,7 @@ def test_compact_line_fits_budget_at_any_suite_size():
         parsed = json.loads(line)  # complete, parseable
         assert parsed["n_queries"] == n
         assert parsed["value"] == result["value"]
-        assert parsed["queries_file"] == "BENCH_LAST.json"
+        assert parsed["queries_file"] == "BENCH_LAST.local.json"
 
 
 def test_compact_priority_queries_lead():
