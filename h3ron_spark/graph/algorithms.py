@@ -650,6 +650,57 @@ def prepare_sssp_edges(
     return e
 
 
+def persist_sssp_edges_bucketed(
+    edges: DataFrame,
+    table_name: str,
+    tile_expr=None,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Durable cross-session layout for repeated SSSP floods over the
+    SAME graph (a road network flooded daily): the same
+    ``(_tile, _bucket, _u, _v, _w)`` frame :func:`prepare_sssp_edges`
+    builds, written ``bucketBy(n_buckets, "_bucket")`` + sorted — the
+    sssp sibling of ``pagerank.persist_edges_bucketed`` (VERDICT r6
+    #8). The bucketed scan carries its hash layout from catalog
+    metadata, so each flood round's by-bucket cogroup reads the
+    |E|-sized edge side IN PLACE (zero shuffle exchanges, plan-pinned
+    in test_plans.test_sssp_bucketed_edges_shuffle_free) — the benefit
+    ``prepare_sssp_edges``'s ``cache()`` provides per session, made
+    persistent and memory-free.
+
+    Returns the catalog-backed frame; feed it straight to
+    :func:`sssp_frontier`. The prepared-frame detection there is by
+    COLUMN SET, and the (cell -> tile) seeding map is derived from the
+    stored ``_tile`` column itself (a distinct side table, exact under
+    ANY stored tile function), so a table loaded in a later session —
+    where the Python ``tile_expr`` closure no longer exists — floods
+    correctly with tile pruning intact.
+
+    ``n_buckets`` plays ``prepare_sssp_edges``'s ``num_partitions``
+    role: ``_bucket = pmod(hash(_tile), n_buckets)`` is frozen into
+    the stored rows, so pick it for the CLUSTER the table serves, not
+    the session writing it.
+    """
+    tile_fn = tile_expr if tile_expr is not None else _default_tile
+    tile_col = tile_fn(F.col("origin"))
+    annotated = edges.select(
+        tile_col.alias("_tile"),
+        F.pmod(F.hash(tile_col), F.lit(n_buckets)).alias("_bucket"),
+        F.col("origin").alias("_u"),
+        F.col("destination").alias("_v"),
+        F.col("weight").alias("_w"),
+    )
+    (
+        annotated.write.mode(mode)
+        .bucketBy(n_buckets, "_bucket")
+        .sortBy("_bucket")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    return edges.sparkSession.table(table_name)
+
+
 def _make_tile_relax(thr, track_parents, label_cols):
     """Build the cogroup kernel for one flood: (edges_pdf, front_pdf)
     -> candidate labels of a tile-local multi-source Dijkstra."""

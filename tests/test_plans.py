@@ -736,6 +736,132 @@ def test_pagerank_bucketed_edges_shuffle_free(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS pr_bkt CASCADE")
 
 
+def test_sssp_bucketed_edges_shuffle_free(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #8: persist_sssp_edges_bucketed is the durable
+    cross-session sibling of prepare_sssp_edges' cache() layout — a
+    flood round's by-bucket cogroup must read the bucketed edge scan
+    IN PLACE: zero shuffle exchanges on the edge side of the cogroup
+    (only the frontier side may exchange). Also pins end-to-end flood
+    equality: sssp_frontier fed the catalog table (attributes gone,
+    tile mapping derived from the stored _tile column) matches the
+    inline path, down the forced beyond-broadcast cogroup route."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from h3ron_spark.graph import algorithms as A
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS sssp_bkt LOCATION '{tmp_path}/wh'"
+    )
+    try:
+
+        def tile(o):
+            return (o / 8).cast("long")
+
+        raw = torus_grid_graph(spark, 8)
+        prepared = A.persist_sssp_edges_bucketed(
+            raw, "sssp_bkt.edges", tile, n_buckets=8
+        )
+
+        # --- plan pin: one cogroup round over the bucketed table
+        front = (
+            spark.createDataFrame(
+                [(0, 0, 0.0)], "origin long, cell long, weight double"
+            )
+            .withColumn("_tile", tile(F2.col("cell")))
+            .withColumn(
+                "_bucket", F2.pmod(F2.hash(tile(F2.col("cell"))), F2.lit(8))
+            )
+        )
+        schema = StructType(
+            [
+                StructField("origin", LongType()),
+                StructField("cell", LongType()),
+                StructField("weight", DoubleType()),
+            ]
+        )
+        relax = A._make_tile_relax(None, False, ("origin", "cell", "weight"))
+        cand = (
+            prepared.filter(F2.col("_tile").isin([0, 1]))
+            .groupby("_bucket")
+            .cogroup(front.groupby("_bucket"))
+            .applyInPandas(relax, schema)
+        )
+        import os
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+        )
+        from plan_report import children as kids
+        from plan_report import unwrap
+
+        def simple(p):
+            return p.getClass().getSimpleName()
+
+        def find(p, pred, acc):
+            p = unwrap(p)
+            if pred(p):
+                acc.append(p)
+            for k in kids(p):
+                find(k, pred, acc)
+            return acc
+
+        root = cand._jdf.queryExecution().executedPlan()
+        cg = find(
+            root,
+            lambda q: simple(q) == "FlatMapCoGroupsInPandasExec",
+            [],
+        )
+        assert len(cg) == 1, [simple(p) for p in find(root, lambda q: True, [])]
+        sides = list(kids(cg[0]))
+        assert len(sides) == 2
+
+        def side_has(p, name):
+            return bool(find(p, lambda q: simple(q) == name, []))
+
+        edge_sides = [
+            s for s in sides if side_has(s, "FileSourceScanExec")
+        ]
+        assert len(edge_sides) == 1
+        assert not side_has(edge_sides[0], "ShuffleExchangeExec"), (
+            "shuffle on the bucketed edge side:\n"
+            + edge_sides[0].toString()
+        )
+        # the scan itself must be the bucketed read (layout from
+        # catalog metadata, not a runtime exchange)
+        scan = find(
+            edge_sides[0],
+            lambda q: simple(q) == "FileSourceScanExec",
+            [],
+        )[0]
+        assert "Bucketed: true" in scan.toString(), scan.toString()
+
+        # --- end-to-end flood equality through the cogroup route
+        monkeypatch.setattr(A, "_MAX_BROADCAST_FRONTIER", 0)
+        got = {
+            (r["origin"], r["cell"]): r["weight"]
+            for r in A.sssp_frontier(
+                spark.table("sssp_bkt.edges"), [0], threshold=6.0
+            ).collect()
+        }
+        want = {
+            (r["origin"], r["cell"]): r["weight"]
+            for r in A.sssp_frontier(
+                raw, [0], threshold=6.0, tile_expr=tile
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS sssp_bkt CASCADE")
+
+
 def test_redact_pii_stays_jvm_side(spark):
     """text_redact_pii: the whole redaction chain is JVM
     regexp_replace — zero Python boundaries of any kind, filters
