@@ -607,6 +607,27 @@ def _default_tile(col):
     return F.crc32(col.cast("string"))
 
 
+def _annotate_sssp_edges(edges: DataFrame, tile_fn, n_buckets: int):
+    """The ``(_tile, _bucket, _u, _v, _w)`` tile-annotated edge frame
+    — the ONE definition shared by :func:`prepare_sssp_edges` (session
+    cache layout) and :func:`persist_sssp_edges_bucketed` (durable
+    catalog layout); the two layouts stay interchangeable only while
+    both use this exact recipe (same contract as pagerank's
+    ``_annotate_out_weights``). Two-level key: ``_tile`` (fine, for
+    the per-round isin scan prune) and ``_bucket`` (coarse, tiles
+    hashed into ``n_buckets``) — the cogroup keys on ``_bucket`` so
+    the Python kernel runs once per partition-sized group, not once
+    per tile."""
+    tile_col = tile_fn(F.col("origin"))
+    return edges.select(
+        tile_col.alias("_tile"),
+        F.pmod(F.hash(tile_col), F.lit(n_buckets)).alias("_bucket"),
+        F.col("origin").alias("_u"),
+        F.col("destination").alias("_v"),
+        F.col("weight").alias("_w"),
+    )
+
+
 def prepare_sssp_edges(
     edges: DataFrame, tile_expr=None, num_partitions: int | None = None
 ) -> DataFrame:
@@ -627,19 +648,8 @@ def prepare_sssp_edges(
     every round."""
     npart = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
     tile_fn = tile_expr if tile_expr is not None else _default_tile
-    # two-level key: _tile (fine, for the per-round isin scan prune)
-    # and _bucket (coarse, tiles hashed into npart buckets) — the
-    # cogroup keys on _bucket so the Python kernel runs once per
-    # PARTITION-sized group, not once per tile
-    tile_col = tile_fn(F.col("origin"))
     e = (
-        edges.select(
-            tile_col.alias("_tile"),
-            F.pmod(F.hash(tile_col), F.lit(npart)).alias("_bucket"),
-            F.col("origin").alias("_u"),
-            F.col("destination").alias("_v"),
-            F.col("weight").alias("_w"),
-        )
+        _annotate_sssp_edges(edges, tile_fn, npart)
         .repartition(npart, "_bucket")
         .sortWithinPartitions("_bucket")
         .persist()
@@ -683,14 +693,7 @@ def persist_sssp_edges_bucketed(
     the session writing it.
     """
     tile_fn = tile_expr if tile_expr is not None else _default_tile
-    tile_col = tile_fn(F.col("origin"))
-    annotated = edges.select(
-        tile_col.alias("_tile"),
-        F.pmod(F.hash(tile_col), F.lit(n_buckets)).alias("_bucket"),
-        F.col("origin").alias("_u"),
-        F.col("destination").alias("_v"),
-        F.col("weight").alias("_w"),
-    )
+    annotated = _annotate_sssp_edges(edges, tile_fn, n_buckets)
     (
         annotated.write.mode(mode)
         .bucketBy(n_buckets, "_bucket")

@@ -267,7 +267,22 @@ def pagerank(
     One-shot callers get just the ``(node, pr)`` frame; long-lived
     sessions running pagerank repeatedly with
     ``reuse_partitioning=True`` should use the handle API so the
-    ``cache()``d intermediates can be unpersisted."""
+    ``cache()``d intermediates can be unpersisted — this wrapper
+    DROPS the handles, so its reuse mode warns that the two cache
+    registrations live until LRU eviction (they cannot be released
+    eagerly: the result plan reads them every iteration)."""
+    if reuse_partitioning:
+        import warnings
+
+        warnings.warn(
+            "pagerank(reuse_partitioning=True) drops the cache"
+            " handles — the two cache()d intermediates stay"
+            " registered until LRU eviction. In long-lived sessions"
+            " use pagerank_with_handles() and unpersist via the"
+            " returned PageRankRun.",
+            ResourceWarning,
+            stacklevel=2,
+        )
     return pagerank_with_handles(
         edges,
         src=src,

@@ -5647,15 +5647,22 @@ def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grows linearly with corpus size), so a fixed 50 stripped every
     # shared gram at sf0.1 and the twins died before the count gate
     # (8 rows — the r6 trajectory sf-fragility class). On real
-    # heavy-tailed text an absolute cap is the right call; n_docs is
-    # the one driver-side scalar (same bounded pattern as pagerank's
-    # |V| count).
-    n_docs = base.count()
-    df_cap = max(50, n_docs // 10)
+    # heavy-tailed text an absolute cap is the right call. The cap
+    # stays PLAN-SIDE (a one-row count agg broadcast-joined into the
+    # df filter, the scalar-subquery shape of the oracle's cap CTE)
+    # so the query remains a single Spark job — no eager driver-side
+    # count scan.
+    cap = base.agg(
+        F.greatest(
+            F.lit(50).cast("long"),
+            (F.count(F.lit(1)) / 10).cast("long"),
+        ).alias("_cap")
+    )
     rare = (
         grams_all.groupBy("g")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= df_cap)
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("_df") <= F.col("_cap"))
         .select("g")
     )
     grams = grams_all.join(F.broadcast(rare), "g").localCheckpoint()

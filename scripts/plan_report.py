@@ -166,7 +166,10 @@ def _pagerank_reuse_mode(spark, sf_dir):
 
     from h3ron_spark import queries_h3 as QH
     from h3ron_spark.functions import bits as B
-    from h3ron_spark.graph.pagerank import pagerank, transition_edges
+    from h3ron_spark.graph.pagerank import (
+        pagerank_with_handles,
+        transition_edges,
+    )
     from h3ron_spark.testdata import load
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
@@ -178,11 +181,16 @@ def _pagerank_reuse_mode(spark, sf_dir):
     edges = transition_edges(
         cells, node_col="cell", order_col="event_id", partition_col="user_id"
     )
-    ranks = pagerank(
+    # handle API, not the pagerank() wrapper: the caches must stay
+    # registered while the digest walks the executed plan (the
+    # InMemoryTableScan leaves ARE the evidence), so unpersist is
+    # deferred to session end — but the handles make that an explicit
+    # choice instead of the wrapper's silent drop
+    run = pagerank_with_handles(
         edges, iterations=5, scale=QH._PR_SCALE, reuse_partitioning=True
     )
     return (
-        ranks.select("node", F.col("pr").alias("pr_e12"))
+        run.ranks.select("node", F.col("pr").alias("pr_e12"))
         .orderBy(F.col("pr_e12").desc(), "node")
         .limit(20)
     )

@@ -79,8 +79,16 @@ _MIN_ROWS = {
 @pytest.mark.parametrize("name", sorted(_MIN_ROWS))
 @pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
 def test_redesigned_fixture_is_non_degenerate(spark, name, sf):
+    import os
+
+    sf_dir = f"/root/testdata/sf{sf}"
+    if not os.path.isdir(sf_dir):
+        # same convention as the sf1 fuzz module: a missing scale
+        # tier skips instead of erroring (the driver always ships all
+        # three, so in CI this gate is always live)
+        pytest.skip(f"{sf_dir} not present")
     floor = _MIN_ROWS[name][sf]
-    n = Q.queries()[name](spark, f"/root/testdata/sf{sf}").count()
+    n = Q.queries()[name](spark, sf_dir).count()
     assert n >= floor, (
         f"{name} returned {n} rows at sf{sf} (floor {floor}) — the "
         "fixture has gone degenerate; the hash gate alone cannot see "

@@ -616,20 +616,25 @@ def test_pagerank_reuse_mode_one_exchange_per_iteration(spark):
 
     from plan_report import digest
 
-    from h3ron_spark.graph.pagerank import pagerank
+    from h3ron_spark.graph.pagerank import pagerank, pagerank_with_handles
 
     edges = spark.range(4000).select(
         (F2.col("id") % 97).alias("src"),
         ((F2.col("id") * 7) % 89).alias("dst"),
         (F2.col("id") % 5 + 1).alias("w"),
     ).groupBy("src", "dst").agg(F2.sum("w").alias("w"))
-    df = pagerank(edges, iterations=5, reuse_partitioning=True)
-    d = digest(df)["nodes"]
-    assert d.get("Exchange", 0) <= 6, d
-    # the per-iteration joins must read the cached frames in place
-    assert d.get("InMemoryTableScan", 0) >= 2, d
-    # and the two modes must agree bit-for-bit
-    a = {r["node"]: r["pr"] for r in df.collect()}
+    # handle API so the session-scoped spark fixture doesn't
+    # accumulate cache registrations across tests
+    with pagerank_with_handles(
+        edges, iterations=5, reuse_partitioning=True
+    ) as run:
+        df = run.ranks
+        d = digest(df)["nodes"]
+        assert d.get("Exchange", 0) <= 6, d
+        # the per-iteration joins must read the cached frames in place
+        assert d.get("InMemoryTableScan", 0) >= 2, d
+        # and the two modes must agree bit-for-bit
+        a = {r["node"]: r["pr"] for r in df.collect()}
     b = {
         r["node"]: r["pr"]
         for r in pagerank(
