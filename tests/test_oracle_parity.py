@@ -68,10 +68,48 @@ def test_query_matches_oracle(spark, name):
     fn = Q.queries()[name]
     sdf = fn(spark, SF_DIR).toPandas()
     ddf = duck_run(Q.oracles()[name])
+    # registry-wide non-empty floor (generalizes the r7 non-degeneracy
+    # gate): a 0-row Spark result matching a 0-row oracle is the ONE
+    # shape the value-hash compare is structurally blind to — it is
+    # how two r4 driver rows went green on the empty set. No oracled
+    # query legitimately returns 0 rows at sf0.001 (audited r7), and
+    # the registry is frozen (COVERAGE.md end-state contract), so any
+    # future empty result is a fixture or testdata regression.
+    assert len(sdf) >= 1, (
+        f"{name}: empty result at sf0.001 — matching an empty oracle "
+        "proves nothing; see the non-degeneracy contract in "
+        "COVERAGE.md / test_driver_window.py"
+    )
     assert_frames_match(sdf, ddf, name)
 
 
+# rows-only smoke workloads that are legitimately EMPTY at sf0.001
+# (their fixed query polygons/radii intersect too few of the 1,000
+# events) but non-empty from the driver sf up — floored there instead.
+_SPARSE_AT_SF0001 = {"geo_polyfill_filter", "geo_within_distance"}
+
+
 def test_all_queries_run(spark):
+    """Every registered query (oracled or rows-only) executes AND
+    produces at least one row at sf0.001 — except the declared
+    tiny-sf-sparse set, which must instead be non-empty at the
+    driver's sf0.01 (checked in test_sparse_smoke_queries_nonempty)."""
     for name, fn in Q.queries().items():
         df = fn(spark, SF_DIR)
-        assert df.count() >= 0, name
+        n = df.count()
+        if name in _SPARSE_AT_SF0001:
+            continue
+        assert n >= 1, f"{name}: empty result at sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(_SPARSE_AT_SF0001))
+def test_sparse_smoke_queries_nonempty(spark, name):
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
+    assert Q.queries()[name](spark, sf_dir).count() >= 1, (
+        f"{name}: empty at the driver sf — the smoke workload no "
+        "longer exercises its operator"
+    )
