@@ -867,6 +867,31 @@ def test_sssp_bucketed_edges_shuffle_free(spark, tmp_path, monkeypatch):
         spark.sql("DROP DATABASE IF EXISTS sssp_bkt CASCADE")
 
 
+def test_trajectory_similarity_pushes_user_filter(spark):
+    """geo_trajectory_similarity (r7 sf-robust redesign): the bounded
+    user universe must reach the parquet scan as a pushed filter
+    (the 100-TB cost model depends on pruning BEFORE the window
+    ranks), the plan stays JVM-only, and the hop inverted-index join
+    never degrades to a cartesian."""
+    plan = plan_of(spark, "geo_trajectory_similarity")
+    assert "LessThan(user_id,400)" in plan, "user cap not pushed to scan"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_editdistance_join_stays_jvm_and_bounded(spark):
+    """dedup_editdistance_join (r7 plan-side cap): the visible plan
+    (after the checkpointed gram index) must stay JVM-only with no
+    cartesian join — the q-gram count gate, not an all-pairs product,
+    bounds the Levenshtein DP. The 1-row cap cross-join lives inside
+    the checkpoint build and never appears in the per-run plan."""
+    plan = plan_of(spark, "dedup_editdistance_join")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "levenshtein" in plan  # the DP is the JVM built-in
+
+
 def test_redact_pii_stays_jvm_side(spark):
     """text_redact_pii: the whole redaction chain is JVM
     regexp_replace — zero Python boundaries of any kind, filters
