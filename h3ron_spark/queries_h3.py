@@ -5604,7 +5604,22 @@ def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-relative floor (see inline comment) is what keeps the
     sf0.1 row count healthy: a fixed cap of 50 left only 8 rows
     there, because the synthetic vocabulary's gram frequencies grow
-    linearly with corpus size."""
+    linearly with corpus size.
+
+    Scale boundary, measured (r7): on THIS synthetic corpus the
+    inverted-index pair work is 13.2M rows at sf0.1 and 1.3B at a
+    full sf1 replica build — the ~20-word uniform vocabulary makes
+    every gram's df grow linearly with the corpus, so q-gram
+    selectivity intrinsically collapses with scale and no cap
+    setting is simultaneously non-degenerate and cheap (an absolute
+    ceiling of 1000 still leaves 456M pairs at sf1 while re-killing
+    the planted twins one decade later). This is a property of the
+    uniform testdata, not of the algorithm: real corpora are
+    Zipfian — rare discriminative grams exist at every corpus size —
+    so production keeps an ABSOLUTE df cap and the join stays
+    output-bound, exactly the winnowing contract. The shipped
+    surface (three sfs + the sliced sf1 fuzz, ~2.5k docs) is bounded
+    and healthy under the relative floor."""
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", F.substring(F.trim("text"), 1, 48).alias("s")
