@@ -691,6 +691,15 @@ def persist_sssp_edges_bucketed(
     role: ``_bucket = pmod(hash(_tile), n_buckets)`` is frozen into
     the stored rows, so pick it for the CLUSTER the table serves, not
     the session writing it.
+
+    Cross-session durability needs a PERSISTENT catalog (Hive
+    metastore / warehouse catalog — the norm on any real cluster):
+    bucket metadata lives in the catalog, and Spark's default
+    in-memory catalog drops it at session end (the parquet files
+    alone, re-read by path, scan un-bucketed). Verified end-to-end
+    across two separate processes with a derby-backed Hive catalog:
+    the second session's scan reports ``Bucketed: true`` and the
+    flood result is bit-identical (r7 session log).
     """
     tile_fn = tile_expr if tile_expr is not None else _default_tile
     annotated = _annotate_sssp_edges(edges, tile_fn, n_buckets)

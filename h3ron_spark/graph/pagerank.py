@@ -135,6 +135,14 @@ def persist_edges_bucketed(
 
     Returns the catalog-backed frame; feed it to
     ``pagerank(..., assume_prepared=True)``.
+
+    Cross-session durability needs a PERSISTENT catalog (Hive
+    metastore / warehouse catalog): bucket metadata lives in the
+    catalog, and Spark's default in-memory catalog drops it at
+    session end — parquet files re-read by path scan un-bucketed.
+    (Proven for the sssp sibling across two processes with a
+    derby-backed Hive catalog, r7 session log; the mechanism is
+    identical here.)
     """
     annotated = _annotate_out_weights(edges, src, dst, weight)
     (
