@@ -155,6 +155,18 @@ def main() -> None:
     best: dict[str, float] = {}
     pass_totals: list[float] = []
     for _ in range(max(1, runs)):
+        # pass-boundary GC hint (measurement hygiene, OUTSIDE any
+        # per-query timer): the r7 fixture de-thinning made one
+        # mid-suite query allocate ~13M join rows, and the resulting
+        # old-gen fragmentation carried into LATER passes' timings of
+        # unrelated early-suite queries (geo_disk_explode measured
+        # 3.4 s in-suite vs 1.7 s isolated, reproducibly). Collecting
+        # at the pass seam lets min-of-N approximate each query's
+        # steady state instead of its neighbors' garbage.
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         pass_t0 = time.perf_counter()
         for name in bench_queries:
             if name not in registry:
