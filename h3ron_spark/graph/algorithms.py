@@ -24,6 +24,21 @@ For graphs beyond broadcast size, `sssp_frontier` is the scale path:
 Pregel-style frontier relaxation where each iteration is one join +
 min-agg on the co-partitioned edges table. Same results, no driver
 materialization; O(longest-shortest-path-hops) iterations.
+
+Prepared-frame contract (deliberate asymmetry with pagerank's
+`PageRankRun` handle, declared policy since r7/r8): a frame returned
+by `prepare_sssp_edges` carries `_sssp_tile_fn` / `_sssp_npart` as
+plain Python attributes — a per-session FAST PATH only, never a
+lifecycle contract. Any frame with the `(_tile, _bucket, _u, _v,
+_w)` column set is accepted by `sssp_frontier` even when those
+attributes are gone (pickled, reloaded from the catalog via
+`persist_sssp_edges_bucketed`, rebuilt by a different process): the
+(cell -> tile/bucket) seeding map is then derived exactly from the
+STORED `_tile`/`_bucket` columns. Pagerank needed a handle because
+its attribute held un-releasable `cache()` registrations (a resource
+lifecycle); these attributes hold a pure expression + an int with a
+lossless column fallback, so a handle would add API surface without
+removing any failure mode.
 """
 
 from __future__ import annotations
@@ -607,6 +622,27 @@ def _default_tile(col):
     return F.crc32(col.cast("string"))
 
 
+# _bucket domain oversampling: the physical layout re-hashes the
+# _bucket VALUES into n_buckets partitions/files (repartition and
+# bucketBy both apply Murmur3 to the column — Spark gives no identity
+# partitioner), so with exactly n_buckets distinct values that second
+# hash is balls-in-bins at load factor 1: ~1/e of the partitions come
+# out EMPTY and others hold several bucket values (ADVICE r7 — reduced
+# scan parallelism + cogroup skew, correctness unaffected). Carrying
+# 8x more distinct _bucket values drops the empty-partition rate to
+# ~e^-8 (~0.03%) and caps the expected max/mean load near 1.5 while
+# the cogroup still sees a BOUNDED number of groups (~8 kernel
+# invocations per partition, never one per tile).
+_BUCKET_OVERSAMPLE = 8
+
+
+def _bucket_of(tile_col, n_buckets: int):
+    """The frozen _bucket formula — the one expression every producer
+    (edge annotation) and consumer (frontier tiling, plan-pin tests)
+    must share, or the cogroup silently pairs nothing."""
+    return F.pmod(F.hash(tile_col), F.lit(n_buckets * _BUCKET_OVERSAMPLE))
+
+
 def _annotate_sssp_edges(edges: DataFrame, tile_fn, n_buckets: int):
     """The ``(_tile, _bucket, _u, _v, _w)`` tile-annotated edge frame
     — the ONE definition shared by :func:`prepare_sssp_edges` (session
@@ -615,13 +651,14 @@ def _annotate_sssp_edges(edges: DataFrame, tile_fn, n_buckets: int):
     both use this exact recipe (same contract as pagerank's
     ``_annotate_out_weights``). Two-level key: ``_tile`` (fine, for
     the per-round isin scan prune) and ``_bucket`` (coarse, tiles
-    hashed into ``n_buckets``) — the cogroup keys on ``_bucket`` so
-    the Python kernel runs once per partition-sized group, not once
-    per tile."""
+    hashed into an oversampled ``n_buckets * _BUCKET_OVERSAMPLE``
+    domain — see the constant above) — the cogroup keys on
+    ``_bucket`` so the Python kernel runs a bounded number of times
+    per partition, not once per tile."""
     tile_col = tile_fn(F.col("origin"))
     return edges.select(
         tile_col.alias("_tile"),
-        F.pmod(F.hash(tile_col), F.lit(n_buckets)).alias("_bucket"),
+        _bucket_of(tile_col, n_buckets).alias("_bucket"),
         F.col("origin").alias("_u"),
         F.col("destination").alias("_v"),
         F.col("weight").alias("_w"),
@@ -688,9 +725,13 @@ def persist_sssp_edges_bucketed(
     correctly with tile pruning intact.
 
     ``n_buckets`` plays ``prepare_sssp_edges``'s ``num_partitions``
-    role: ``_bucket = pmod(hash(_tile), n_buckets)`` is frozen into
-    the stored rows, so pick it for the CLUSTER the table serves, not
-    the session writing it.
+    role: ``_bucket = pmod(hash(_tile), n_buckets *
+    _BUCKET_OVERSAMPLE)`` is frozen into the stored rows, so pick it
+    for the CLUSTER the table serves, not the session writing it. The
+    oversampled domain exists because ``bucketBy`` re-hashes the
+    _bucket VALUES into its ``n_buckets`` files; at load factor 1
+    that second hash leaves ~1/e of the files empty (ADVICE r7) —
+    at 8x it leaves ~none and the per-file row counts even out.
 
     Cross-session durability needs a PERSISTENT catalog (Hive
     metastore / warehouse catalog — the norm on any real cluster):
@@ -895,7 +936,7 @@ def sssp_frontier(
         def tiled(labels: DataFrame) -> DataFrame:
             t = tile_fn(F.col("cell"))
             return labels.withColumn("_tile", t).withColumn(
-                "_bucket", F.pmod(F.hash(t), F.lit(npart))
+                "_bucket", _bucket_of(t, npart)
             )
 
     else:

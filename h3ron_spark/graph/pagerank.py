@@ -282,13 +282,17 @@ def pagerank(
     if reuse_partitioning:
         import warnings
 
+        # UserWarning, not ResourceWarning: CPython's default filters
+        # IGNORE ResourceWarning, so the leak notice would be
+        # invisible in exactly the long-lived production sessions it
+        # exists for (ADVICE r7)
         warnings.warn(
             "pagerank(reuse_partitioning=True) drops the cache"
             " handles — the two cache()d intermediates stay"
             " registered until LRU eviction. In long-lived sessions"
             " use pagerank_with_handles() and unpersist via the"
             " returned PageRankRun.",
-            ResourceWarning,
+            UserWarning,
             stacklevel=2,
         )
     return pagerank_with_handles(

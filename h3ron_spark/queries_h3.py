@@ -5670,7 +5670,12 @@ def dedup_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = base.agg(
         F.greatest(
             F.lit(50).cast("long"),
-            (F.count(F.lit(1)) / 10).cast("long"),
+            # integer division (`div`), matching the oracle CTE's
+            # `count(*) // 10` exactly — float division + cast('long')
+            # agrees at every realistic corpus size but is not the
+            # same expression, and the oracle diff should hold by
+            # construction, not by numeric coincidence (ADVICE r7)
+            F.expr("count(1) div 10"),
         ).alias("_cap")
     )
     rare = (

@@ -85,7 +85,17 @@ def test_redesigned_fixture_is_non_degenerate(spark, name, sf):
     if not os.path.isdir(sf_dir):
         # same convention as the sf1 fuzz module: a missing scale
         # tier skips instead of erroring (the driver always ships all
-        # three, so in CI this gate is always live)
+        # three, so in CI this gate is always live) — UNLESS the
+        # environment explicitly points at this tier, in which case a
+        # missing directory is a misconfiguration and skipping would
+        # let the degeneracy guard pass vacuously (ADVICE r7)
+        env = os.environ.get("SPARK_GRAFT_SF_DIR")
+        if env and os.path.normpath(env) == os.path.normpath(sf_dir):
+            pytest.fail(
+                f"SPARK_GRAFT_SF_DIR={env} names this tier but the "
+                "directory does not exist — refusing to skip the "
+                "non-degeneracy gate on an explicitly configured tier"
+            )
         pytest.skip(f"{sf_dir} not present")
     floor = _MIN_ROWS[name][sf]
     n = Q.queries()[name](spark, sf_dir).count()

@@ -207,7 +207,7 @@ def test_sssp_cogroup_round_reuses_cached_edge_layout(spark):
         .withColumn("_tile", tile(F.col("cell")))
         .withColumn(
             "_bucket",
-            F.pmod(F.hash(tile(F.col("cell"))), F.lit(e._sssp_npart)),
+            A._bucket_of(tile(F.col("cell")), e._sssp_npart),
         )
     )
     schema = StructType(
@@ -781,7 +781,7 @@ def test_sssp_bucketed_edges_shuffle_free(spark, tmp_path, monkeypatch):
             )
             .withColumn("_tile", tile(F2.col("cell")))
             .withColumn(
-                "_bucket", F2.pmod(F2.hash(tile(F2.col("cell"))), F2.lit(8))
+                "_bucket", A._bucket_of(tile(F2.col("cell")), 8)
             )
         )
         schema = StructType(
