@@ -1094,85 +1094,87 @@ def rel_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order after these (all were hash-verified green in r2).
 # ---------------------------------------------------------------------
 _DRIVER_ORDER_FIRST = [
-    # --- round 7 window: the steady-state rotation (VERDICT r6 "Next
-    # round" #1, executing NOTES_r6's written plan). Composition, in
-    # policy order:
-    #   (a) oracled queries whose code path an r7 change touches
+    # --- round 8 window: the steady-state rotation, executing
+    # NOTES_r7's written plan ("Round-7 rotation plan for r8").
+    # Composition, in policy order:
+    #   (a) oracled queries whose code path an r8 change touches
     #       (ADVICE-r3 rule: changed code never ships without a
-    #       driver row): geo_trajectory_similarity (sf-robust
-    #       trimming — per-user rank cap + bounded user universe
-    #       replaces the absolute event_id cap that left 4 rows at
-    #       sf0.1; VERDICT r6 #3), dedup_editdistance_join
-    #       (planted-id offset moved to 2^40 per ADVICE r6, and the
-    #       gram df cap gained a corpus-relative floor after the
-    #       fixed cap proved sf-fragile: 8 rows at sf0.1),
-    #       graph_pagerank (pagerank.py handle-API refactor,
-    #       VERDICT r6 #4);
-    #   (b) no new r7 oracles — the registry is frozen at 142
-    #       oracles / 156 queries (COVERAGE.md end-state contract,
-    #       VERDICT r6 #6);
-    #   (c) the full 44-entry r4 cohort — the oldest set (age 2),
-    #       pre-proven 44/44 by NOTES_r6's forward verification;
-    #   (d) 3 filler slots from the head of the r5 cohort
-    #       (ann_blocked_exact_topk, ann_topk_cosine, dedup_exact) —
-    #       starts r8's rotation early instead of wasting budget.
-    # After this round: histogram 50 @ r7 / 45 @ r5 / 47 @ r6 — no
-    # oracle older than age 2; r8 rotates the remaining r5 cohort
-    # and the cycle is closed.
-    # (a) r7-changed code paths
-    "geo_trajectory_similarity",
+    #       driver row): dedup_editdistance_join (plan-side df cap
+    #       moved to integer division matching the oracle CTE +
+    #       the _df_cap_mode knob refactor, ADVICE r7),
+    #       graph_pagerank (reuse-mode leak notice ResourceWarning
+    #       -> UserWarning, ADVICE r7), graph_sssp_frontier (the
+    #       _bucket domain oversampling — shared _bucket_of helper,
+    #       ADVICE r7);
+    #   (b) ONE new r8 oracle — golden_gpkg_roundtrip (VERDICT r7
+    #       #7: the GPKG sink was the last unit-only non-SQL
+    #       surface; the freeze amendment is recorded in
+    #       COVERAGE.md's end-state contract, now 157 queries /
+    #       143 oracles) — new oracles always enter the window;
+    #   (c) the full 45-entry r5 cohort — the oldest set (age 2),
+    #       forward-verified 45/45 TWICE on the r7 shipped tree
+    #       (NOTES_r7 "Forward verification for r8");
+    #   (d) 1 filler slot from the head of the r6 cohort
+    #       (ann_ivf_topk — sorted order) — starts r9's rotation
+    #       early instead of wasting budget.
+    # After this round: histogram 50 @ r8 / 47 @ r7 / 46 @ r6 — no
+    # oracle older than age 2; r9 rotates the remaining r6 cohort
+    # and the cycle repeats.
+    # (a) r8-changed code paths, (b) the new r8 oracle
     "dedup_editdistance_join",
     "graph_pagerank",
-    # (c) the r4 cohort (44 entries, registry names sorted)
-    "ann_ivf_sampled_topk",
-    "ann_ivf_trained_topk",
-    "ann_ivfpq_rerank",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "dedup_embedding_clusters",
-    "dedup_minhash_clusters",
-    "dedup_source_overlap",
-    "geo_stay_detection",
-    "golden_encode_sweep",
-    "golden_polyfill_rect",
-    "golden_route_lines",
-    "golden_route_path_stats",
     "graph_sssp_frontier",
-    "graph_triangles",
-    "h3_partition_by_res",
-    "h3_purge_children",
-    "mm_avi_decode",
-    "mm_frame_features",
-    "mm_gif_decode",
-    "mm_jpeg_decode",
-    "mm_png_decode",
-    "mm_resize_plumbing",
-    "pipeline_drift_report",
-    "pipeline_incremental_rollup",
-    "pipeline_weighted_sample",
-    "rel_cohort_retention",
-    "rel_event_pivot",
-    "rel_events_gapfill",
-    "rel_events_json",
-    "rel_events_variant",
-    "rel_range_join",
-    "rel_scd2_history",
-    "rel_skew_salted_topk",
-    "rel_zorder_scan",
-    "sketch_bloom_decontaminate",
-    "sketch_hdr_quantiles",
-    "sketch_hll_distinct",
-    "sketch_hll_merged",
-    "sketch_kmv_setops",
-    "stream_hll_distinct",
-    "stream_interval_join",
-    "text_cms_heavy_hitters",
-    "text_unigram_logprob",
-    # (d) filler: head of the r5 cohort
-    "ann_blocked_exact_topk",
-    "ann_topk_cosine",
-    "dedup_exact",
+    "golden_gpkg_roundtrip",
+    # (c) the r5 cohort (45 entries, registry names sorted)
+    "dedup_groups_summary",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "dedup_simhash_groups",
+    "embedding_label_centroid_norms",
+    "golden_cell_api",
+    "golden_cells_to_edges",
+    "golden_clusters_disks",
+    "golden_directed_edges",
+    "golden_direction_digits",
+    "golden_dissolve_donut",
+    "golden_downsample",
+    "golden_edge_iterators",
+    "golden_germany_route",
+    "golden_graph_nodes",
+    "golden_isochrone_hist",
+    "golden_localij",
+    "golden_nearest_nodes",
+    "golden_neighbor_window",
+    "golden_osm_pbf_graph",
+    "golden_partition_by_resolution",
+    "golden_smoothen_donut",
+    "golden_spatial_masks",
+    "h3_bits_accessors",
+    "h3_compact_dataframe",
+    "h3_parent_rollup",
+    "h3_set_ops",
+    "h3_uncompact_join",
+    "mm_real_decode",
+    "pipeline_mixture_epoch",
+    "pipeline_pack_sequences",
+    "pipeline_quality_gate",
+    "pipeline_source_quota",
+    "pipeline_train_test_split",
+    "rel_customer_order_rank",
+    "rel_event_sessions",
+    "rel_nation_order_stats",
+    "rel_pricing_summary",
+    "rel_top_revenue_orders",
+    "text_decontaminate",
+    "text_document_stats",
+    "text_lang_id",
+    "text_quality_by_source",
+    "text_token_counts",
+    # (d) filler: head of the r6 cohort
+    "ann_ivf_topk",
 ]
+
 
 
 def _ordered_names() -> list[str]:

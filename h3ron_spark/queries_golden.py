@@ -1935,3 +1935,80 @@ def golden_route_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_line_points"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# GPKG sink round-trip (VERDICT r7 #7): sources/gpkg.py was the last
+# unit-tested-only non-SQL surface — this row gives the reference's
+# GPKG vector sink parity item (h3ron-ndarray/examples/
+# h3ify_r_tiff.rs:32-58, GDAL's GPKG driver) a driver-checked exact
+# oracle. Unlike the other golden rows this one reads a REAL testdata
+# table, so the oracle is plain SQL over `nation`, not a VALUES
+# literal: the Spark side must recover the same values THROUGH the
+# GeoPackage file (WKT -> GeoPackageBinary blob -> sqlite3 -> WKB
+# parse), so any framing/encoding defect in the sink breaks the hash.
+# ---------------------------------------------------------------------
+
+_GPKG_ROUNDTRIP_ORACLE = """
+  SELECT CAST(n_nationkey AS BIGINT)          AS nation_key,
+         n_name                               AS name,
+         CAST(2 * n_nationkey - 25 AS DOUBLE) AS x,
+         CAST(n_nationkey - 12 AS DOUBLE)     AS y
+  FROM nation
+  ORDER BY nation_key
+"""
+
+
+@register("golden_gpkg_roundtrip", oracle=_GPKG_ROUNDTRIP_ORACLE)
+def golden_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoPackage sink round-trip: project the 25-row `nation`
+    dimension to deterministic POINT geometries (x = 2*key - 25,
+    y = key - 12 — exact small integers, so the float64 round-trip is
+    bit-exact), write one GPKG layer via the stdlib-sqlite3 writer,
+    read it back, parse each feature's WKB point, and return
+    (nation_key, name, x, y) FROM THE FILE. The oracle computes the
+    same projection directly from `nation` — equality proves the
+    sink's GeoPackageBinary framing, envelope, and WKB payload are
+    lossless. Driver-side by design: a .gpkg is one SQLite file, the
+    sanctioned summarized-layer export path (module docstring);
+    25 rows is the shape this sink exists for."""
+    import shutil
+    import struct
+    import tempfile
+
+    from h3ron_spark.sources.gpkg import read_gpkg_layer, write_gpkg
+    from h3ron_spark.testdata import load
+
+    nat = load(spark, sf_dir, "nation")
+    src = nat.select(
+        F.col("n_nationkey").cast("long").alias("nation_key"),
+        F.col("n_name").alias("name"),
+        F.concat(
+            F.lit("POINT("),
+            (2 * F.col("n_nationkey") - 25).cast("double").cast("string"),
+            F.lit(" "),
+            (F.col("n_nationkey") - 12).cast("double").cast("string"),
+            F.lit(")"),
+        ).alias("wkt"),
+    )
+    workdir = tempfile.mkdtemp(prefix="h3ron_gpkg_")
+    try:
+        path = f"{workdir}/nations.gpkg"
+        write_gpkg(src, path, "nations", wkt_col="wkt",
+                   geometry_type="POINT")
+        back = read_gpkg_layer(spark, path, "nations").collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    rows = []
+    for r in back:
+        wkb = r["geom_wkb"]
+        # little-endian WKB point: byte0 = 1 (LE), uint32 type = 1,
+        # then x, y as float64
+        assert wkb[0] == 1 and struct.unpack("<I", wkb[1:5])[0] == 1
+        x, y = struct.unpack("<dd", wkb[5:21])
+        rows.append((int(r["nation_key"]), str(r["name"]), x, y))
+    return local_df(
+        spark,
+        sorted(rows),
+        "nation_key long, name string, x double, y double",
+    ).orderBy("nation_key")

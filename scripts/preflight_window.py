@@ -4,7 +4,7 @@ DuckDB oracle the way the driver does — row count, column names, and
 an order-insensitive value hash (columns sorted by name, rows sorted
 by all columns, floats rounded to 9 dp before hashing).
 
-    python scripts/preflight_window.py [sf_dir] [name ...]
+    python scripts/preflight_window.py [--parallel N] [sf_dir] [name ...]
 
 Exit code 0 only if every compared query matches.
 """
@@ -58,8 +58,22 @@ def value_hash(pdf) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    # --parallel N (VERDICT r7 #6): replay N queries concurrently in
+    # ONE shared SparkSession (Spark schedules concurrent jobs from
+    # threads fine; registry queries create no temp views / catalog
+    # tables, so they don't collide) with a DuckDB connection per
+    # task (duck_run already connects per call). Halves the ~15 min
+    # 50-entry window replay at N=2. Default stays sequential: the
+    # driver's own harness is sequential, and ordered [i/N] output is
+    # easier to diff.
+    workers = 1
+    if "--parallel" in argv:
+        i = argv.index("--parallel")
+        workers = max(1, int(argv[i + 1]))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from h3ron_spark import queries as Q
     from h3ron_spark.session import get_spark
@@ -80,28 +94,51 @@ def main() -> None:
 
     n_ok = 0
     failures: list[str] = []
-    for i, name in enumerate(names, 1):
-        try:
-            sdf = registry[name](spark, sf_dir).toPandas()
-            ddf = duck_run(sf_dir, oracles[name])
-            rows_ok = len(sdf) == len(ddf)
-            cols_ok = sorted(sdf.columns) == sorted(ddf.columns)
-            hash_ok = rows_ok and cols_ok and (
-                value_hash(sdf) == value_hash(ddf)
-            )
-            status = "OK" if hash_ok else "FAIL"
-            if hash_ok:
-                n_ok += 1
-            else:
+
+    def check(name: str) -> tuple[bool, str]:
+        sdf = registry[name](spark, sf_dir).toPandas()
+        ddf = duck_run(sf_dir, oracles[name])
+        rows_ok = len(sdf) == len(ddf)
+        cols_ok = sorted(sdf.columns) == sorted(ddf.columns)
+        hash_ok = rows_ok and cols_ok and (
+            value_hash(sdf) == value_hash(ddf)
+        )
+        status = "OK" if hash_ok else "FAIL"
+        return hash_ok, (
+            f"{status} {name} rows={len(sdf)}/{len(ddf)} cols_ok={cols_ok}"
+        )
+
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def safe(name: str) -> tuple[str, bool, str]:
+            try:
+                ok, line = check(name)
+                return name, ok, line
+            except Exception as exc:  # noqa: BLE001
+                return name, False, f"ERROR {name}: {exc}"
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for i, (name, ok, line) in enumerate(
+                pool.map(safe, names), 1
+            ):
+                if ok:
+                    n_ok += 1
+                else:
+                    failures.append(name)
+                print(f"[{i}/{len(names)}] {line}", flush=True)
+    else:
+        for i, name in enumerate(names, 1):
+            try:
+                ok, line = check(name)
+                if ok:
+                    n_ok += 1
+                else:
+                    failures.append(name)
+                print(f"[{i}/{len(names)}] {line}", flush=True)
+            except Exception as exc:  # noqa: BLE001
                 failures.append(name)
-            print(
-                f"[{i}/{len(names)}] {status} {name} "
-                f"rows={len(sdf)}/{len(ddf)} cols_ok={cols_ok}",
-                flush=True,
-            )
-        except Exception as exc:  # noqa: BLE001
-            failures.append(name)
-            print(f"[{i}/{len(names)}] ERROR {name}: {exc}", flush=True)
+                print(f"[{i}/{len(names)}] ERROR {name}: {exc}", flush=True)
     print(f"\npreflight: {n_ok}/{len(names)} exact", flush=True)
     if failures:
         print("failures:", ", ".join(failures), flush=True)
