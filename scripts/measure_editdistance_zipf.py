@@ -58,7 +58,9 @@ PAIR_WORK_SQL = """
   SELECT count(*) FILTER (df <= 50)            AS capped_grams,
          count(*)                              AS total_grams,
          sum(df * (df - 1) // 2) FILTER (df <= 50) AS pair_work,
-         sum(df * (df - 1) // 2)               AS pair_work_uncapped
+         sum(df * (df - 1) // 2)               AS pair_work_uncapped,
+         (SELECT count(*) FROM base
+          WHERE doc_id % 10 = 0 AND len(s) = 48) AS planted
   FROM dfs
 """
 
@@ -78,7 +80,11 @@ def measure(spark, path: Path, n_docs: int) -> dict:
         spark, str(path), _df_cap_mode="absolute"
     ).collect()
     wall = time.monotonic() - t0
-    planted = sum(1 for _ in range(0, n_docs, 10))
+    # planted = the twins the query ACTUALLY derives (doc_id % 10 == 0
+    # AND a full 48-char key), counted by the same SQL recipe — not
+    # the naive n_docs/10, which overstates the denominator for docs
+    # whose text is shorter than the key window
+    planted = int(stats[4])
     twins = sum(1 for r in res if r["id_b"] - r["id_a"] == (1 << 40))
     return {
         "n_docs": n_docs,

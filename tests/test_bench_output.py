@@ -101,3 +101,31 @@ def test_machine_state_fields_propagate_to_compact():
     assert len(line) <= COMPACT_BUDGET + 100
     # no-machine path unchanged (subset/scale runs, old tests)
     assert "machine" not in build_result({"q": 1.0}, "0.1")
+
+
+def test_floor_fields_propagate_to_compact():
+    """VERDICT r7 #4: full-suite records carry GC-fenced isolated
+    floors for the B1-B6 headliners so regression detection compares
+    floor-to-floor. Both the full result and the tail-captured
+    compact line must carry them and still fit the budget; subset
+    runs (no floors) must not grow an empty key."""
+    from bench import FLOOR_QUERIES
+
+    floors = {n: 1.111 for n in FLOOR_QUERIES}
+    machine = {
+        "loadavg_start": [1.0, 1.0, 1.0],
+        "loadavg_end": [2.0, 2.0, 2.0],
+        "pass_totals": [100.0, 90.0, 90.0],
+        "cold_start": False,
+    }
+    timings = {n: 1.234 for n in BENCH_QUERIES}
+    result = build_result(timings, "0.1", machine=machine, floors=floors)
+    assert result["floors"] == floors
+    compact = build_compact(result)
+    assert compact["floors"] == floors
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= COMPACT_BUDGET + 100
+    # every floor query is a B workload that exists in the suite
+    assert set(FLOOR_QUERIES) <= set(BENCH_QUERIES)
+    # subset/scale runs pass floors={} -> key absent, schema unchanged
+    assert "floors" not in build_result({"q": 1.0}, "0.1", floors={})

@@ -1040,3 +1040,42 @@ def test_map_match_viterbi_beats_pointwise_snap(spark, path_cells):
         assert got[i][0] == obs[i]
     assert got[2][0] in set(path_cells)
     assert got[2][0] != spur  # pointwise nearest would have picked this
+
+
+def test_sssp_prepared_layout_has_no_empty_partitions(spark):
+    """ADVICE r7: with _bucket = pmod(hash(_tile), npart) the
+    repartition's second hash left ~1/e of the edge partitions EMPTY
+    (balls-in-bins at load factor 1 — reduced scan parallelism and
+    cogroup skew). The 8x-oversampled _bucket domain (_BUCKET_OVERSAMPLE
+    / _bucket_of) must spread tiles across essentially every partition:
+    pin >= 90% non-empty and max/mean row skew under 3x on a graph with
+    plenty of tiles."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.graph import algorithms as A
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    def tile(o):
+        return (o / 8).cast("long")  # 32x32 torus -> 128 tiles
+
+    e = A.prepare_sssp_edges(torus_grid_graph(spark, 32), tile,
+                             num_partitions=16)
+    try:
+        per_part = (
+            e.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        counts = [r["count"] for r in per_part]
+        npart = 16
+        assert len(counts) >= int(0.9 * npart), (
+            f"only {len(counts)}/{npart} partitions hold rows — the "
+            "double-hash empty-partition regression is back"
+        )
+        mean = sum(counts) / len(counts)
+        assert max(counts) <= 3 * mean, (counts, mean)
+    finally:
+        try:
+            e.unpersist()
+        except Exception:
+            pass
