@@ -117,10 +117,16 @@ BENCH_QUERIES = [
 if os.path.exists("/root/reference/data/graph-germany_r7_f64.bincode.lz"):
     BENCH_QUERIES.append("golden_germany_route")
 
-# The B1-B6 baseline workloads: every round record carries a
-# GC-fenced isolated floor for these alongside the in-suite minimum
-# (see the floors pass in main()); BASELINE.md geomean comparisons
-# use floor vs floor.
+# The B1-B6 baseline workloads PLUS the top-10 wall-time queries
+# (VERDICT r8 #1): every round record carries a GC-fenced isolated
+# floor for these alongside the in-suite minimum (see the floors
+# pass in main()); BASELINE.md geomean comparisons use floor vs
+# floor. The r8 driver capture (loadavg 7.9 at start) inflated
+# untouched queries 1.4-5x non-uniformly — with floors only on
+# B1-B6, the other 77 queries had no noise-immune number in the
+# artifact and the round's perf adjudication fell back to builder
+# re-measures. Floors + per-floor loadavg stamps make the committed
+# BENCH_r{N}.json self-adjudicating for every headline row.
 FLOOR_QUERIES = [
     "geo_cell_rollup",      # B1
     "geo_disk_explode",     # B2
@@ -128,7 +134,19 @@ FLOOR_QUERIES = [
     "geo_polyfill_filter",  # B4
     "geo_route_line",       # B5
     "geo_raster_cells",     # B6
+    # top-10 wall-time rows of the r8 capture (VERDICT r8 #2 list)
+    "dedup_editdistance_join",
+    "mm_jpeg_decode",
+    "ann_ivfpq_rerank",
+    "stream_hll_distinct",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "graph_sssp_frontier",
+    "graph_pagerank",
+    "sketch_bloom_decontaminate",
 ]
+if "golden_germany_route" in BENCH_QUERIES:
+    FLOOR_QUERIES.append("golden_germany_route")
 
 
 def main() -> None:
@@ -204,6 +222,7 @@ def main() -> None:
     # r7 dedicated idle floor run. Skipped on subset overrides (those
     # are debug/scale runs with their own protocol).
     floors: dict[str, float] = {}
+    floor_load: dict[str, float] = {}
     if not override:
         for name in FLOOR_QUERIES:
             if name not in registry:
@@ -212,14 +231,27 @@ def main() -> None:
                 spark._jvm.System.gc()
             except Exception:
                 pass
+            # per-floor 1-min loadavg stamp (VERDICT r8 #2): a floor
+            # taken at load 8 is not comparable to one taken at load
+            # 0.4 — the stamp makes each number self-describing
+            floor_load[name] = round(os.getloadavg()[0], 1)
             fbest = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                registry[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = time.perf_counter() - t0
-                fbest = dt if fbest is None else min(fbest, dt)
+            # per-floor try/except (ADVICE r8): a transient failure
+            # in ONE floor measurement (executor loss after the long
+            # suite) must not discard the completed suite timings —
+            # record the floors that succeeded and keep going
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    registry[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                    fbest = dt if fbest is None else min(fbest, dt)
+            except Exception as exc:  # noqa: BLE001
+                print(f"floor {name} failed: {exc!r}", file=sys.stderr)
+                del floor_load[name]
+                continue
             floors[name] = round(fbest, 3)
 
     # machine-state self-documentation (VERDICT r5 "Next round" #4):
@@ -241,8 +273,15 @@ def main() -> None:
             if len(pass_totals) > 1
             else None
         ),
+        # noisy-capture self-description (VERDICT r8 #7): a capture
+        # started on a loaded box (loadavg > 2) is flagged in the
+        # artifact itself, so a future BENCH_r{N}.json taken co-tenant
+        # is adjudicated as such without a judge re-run
+        "noisy": bool(loadavg_start[0] > 2.0),
     }
-    result = build_result(timings, sf, machine=machine, floors=floors)
+    result = build_result(
+        timings, sf, machine=machine, floors=floors, floor_load=floor_load
+    )
     # stop Spark BEFORE printing: nothing (progress bars, shutdown
     # warnings) may land on the stream after the JSON lines, because
     # the driver records only the LAST ~2000 chars of output
@@ -283,6 +322,7 @@ def build_result(
     sf: str,
     machine: dict | None = None,
     floors: dict | None = None,
+    floor_load: dict | None = None,
 ) -> dict:
     result = {
         "metric": "h3ron_spark_bench_total",
@@ -295,6 +335,11 @@ def build_result(
         result["machine"] = machine
     if floors:
         result["floors"] = floors
+    if floor_load:
+        # 1-min loadavg stamped immediately before each floor's
+        # measurement — floors are only comparable floor-to-floor
+        # when both stamps are idle-range (VERDICT r8 #2)
+        result["floor_load"] = floor_load
     return result
 
 
@@ -320,6 +365,15 @@ def build_compact(result: dict) -> dict:
         compact["machine"] = result["machine"]
     if "floors" in result:
         compact["floors"] = result["floors"]
+    if "floor_load" in result:
+        compact["floor_load"] = result["floor_load"]
+    # floors/floor_load grew to 16 queries in r9 — if the fixed part
+    # alone ever exceeds the budget, shed loadavg stamps first, then
+    # floors (both live complete in BENCH_LAST.local.json; the floors
+    # are the higher-value adjudication data of the two)
+    for shed in ("floor_load", "floors"):
+        if len(json.dumps(compact, separators=(",", ":"))) > COMPACT_BUDGET:
+            compact.pop(shed, None)
     for name in ordered:
         compact["queries"][name] = timings[name]
         if len(json.dumps(compact, separators=(",", ":"))) > COMPACT_BUDGET:

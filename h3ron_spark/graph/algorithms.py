@@ -635,6 +635,14 @@ def _default_tile(col):
 # invocations per partition, never one per tile).
 _BUCKET_OVERSAMPLE = 8
 
+# bumped whenever the _bucket expression itself changes shape (v2 =
+# the oversampled domain above; v1 was pmod(hash(_tile), n_buckets)
+# with no oversampling). Stamped into every persist_sssp_edges_bucketed
+# table and verified by load_sssp_edges_bucketed (ADVICE r8): the
+# formula is frozen into stored rows, so a reader recomputing buckets
+# under a different formula would cogroup to zero pairs silently.
+_BUCKET_FORMULA_VERSION = 2
+
 
 def _bucket_of(tile_col, n_buckets: int):
     """The frozen _bucket formula — the one expression every producer
@@ -751,7 +759,54 @@ def persist_sssp_edges_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
-    return edges.sparkSession.table(table_name)
+    spark = edges.sparkSession
+    # stamp the _bucket formula into the table (ADVICE r8): the
+    # formula is frozen into the STORED rows, so a reader that
+    # recomputes buckets under a different oversample factor would
+    # cogroup old rows against fresh labels to zero pairs — SSSP
+    # "converges" instantly to origins-only output with no error.
+    # load_sssp_edges_bucketed verifies this stamp; tables written
+    # before the stamp existed (pre-oversampling v1 layout,
+    # _bucket = pmod(hash(_tile), n_buckets)) must be rewritten.
+    spark.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES ("
+        f"'h3ron.bucket_formula_version' = '{_BUCKET_FORMULA_VERSION}', "
+        f"'h3ron.bucket_oversample' = '{_BUCKET_OVERSAMPLE}', "
+        f"'h3ron.n_buckets' = '{n_buckets}')"
+    )
+    return spark.table(table_name)
+
+
+def load_sssp_edges_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Load a :func:`persist_sssp_edges_bucketed` table with its
+    layout stamp verified (ADVICE r8): raises if the table predates
+    the stamp or was written under a different ``_bucket`` formula /
+    oversample factor, instead of letting a formula mismatch cogroup
+    to zero pairs and return a silently-truncated flood. (The
+    :func:`sssp_frontier` fallback path that derives ``(_tile,
+    _bucket)`` by joining the stored columns themselves is
+    formula-agnostic — the stamp protects any consumer that
+    RECOMPUTES buckets, e.g. a future seeding path keyed off
+    ``_bucket_of``.)"""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    }
+    version = props.get("h3ron.bucket_formula_version")
+    oversample = props.get("h3ron.bucket_oversample")
+    if version != str(_BUCKET_FORMULA_VERSION) or oversample != str(
+        _BUCKET_OVERSAMPLE
+    ):
+        raise ValueError(
+            f"bucketed SSSP table {table_name!r} carries layout stamp "
+            f"(version={version}, oversample={oversample}) but this "
+            f"build expects (version={_BUCKET_FORMULA_VERSION}, "
+            f"oversample={_BUCKET_OVERSAMPLE}). The _bucket formula is "
+            "frozen into the stored rows; rewrite the table with "
+            "persist_sssp_edges_bucketed (a missing stamp means the "
+            "pre-oversampling v1 layout, which is incompatible)."
+        )
+    return spark.table(table_name)
 
 
 def _make_tile_relax(thr, track_parents, label_cols):

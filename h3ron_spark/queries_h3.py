@@ -10,6 +10,9 @@ records the weaker rows-only check for those, by design.
 
 from __future__ import annotations
 
+import itertools
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1877,14 +1880,25 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a Python-worker round per micro-batch — pin it to the actual
     # parallelism for this fresh checkpoint, then restore
     shuffle_conf = "spark.sql.shuffle.partitions"
+    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
+    # conf is SESSION-wide, so two stream queries on concurrent
+    # threads (scripts/preflight_window.py --parallel) could
+    # interleave their save/restore and pin the shuffle partitioning
+    # to the wrong value permanently (ADVICE r8); serializing the
+    # whole streaming run costs little — memory-sink streams are
+    # fixture-scale by design
+    _STREAM_CONF_LOCK.acquire()
     old_parts = spark.conf.get(shuffle_conf, None)
     # state-store instances track shuffle partitions and checkpoint
     # every micro-batch; fixture-scale key cardinality wants few (size
     # to the cluster at real cardinality like any stateful query)
-    spark.conf.set(
-        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
-    )
     try:
+        # inside the try so a py4j failure here still releases the
+        # lock and restores nothing worse than the saved value
+        spark.conf.set(
+            shuffle_conf,
+            str(min(8, spark.sparkContext.defaultParallelism)),
+        )
         half = _STREAM_N // 2
         for i, part in enumerate(
             (
@@ -1898,9 +1912,7 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{workdir}/in/*")
         )
-        global _STREAM_SEQ
-        _STREAM_SEQ += 1
-        sink = f"h3ron_transitions_{_STREAM_SEQ}"
+        sink = f"h3ron_transitions_{next(_STREAM_SEQ)}"
         q = (
             ST.cell_transitions(stream)
             .writeStream.format("memory")
@@ -1919,6 +1931,7 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if old_parts is not None:
             spark.conf.set(shuffle_conf, old_parts)
+        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.table(sink).select(
         "entity",
@@ -1928,7 +1941,14 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STREAM_SEQ = 0
+# memory-sink names must be unique per stream run; itertools.count's
+# __next__ is a single C-level step (atomic under the GIL), so
+# concurrent preflight threads can never mint the same sink name and
+# read each other's rows (ADVICE r8). The lock serializes the
+# session-wide shuffle-partitions save/set/restore around each
+# streaming run (see the per-site comment).
+_STREAM_SEQ = itertools.count(1)
+_STREAM_CONF_LOCK = threading.Lock()
 
 
 _STREAM_WIN_ORACLE = f"""
@@ -1974,14 +1994,25 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     workdir = tempfile.mkdtemp(prefix="h3ron_streamwin_")
     shuffle_conf = "spark.sql.shuffle.partitions"
+    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
+    # conf is SESSION-wide, so two stream queries on concurrent
+    # threads (scripts/preflight_window.py --parallel) could
+    # interleave their save/restore and pin the shuffle partitioning
+    # to the wrong value permanently (ADVICE r8); serializing the
+    # whole streaming run costs little — memory-sink streams are
+    # fixture-scale by design
+    _STREAM_CONF_LOCK.acquire()
     old_parts = spark.conf.get(shuffle_conf, None)
     # state-store instances track shuffle partitions and checkpoint
     # every micro-batch; fixture-scale key cardinality wants few (size
     # to the cluster at real cardinality like any stateful query)
-    spark.conf.set(
-        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
-    )
     try:
+        # inside the try so a py4j failure here still releases the
+        # lock and restores nothing worse than the saved value
+        spark.conf.set(
+            shuffle_conf,
+            str(min(8, spark.sparkContext.defaultParallelism)),
+        )
         half = n // 2
         for i, part in enumerate(
             (
@@ -1995,9 +2026,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{workdir}/in/*")
         )
-        global _STREAM_SEQ
-        _STREAM_SEQ += 1
-        sink = f"h3ron_wincounts_{_STREAM_SEQ}"
+        sink = f"h3ron_wincounts_{next(_STREAM_SEQ)}"
         q = (
             ST.windowed_cell_counts(
                 stream,
@@ -2021,6 +2050,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if old_parts is not None:
             spark.conf.set(shuffle_conf, old_parts)
+        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.table(sink).select(
         F.unix_timestamp("window_start").alias("window_start_s"),
@@ -2079,14 +2109,25 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     workdir = tempfile.mkdtemp(prefix="h3ron_streamsess_")
     shuffle_conf = "spark.sql.shuffle.partitions"
+    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
+    # conf is SESSION-wide, so two stream queries on concurrent
+    # threads (scripts/preflight_window.py --parallel) could
+    # interleave their save/restore and pin the shuffle partitioning
+    # to the wrong value permanently (ADVICE r8); serializing the
+    # whole streaming run costs little — memory-sink streams are
+    # fixture-scale by design
+    _STREAM_CONF_LOCK.acquire()
     old_parts = spark.conf.get(shuffle_conf, None)
     # state-store instances track shuffle partitions and checkpoint
     # every micro-batch; fixture-scale key cardinality wants few (size
     # to the cluster at real cardinality like any stateful query)
-    spark.conf.set(
-        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
-    )
     try:
+        # inside the try so a py4j failure here still releases the
+        # lock and restores nothing worse than the saved value
+        spark.conf.set(
+            shuffle_conf,
+            str(min(8, spark.sparkContext.defaultParallelism)),
+        )
         half = n // 2
         sentinel = spark.range(1).select(
             F.lit(-1).cast("long").alias("user_id"),
@@ -2104,9 +2145,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{workdir}/in/*")
         )
-        global _STREAM_SEQ
-        _STREAM_SEQ += 1
-        sink = f"h3ron_sessions_{_STREAM_SEQ}"
+        sink = f"h3ron_sessions_{next(_STREAM_SEQ)}"
         q = (
             ST.session_windows(
                 stream, gap="30 seconds", watermark="2 minutes"
@@ -2127,6 +2166,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if old_parts is not None:
             spark.conf.set(shuffle_conf, old_parts)
+        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
     return (
         spark.table(sink)
@@ -3200,14 +3240,25 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     workdir = tempfile.mkdtemp(prefix="h3ron_streamdedup_")
     shuffle_conf = "spark.sql.shuffle.partitions"
+    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
+    # conf is SESSION-wide, so two stream queries on concurrent
+    # threads (scripts/preflight_window.py --parallel) could
+    # interleave their save/restore and pin the shuffle partitioning
+    # to the wrong value permanently (ADVICE r8); serializing the
+    # whole streaming run costs little — memory-sink streams are
+    # fixture-scale by design
+    _STREAM_CONF_LOCK.acquire()
     old_parts = spark.conf.get(shuffle_conf, None)
     # state-store instances track shuffle partitions and checkpoint
     # every micro-batch; fixture-scale key cardinality wants few (size
     # to the cluster at real cardinality like any stateful query)
-    spark.conf.set(
-        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
-    )
     try:
+        # inside the try so a py4j failure here still releases the
+        # lock and restores nothing worse than the saved value
+        spark.conf.set(
+            shuffle_conf,
+            str(min(8, spark.sparkContext.defaultParallelism)),
+        )
         for i, part in enumerate(
             (
                 src.filter(F.col("doc_id") < 200),
@@ -3222,9 +3273,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{workdir}/in/*")
         )
-        global _STREAM_SEQ
-        _STREAM_SEQ += 1
-        sink = f"h3ron_streamdedup_{_STREAM_SEQ}"
+        sink = f"h3ron_streamdedup_{next(_STREAM_SEQ)}"
         q = (
             ST.dedup_stream(
                 stream, ["content_hash"], ts_col="ts", watermark="10 minutes"
@@ -3246,6 +3295,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if old_parts is not None:
             spark.conf.set(shuffle_conf, old_parts)
+        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.table(sink).select("content_hash").orderBy("content_hash")
 
@@ -4112,14 +4162,25 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     workdir = tempfile.mkdtemp(prefix="h3ron_stream_join_")
     shuffle_conf = "spark.sql.shuffle.partitions"
+    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
+    # conf is SESSION-wide, so two stream queries on concurrent
+    # threads (scripts/preflight_window.py --parallel) could
+    # interleave their save/restore and pin the shuffle partitioning
+    # to the wrong value permanently (ADVICE r8); serializing the
+    # whole streaming run costs little — memory-sink streams are
+    # fixture-scale by design
+    _STREAM_CONF_LOCK.acquire()
     old_parts = spark.conf.get(shuffle_conf, None)
     # state-store instances track shuffle partitions and checkpoint
     # every micro-batch; fixture-scale key cardinality wants few (size
     # to the cluster at real cardinality like any stateful query)
-    spark.conf.set(
-        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
-    )
     try:
+        # inside the try so a py4j failure here still releases the
+        # lock and restores nothing worse than the saved value
+        spark.conf.set(
+            shuffle_conf,
+            str(min(8, spark.sparkContext.defaultParallelism)),
+        )
         half = _STREAM_JOIN_N // 2
         for i, part in enumerate(
             (
@@ -4159,9 +4220,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("r_ts") >= F.col("l_ts"))
             & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 180 SECONDS")),
         )
-        global _STREAM_SEQ
-        _STREAM_SEQ += 1
-        sink = f"h3ron_interval_join_{_STREAM_SEQ}"
+        sink = f"h3ron_interval_join_{next(_STREAM_SEQ)}"
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -4179,6 +4238,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if old_parts is not None:
             spark.conf.set(shuffle_conf, old_parts)
+        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
     return (
         spark.table(sink)
@@ -4762,16 +4822,27 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     workdir = tempfile.mkdtemp(prefix="h3ron_streamhll_")
     shuffle_conf = "spark.sql.shuffle.partitions"
+    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
+    # conf is SESSION-wide, so two stream queries on concurrent
+    # threads (scripts/preflight_window.py --parallel) could
+    # interleave their save/restore and pin the shuffle partitioning
+    # to the wrong value permanently (ADVICE r8); serializing the
+    # whole streaming run costs little — memory-sink streams are
+    # fixture-scale by design
+    _STREAM_CONF_LOCK.acquire()
     old_parts = spark.conf.get(shuffle_conf, None)
     # one state-store instance per shuffle partition, checkpointed
     # every micro-batch: with a handful of keys, 8 partitions cuts the
     # per-batch state-store overhead ~4x vs defaultParallelism (the
     # keyed-state exchange still spreads keys; at real key cardinality
     # size this to the cluster like any stateful query)
-    spark.conf.set(
-        shuffle_conf, str(min(8, spark.sparkContext.defaultParallelism))
-    )
     try:
+        # inside the try so a py4j failure here still releases the
+        # lock and restores nothing worse than the saved value
+        spark.conf.set(
+            shuffle_conf,
+            str(min(8, spark.sparkContext.defaultParallelism)),
+        )
         for i in range(3):
             ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
                 f"{workdir}/in/b{i}.parquet"
@@ -4783,9 +4854,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{workdir}/in/*")
         )
-        global _STREAM_SEQ
-        _STREAM_SEQ += 1
-        sink = f"h3ron_streamhll_{_STREAM_SEQ}"
+        sink = f"h3ron_streamhll_{next(_STREAM_SEQ)}"
         q = (
             hll_stream(stream, "user_id", "event_type", p=8)
             .writeStream.format("memory")
@@ -4817,6 +4886,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if old_parts is not None:
             spark.conf.set(shuffle_conf, old_parts)
+        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
 
 

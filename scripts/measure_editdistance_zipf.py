@@ -32,7 +32,13 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# repo root (h3ron_spark imports) AND scripts/ (build_scale_testdata
+# import — only resolved implicitly before because CPython prepends
+# the script's own directory under `python scripts/...`; `python -m`
+# or an import of this module needs it explicit, ADVICE r8)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
 from build_scale_testdata import build_zipf_documents  # noqa: E402
 

@@ -61,12 +61,16 @@ def main() -> None:
     argv = list(sys.argv[1:])
     # --parallel N (VERDICT r7 #6): replay N queries concurrently in
     # ONE shared SparkSession (Spark schedules concurrent jobs from
-    # threads fine; registry queries create no temp views / catalog
-    # tables, so they don't collide) with a DuckDB connection per
-    # task (duck_run already connects per call). Halves the ~15 min
-    # 50-entry window replay at N=2. Default stays sequential: the
-    # driver's own harness is sequential, and ordered [i/N] output is
-    # easier to diff.
+    # threads fine) with a DuckDB connection per task (duck_run
+    # already connects per call). Halves the ~15 min 50-entry window
+    # replay at N=2. The stream_* queries are thread-safe here by
+    # construction (ADVICE r8): their memory-sink names come from an
+    # atomic itertools.count, and their session-wide
+    # shuffle-partitions save/set/restore runs under
+    # queries_h3._STREAM_CONF_LOCK, which serializes concurrent
+    # streaming runs instead of letting them clobber the session
+    # conf. Default stays sequential: the driver's own harness is
+    # sequential, and ordered [i/N] output is easier to diff.
     workers = 1
     if "--parallel" in argv:
         i = argv.index("--parallel")

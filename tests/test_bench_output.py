@@ -129,3 +129,56 @@ def test_floor_fields_propagate_to_compact():
     assert set(FLOOR_QUERIES) <= set(BENCH_QUERIES)
     # subset/scale runs pass floors={} -> key absent, schema unchanged
     assert "floors" not in build_result({"q": 1.0}, "0.1", floors={})
+
+
+def test_floor_queries_cover_top10_wall_time():
+    """VERDICT r8 #2: the floors pass covers B1-B6 plus the top-10
+    wall-time rows of the r8 capture, so every headline number in the
+    round record has a GC-fenced, loadavg-stamped floor."""
+    from bench import FLOOR_QUERIES
+
+    top10 = {
+        "dedup_editdistance_join", "mm_jpeg_decode", "ann_ivfpq_rerank",
+        "stream_hll_distinct", "ann_pq_adc_topk", "ann_ivfpq_topk",
+        "graph_sssp_frontier", "graph_pagerank",
+        "sketch_bloom_decontaminate",
+    }
+    assert top10 <= set(FLOOR_QUERIES)
+    # germany_route floors only when its graph file (and thus its
+    # suite row) exists — FLOOR_QUERIES must stay a suite subset
+    assert set(FLOOR_QUERIES) <= set(BENCH_QUERIES)
+
+
+def test_floor_load_propagates_and_budget_survives():
+    """VERDICT r8 #2 + ADVICE r8: per-floor loadavg stamps ride in
+    both records; with 16 floors + 16 stamps the compact line must
+    still parse within the tail budget (shedding floor_load first if
+    it ever cannot)."""
+    from bench import FLOOR_QUERIES
+
+    floors = {n: 1.111 for n in FLOOR_QUERIES}
+    fload = {n: 0.4 for n in FLOOR_QUERIES}
+    machine = {
+        "loadavg_start": [1.0, 1.0, 1.0],
+        "loadavg_end": [2.0, 2.0, 2.0],
+        "pass_totals": [100.0, 90.0, 90.0],
+        "cold_start": False,
+        "noisy": False,
+    }
+    timings = {n: 1.234 for n in BENCH_QUERIES}
+    result = build_result(
+        timings, "0.1", machine=machine, floors=floors, floor_load=fload
+    )
+    assert result["floor_load"] == fload
+    compact = build_compact(result)
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= COMPACT_BUDGET + 100
+    parsed = json.loads(line)
+    assert parsed["floors"] == floors
+    assert parsed["floor_load"] == fload
+    assert parsed["machine"]["noisy"] is False
+    # the queries dict still shows a useful number of rows
+    assert parsed["n_shown"] >= 10
+    # partial-floor path (ADVICE r8): a failed floor drops BOTH dicts'
+    # entries, never leaving a stamp without a floor
+    assert "floor_load" not in build_result({"q": 1.0}, "0.1", floor_load={})

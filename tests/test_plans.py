@@ -867,6 +867,59 @@ def test_sssp_bucketed_edges_shuffle_free(spark, tmp_path, monkeypatch):
         spark.sql("DROP DATABASE IF EXISTS sssp_bkt CASCADE")
 
 
+def test_sssp_bucketed_layout_stamp(spark, tmp_path):
+    """ADVICE r8: the _bucket formula is frozen into the stored rows
+    of a persist_sssp_edges_bucketed table, so a formula change (like
+    r8's 8x oversampling) silently cogroups old tables to zero pairs.
+    The writer stamps (formula version, oversample, n_buckets) into
+    TBLPROPERTIES and load_sssp_edges_bucketed verifies the stamp —
+    an unstamped (pre-oversampling v1) or mismatched table raises
+    instead of flooding to origins-only output."""
+    import pytest
+
+    from h3ron_spark.graph import algorithms as A
+    from h3ron_spark.graph.synthetic import torus_grid_graph
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS sssp_stamp LOCATION '{tmp_path}/wh'"
+    )
+    try:
+        raw = torus_grid_graph(spark, 4)
+        A.persist_sssp_edges_bucketed(
+            raw, "sssp_stamp.edges", n_buckets=4
+        )
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(
+                "SHOW TBLPROPERTIES sssp_stamp.edges"
+            ).collect()
+        }
+        assert props["h3ron.bucket_formula_version"] == str(
+            A._BUCKET_FORMULA_VERSION
+        )
+        assert props["h3ron.bucket_oversample"] == str(A._BUCKET_OVERSAMPLE)
+        assert props["h3ron.n_buckets"] == "4"
+        # verified load round-trips
+        df = A.load_sssp_edges_bucketed(spark, "sssp_stamp.edges")
+        assert set(df.columns) == {"_tile", "_bucket", "_u", "_v", "_w"}
+        # a v1-era table (different/missing stamp) must refuse to load
+        spark.sql(
+            "ALTER TABLE sssp_stamp.edges SET TBLPROPERTIES "
+            "('h3ron.bucket_formula_version' = '1', "
+            "'h3ron.bucket_oversample' = '1')"
+        )
+        with pytest.raises(ValueError, match="rewrite the table"):
+            A.load_sssp_edges_bucketed(spark, "sssp_stamp.edges")
+        spark.sql(
+            "ALTER TABLE sssp_stamp.edges UNSET TBLPROPERTIES "
+            "('h3ron.bucket_formula_version', 'h3ron.bucket_oversample')"
+        )
+        with pytest.raises(ValueError, match="missing stamp"):
+            A.load_sssp_edges_bucketed(spark, "sssp_stamp.edges")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS sssp_stamp CASCADE")
+
+
 def test_trajectory_similarity_pushes_user_filter(spark):
     """geo_trajectory_similarity (r7 sf-robust redesign): the bounded
     user universe must reach the parquet scan as a pushed filter
