@@ -1094,85 +1094,78 @@ def rel_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order after these (all were hash-verified green in r2).
 # ---------------------------------------------------------------------
 _DRIVER_ORDER_FIRST = [
-    # --- round 8 window: the steady-state rotation, executing
-    # NOTES_r7's written plan ("Round-7 rotation plan for r8").
-    # Composition, in policy order:
-    #   (a) oracled queries whose code path an r8 change touches
-    #       (ADVICE-r3 rule: changed code never ships without a
-    #       driver row): dedup_editdistance_join (plan-side df cap
-    #       moved to integer division matching the oracle CTE +
-    #       the _df_cap_mode knob refactor, ADVICE r7),
-    #       graph_pagerank (reuse-mode leak notice ResourceWarning
-    #       -> UserWarning, ADVICE r7), graph_sssp_frontier (the
-    #       _bucket domain oversampling — shared _bucket_of helper,
-    #       ADVICE r7);
-    #   (b) ONE new r8 oracle — golden_gpkg_roundtrip (VERDICT r7
-    #       #7: the GPKG sink was the last unit-only non-SQL
-    #       surface; the freeze amendment is recorded in
-    #       COVERAGE.md's end-state contract, now 157 queries /
-    #       143 oracles) — new oracles always enter the window;
-    #   (c) the full 45-entry r5 cohort — the oldest set (age 2),
-    #       forward-verified 45/45 TWICE on the r7 shipped tree
-    #       (NOTES_r7 "Forward verification for r8");
-    #   (d) 1 filler slot from the head of the r6 cohort
-    #       (ann_ivf_topk — sorted order) — starts r9's rotation
-    #       early instead of wasting budget.
-    # After this round: histogram 50 @ r8 / 47 @ r7 / 46 @ r6 — no
-    # oracle older than age 2; r9 rotates the remaining r6 cohort
-    # and the cycle repeats.
-    # (a) r8-changed code paths, (b) the new r8 oracle
+    # --- round 9 window: steady-state rotation, executing VERDICT
+    # r8 "Next round" #1. Composition, in policy order:
+    #   (a) oracled queries whose code path an r9 change touches
+    #       (ADVICE-r3 rule): dedup_editdistance_join (the adaptive
+    #       surviving-gram candidate gate, VERDICT r8 #4 — oracle
+    #       CTE changed in lockstep, sf0.1 re-pins 819 -> 822),
+    #       stream_hll_distinct + stream_interval_join (the
+    #       _STREAM_CONF_LOCK / atomic-sink-name thread-safety
+    #       refactor, ADVICE r8 — their four stream siblings are
+    #       already in the r6 cohort below);
+    #   (b) ONE new r9 oracle — dedup_editdistance_absolute
+    #       (VERDICT r8 #5: the production absolute-df-cap
+    #       configuration, previously exercised only by the Zipf
+    #       measurement script; sanctioned amendment, registry
+    #       158/144) — new oracles always enter the window;
+    #   (c) the full 46-entry r6 cohort — the oldest set (age 2),
+    #       due this round to hold the max-age-2 invariant.
+    # 4 + 46 = exactly 50: no filler slot this round. After this
+    # round: histogram 50 @ r9 / ~47 @ r8 / ~46 @ r7; r10 rotates
+    # the r7 cohort.
+    # (a) r9-touched code paths, (b) the new r9 oracle
     "dedup_editdistance_join",
-    "graph_pagerank",
-    "graph_sssp_frontier",
-    "golden_gpkg_roundtrip",
-    # (c) the r5 cohort (45 entries, registry names sorted)
-    "dedup_groups_summary",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_paragraphs",
-    "dedup_simhash_groups",
-    "embedding_label_centroid_norms",
-    "golden_cell_api",
-    "golden_cells_to_edges",
-    "golden_clusters_disks",
-    "golden_directed_edges",
-    "golden_direction_digits",
-    "golden_dissolve_donut",
-    "golden_downsample",
-    "golden_edge_iterators",
-    "golden_germany_route",
-    "golden_graph_nodes",
-    "golden_isochrone_hist",
-    "golden_localij",
-    "golden_nearest_nodes",
-    "golden_neighbor_window",
-    "golden_osm_pbf_graph",
-    "golden_partition_by_resolution",
-    "golden_smoothen_donut",
-    "golden_spatial_masks",
-    "h3_bits_accessors",
-    "h3_compact_dataframe",
-    "h3_parent_rollup",
-    "h3_set_ops",
-    "h3_uncompact_join",
-    "mm_real_decode",
-    "pipeline_mixture_epoch",
-    "pipeline_pack_sequences",
-    "pipeline_quality_gate",
-    "pipeline_source_quota",
-    "pipeline_train_test_split",
-    "rel_customer_order_rank",
-    "rel_event_sessions",
-    "rel_nation_order_stats",
-    "rel_pricing_summary",
-    "rel_top_revenue_orders",
-    "text_decontaminate",
-    "text_document_stats",
-    "text_lang_id",
-    "text_quality_by_source",
-    "text_token_counts",
-    # (d) filler: head of the r6 cohort
-    "ann_ivf_topk",
+    "dedup_editdistance_absolute",
+    "stream_hll_distinct",
+    "stream_interval_join",
+    # (c) the r6 cohort (46 entries, registry names sorted)
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "dedup_semantic_ivf",
+    "dedup_substring_coverage",
+    "dedup_substring_spans",
+    "dedup_winnow_overlap",
+    "geo_cell_clusters",
+    "geo_compact_events",
+    "geo_raster_cells",
+    "geo_wkt_polyfill",
+    "golden_aligned_dissolve",
+    "golden_bounding_rect",
+    "golden_covered_area",
+    "golden_differential_route",
+    "golden_disk_checksums",
+    "golden_edge_metrics",
+    "golden_raster_file",
+    "golden_res0_cells",
+    "golden_route_selfloop",
+    "h3_direction_lookup",
+    "h3_localij_roundtrip",
+    "h3_string_roundtrip",
+    "mm_fake_features",
+    "mm_frame_sample",
+    "pipeline_corpus_curation",
+    "pipeline_curated_sink",
+    "rel_event_anomalies",
+    "rel_event_funnel",
+    "rel_events_asof",
+    "rel_events_rolling_window",
+    "rel_pricing_cube",
+    "rel_supplier_part_pricing",
+    "stream_cell_transitions",
+    "stream_dedup_exact",
+    "stream_session_windows",
+    "stream_windowed_counts",
+    "text_bigram_logprob",
+    "text_chunk_documents",
+    "text_length_quantiles",
+    "text_quality_classifier",
+    "text_redact_pii",
+    "text_repetition_filter",
+    "text_source_divergence",
+    "text_tfidf_keywords",
+    "text_vocab_topk",
+    "text_winnow_fingerprint",
 ]
 
 

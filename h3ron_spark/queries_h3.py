@@ -5577,6 +5577,121 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edit_join_core(keys, cap_mode: str, cap_base):
+    """Shared q-gram edit-distance join core (Gravano-style
+    inverted-index candidates -> adaptive shared-gram gate ->
+    exact JVM levenshtein on survivors), used by BOTH registered
+    configurations: dedup_editdistance_join (corpus-relative df
+    cap, the uniform-vocabulary accommodation) and
+    dedup_editdistance_absolute (absolute df<=50 cap, the
+    production shape for heavy-tailed text — VERDICT r8 #5).
+    ``keys``: (doc_id, s) frame, twins already planted;
+    ``cap_base``: the frame whose row count feeds the relative
+    cap floor (ignored in absolute mode)."""
+    grams_all = (
+        keys.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(s) - 4, 1)),"
+                    " i -> substring(s, i, 5))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    # boilerplate cap: frequent grams quadratically inflate the
+    # inverted-index join while discriminating nothing — the same
+    # doc-frequency cap winnowing applies; without it the join is
+    # O(sum df^2) and a common trigram at sf0.1 costs minutes. The
+    # cap floor is CORPUS-RELATIVE (n_docs/10, min 50): the synthetic
+    # ~20-word vocabulary has no absolutely-rare grams (every df
+    # grows linearly with corpus size), so a fixed 50 stripped every
+    # shared gram at sf0.1 and the twins died before the count gate
+    # (8 rows — the r6 trajectory sf-fragility class). On real
+    # heavy-tailed text an absolute cap is the right call. The cap
+    # stays PLAN-SIDE (a one-row count agg broadcast-joined into the
+    # df filter, the scalar-subquery shape of the oracle's cap CTE)
+    # so the query remains a single Spark job — no eager driver-side
+    # count scan.
+    df_counts = grams_all.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    if cap_mode == "absolute":
+        # production shape (Zipfian corpora): a plain absolute cap,
+        # no corpus-relative floor — measured output-bound in
+        # BASELINE.md "editdistance on Zipfian text". Driver-oracled
+        # since r9 by dedup_editdistance_absolute (VERDICT r8 #5);
+        # the uniform synthetic vocabulary still needs the relative
+        # floor below to stay non-degenerate, hence two registered
+        # configurations
+        rare = df_counts.filter(F.col("_df") <= 50).select("g")
+    else:
+        cap = cap_base.agg(
+            F.greatest(
+                F.lit(50).cast("long"),
+                # integer division (`div`), matching the oracle CTE's
+                # `count(*) // 10` exactly — float division +
+                # cast('long') agrees at every realistic corpus size
+                # but is not the same expression, and the oracle diff
+                # should hold by construction, not by numeric
+                # coincidence (ADVICE r7)
+                F.expr("count(1) div 10"),
+            ).alias("_cap")
+        )
+        rare = (
+            df_counts.crossJoin(F.broadcast(cap))
+            .filter(F.col("_df") <= F.col("_cap"))
+            .select("g")
+        )
+    grams = grams_all.join(F.broadcast(rare), "g").localCheckpoint()
+    # per-doc surviving-gram counts: the candidate gate adapts to the
+    # smaller side's count (VERDICT r8 #4) because the df cap is what
+    # erodes shared grams as the corpus grows — the fixed literal 12
+    # measured 98.5% -> 39% twin recall across one decade of Zipf
+    # corpus growth. ceil(0.27 * n) as exact integer math, floor 3;
+    # at full survival of a 48-char key (44 grams) it equals the
+    # historical 12, so shipped-sf behavior is preserved by
+    # construction, not coincidence
+    nrare = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nr"))
+    nra = nrare.select(F.col("doc_id").alias("id_a"), F.col("nr").alias("nr_a"))
+    nrb = nrare.select(F.col("doc_id").alias("id_b"), F.col("nr").alias("nr_b"))
+    cand = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(nra, "id_a")
+        .join(nrb, "id_b")
+        .filter(
+            F.col("shared")
+            >= F.greatest(
+                F.lit(3), F.expr("(27 * least(nr_a, nr_b) + 99) div 100")
+            )
+        )
+    )
+    ka = keys.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    kb = keys.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("sa", "sb"))
+        .filter(F.col("edit_dist") <= 12)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("int").alias("shared_grams"),
+            F.col("edit_dist").cast("int"),
+        )
+        .orderBy("edit_dist", "id_a", "id_b")
+    )
+
+
+
 _EDIT_JOIN_ORACLE = r"""
   WITH base AS (
     SELECT doc_id, substr(trim(text), 1, 48) AS s FROM documents
@@ -5624,16 +5739,34 @@ _EDIT_JOIN_ORACLE = r"""
     SELECT doc_id, g FROM grams_all
     WHERE g IN (SELECT g FROM grams_all GROUP BY g
                 HAVING count(*) <= (SELECT df_cap FROM cap))
+  ), nrare AS (
+    -- per-doc count of cap-SURVIVING grams: the candidate gate
+    -- adapts to it (below), because the cap is what erodes a pair's
+    -- shared-gram count as the corpus grows — a fixed gate of 12
+    -- measured 98.5% -> 39% twin recall across one decade of Zipf
+    -- corpus growth (BASELINE.md round 8/9)
+    SELECT doc_id, count(*) AS nr FROM grams GROUP BY doc_id
   ), cand AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
     FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
     GROUP BY id_a, id_b
-    HAVING count(*) >= 12
+  ), gated AS (
+    -- adaptive gate (VERDICT r8 #4): shared >= ceil(27% of the
+    -- smaller side's surviving grams), floor 3 — integer-exact as
+    -- (27*n + 99) // 100, identical in Spark (`div`). At full
+    -- survival of a 48-char key (44 grams) this is the historical
+    -- literal 12; when the cap strips grams it relaxes
+    -- proportionally instead of silently dropping recall
+    SELECT c.id_a, c.id_b, c.shared
+    FROM cand c
+    JOIN nrare na ON na.doc_id = c.id_a
+    JOIN nrare nb ON nb.doc_id = c.id_b
+    WHERE c.shared >= greatest(3, (27 * least(na.nr, nb.nr) + 99) // 100)
   )
   SELECT c.id_a, c.id_b,
          CAST(c.shared AS INT) AS shared_grams,
          CAST(levenshtein(ka.s, kb.s) AS INT) AS edit_dist
-  FROM cand c
+  FROM gated c
   JOIN keys ka ON ka.doc_id = c.id_a
   JOIN keys kb ON kb.doc_id = c.id_b
   WHERE levenshtein(ka.s, kb.s) <= 12
@@ -5649,15 +5782,23 @@ def dedup_editdistance_join(
     (q-gram count filtering a la Gravano et al. 2001, then exact
     Levenshtein on survivors only): document key prefixes (48 chars)
     generate positional-free character 5-grams; an inverted-gram
-    index join counts shared RARE grams per pair (>= 12 under a
-    doc-frequency cap of 50 — boilerplate grams inflate the join
+    index join counts shared RARE grams per pair under a
+    doc-frequency cap — boilerplate grams inflate the join
     quadratically while discriminating nothing, winnowing's cap; the
     count filter is what makes this NOT an all-pairs O(n^2
     levenshtein) join — Gravano's exact bound is vacuous at k=12 on
     48-char keys, so the gate is an explicitly heuristic candidate
-    filter that the planted pairs pass by construction); only the
-    surviving candidates pay the exact DP distance, which runs
-    JVM-side (F.levenshtein — identical integer DP in DuckDB).
+    filter that the planted pairs pass by construction. The gate is
+    ADAPTIVE (VERDICT r8 #4): shared >= max(3, ceil(0.27 * min-side
+    surviving-gram count)), computed in exact integer math
+    ((27*n+99) div 100, identical in the oracle CTE). At full
+    survival of a 48-char key (44 grams) it equals the historical
+    literal 12; when the df cap strips grams (the Zipf measurement's
+    500k-doc regime, where the fixed gate's twin recall collapsed
+    98.5% -> 39%) it relaxes proportionally, keeping recall instead
+    of silently dropping it. Only the surviving candidates pay the
+    exact DP distance, which runs JVM-side (F.levenshtein —
+    identical integer DP in DuckDB).
     Completes the similarity-family matrix: token/shingle Jaccard,
     MinHash, SimHash, winnowing, substring spans, embedding cosine,
     and now character edit distance.
@@ -5669,8 +5810,9 @@ def dedup_editdistance_join(
     text, id offset 2^40 — a high bit, collision-free below 1.1e12
     docs even under replica scale builds): the gram join, count
     filter, and exact DP
-    all run on pairs that genuinely survive — 94 / 81 / 819 result
-    rows at sf0.001 / 0.01 / 0.1 (pinned by test_driver_window.py's
+    all run on pairs that genuinely survive — 94 / 81 / 822 result
+    rows at sf0.001 / 0.01 / 0.1 (the r9 adaptive gate recovered 3
+    sf0.1 twins the fixed gate lost; pinned by test_driver_window.py's
     non-degeneracy gate) — instead of hash-matching the empty set
     (the r5 verdict's degenerate-row finding). The df cap's
     corpus-relative floor (see inline comment) is what keeps the
@@ -5694,7 +5836,10 @@ def dedup_editdistance_join(
     for 10x docs (50k -> 500k) — sublinear/output-bound, exactly the
     winnowing contract — while the cap discards only 5.4% of
     distinct grams but 99.7% of the pair work (23.6B uncapped pairs
-    -> 71.5M). The shipped surface (three sfs + the sliced sf1 fuzz,
+    -> 71.5M). With the r9 adaptive gate, twin recall on the same
+    corpora is 100% at 50k and 98.9% at 500k docs at UNCHANGED pair
+    work (BASELINE.md "Round 9" — the fixed gate's 39% collapse is
+    gone). The shipped surface (three sfs + the sliced sf1 fuzz,
     ~2.5k docs) is bounded and healthy under the relative floor."""
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
@@ -5717,88 +5862,131 @@ def dedup_editdistance_join(
         ).alias("s"),
     )
     keys = base.unionByName(planted)
-    grams_all = (
-        keys.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(length(s) - 4, 1)),"
-                    " i -> substring(s, i, 5))"
-                )
-            ).alias("g"),
+    return _edit_join_core(keys, _df_cap_mode, base)
+
+
+def _zipf_key_expr() -> str:
+    """Deterministic heavy-tailed 40-char key from ``doc_id`` alone,
+    integer-exact in both engines: 8 five-char tokens, each drawn
+    from a ~log-uniform (Zipf-like, P(rank) ~ 1/rank) distribution by
+    dyadic-range mixing — a uint32 from the repo's md5 idiom picks a
+    range width k = h % 14 and a rank uniform in [0, 2^k), so rank r
+    lands with probability ~ 2/(14*r). No floating point anywhere
+    (a float pow's libm could differ between engines at floor
+    boundaries); md5/conv/div/shiftleft all match DuckDB's
+    md5/('0x'||hex)::BIGINT///<< bit-for-bit."""
+    toks = []
+    for j in range(8):
+        half = j // 4
+        off = 1 + 8 * (j % 4)
+        h = (
+            "cast(conv(substring(md5(concat(cast(doc_id as string),"
+            f" '#{half}')), {off}, 8), 16, 10) as bigint)"
         )
-        .distinct()
+        rank = (
+            f"(({h} div 16) % "
+            f"shiftleft(cast(1 as bigint), cast({h} % 14 as int)))"
+        )
+        toks.append(f"concat('t', lpad(cast({rank} as string), 4, '0'))")
+    return "concat(" + ", ".join(toks) + ")"
+
+
+_EDIT_ABS_ORACLE = r"""
+  WITH slots AS (
+    SELECT d.doc_id, t.j,
+           ('0x' || substr(md5(d.doc_id::VARCHAR || '#'
+                               || (t.j // 4)::VARCHAR),
+                           1 + 8 * (t.j % 4), 8))::BIGINT AS h
+    FROM documents d, range(0, 8) t(j)
+  ), base AS (
+    -- deterministic Zipf-like 40-char keys (see _zipf_key_expr):
+    -- 8 tokens, rank drawn ~1/rank by dyadic-range mixing — all
+    -- integer math, so both engines build identical keys
+    SELECT doc_id,
+           string_agg('t' || lpad(((h // 16)
+                                   % (1::BIGINT << (h % 14)))::VARCHAR,
+                                  4, '0'), '' ORDER BY j) AS s
+    FROM slots GROUP BY doc_id
+  ), keys AS (
+    SELECT doc_id, s FROM base
+    UNION ALL
+    SELECT doc_id + (1::BIGINT << 40),
+           substr(s, 1, 8) || 'zq' || substr(s, 11, 20)
+             || 'qz' || substr(s, 33, 8)
+    FROM base WHERE doc_id % 10 = 0
+  ), grams_all AS (
+    SELECT DISTINCT doc_id, substr(s, t.i, 5) AS g
+    FROM keys, range(1, 37) t(i)
+  ), grams AS (
+    -- the PRODUCTION absolute df cap (no corpus-relative floor):
+    -- on heavy-tailed text rare grams stay rare as the corpus
+    -- grows, so a fixed ceiling bounds pair work output-style
+    -- (measured in BASELINE.md "editdistance on Zipfian text")
+    SELECT doc_id, g FROM grams_all
+    WHERE g IN (SELECT g FROM grams_all GROUP BY g
+                HAVING count(*) <= 50)
+  ), nrare AS (
+    SELECT doc_id, count(*) AS nr FROM grams GROUP BY doc_id
+  ), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+  ), gated AS (
+    SELECT c.id_a, c.id_b, c.shared
+    FROM cand c
+    JOIN nrare na ON na.doc_id = c.id_a
+    JOIN nrare nb ON nb.doc_id = c.id_b
+    WHERE c.shared >= greatest(3, (27 * least(na.nr, nb.nr) + 99) // 100)
+  )
+  SELECT c.id_a, c.id_b,
+         CAST(c.shared AS INT) AS shared_grams,
+         CAST(levenshtein(ka.s, kb.s) AS INT) AS edit_dist
+  FROM gated c
+  JOIN keys ka ON ka.doc_id = c.id_a
+  JOIN keys kb ON kb.doc_id = c.id_b
+  WHERE levenshtein(ka.s, kb.s) <= 12
+  ORDER BY edit_dist, id_a, id_b
+"""
+
+
+@register("dedup_editdistance_absolute", oracle=_EDIT_ABS_ORACLE)
+def dedup_editdistance_absolute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION editdistance-join configuration — absolute
+    df<=50 cap, no corpus-relative floor — driver-oracled (VERDICT
+    r8 #5 sanctioned the one-row registry amendment to 158 queries /
+    144 oracles: the absolute cap is the documented production path
+    for heavy-tailed text, but until r9 only the measurement script
+    exercised it, so its plan shape had no driver-checked oracle).
+
+    The synthetic documents corpus has a ~20-word uniform vocabulary
+    (every gram's df grows linearly with corpus size — an absolute
+    cap degenerates there, which is why dedup_editdistance_join
+    ships the relative floor), so this query derives a deterministic
+    Zipf-LIKE key per document from doc_id alone (_zipf_key_expr: 8
+    five-char tokens, rank ~ 1/rank by dyadic-range mixing over the
+    repo's md5-uint32 idiom — integer-exact cross-engine) and runs
+    the exact same _edit_join_core as the registered join: planted
+    mutated twins for every 10th doc (edit distance 4, id offset
+    2^40), 5-gram inverted index under the absolute cap, the r9
+    adaptive shared-gram gate, exact JVM levenshtein on survivors.
+    50 / 50 / 500 planted twins at sf0.001 / 0.01 / 0.1 keep it
+    non-degenerate at every shipped sf; the 100-TB story is the
+    measured BASELINE.md Zipf ladder (pair work sublinear in corpus
+    size under this exact cap + gate)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.expr(_zipf_key_expr()).alias("s"))
+    planted = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"),
+        F.concat(
+            F.substring("s", 1, 8),
+            F.lit("zq"),
+            F.substring("s", 11, 20),
+            F.lit("qz"),
+            F.substring("s", 33, 8),
+        ).alias("s"),
     )
-    # boilerplate cap: frequent grams quadratically inflate the
-    # inverted-index join while discriminating nothing — the same
-    # doc-frequency cap winnowing applies; without it the join is
-    # O(sum df^2) and a common trigram at sf0.1 costs minutes. The
-    # cap floor is CORPUS-RELATIVE (n_docs/10, min 50): the synthetic
-    # ~20-word vocabulary has no absolutely-rare grams (every df
-    # grows linearly with corpus size), so a fixed 50 stripped every
-    # shared gram at sf0.1 and the twins died before the count gate
-    # (8 rows — the r6 trajectory sf-fragility class). On real
-    # heavy-tailed text an absolute cap is the right call. The cap
-    # stays PLAN-SIDE (a one-row count agg broadcast-joined into the
-    # df filter, the scalar-subquery shape of the oracle's cap CTE)
-    # so the query remains a single Spark job — no eager driver-side
-    # count scan.
-    df_counts = grams_all.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
-    if _df_cap_mode == "absolute":
-        # production shape (Zipfian corpora): a plain absolute cap,
-        # no corpus-relative floor — measured output-bound in
-        # BASELINE.md "Round 8: editdistance on Zipfian text";
-        # internal knob for that measurement, NOT the registered
-        # oracle path (the synthetic uniform vocabulary needs the
-        # relative floor below to stay non-degenerate)
-        rare = df_counts.filter(F.col("_df") <= 50).select("g")
-    else:
-        cap = base.agg(
-            F.greatest(
-                F.lit(50).cast("long"),
-                # integer division (`div`), matching the oracle CTE's
-                # `count(*) // 10` exactly — float division +
-                # cast('long') agrees at every realistic corpus size
-                # but is not the same expression, and the oracle diff
-                # should hold by construction, not by numeric
-                # coincidence (ADVICE r7)
-                F.expr("count(1) div 10"),
-            ).alias("_cap")
-        )
-        rare = (
-            df_counts.crossJoin(F.broadcast(cap))
-            .filter(F.col("_df") <= F.col("_cap"))
-            .select("g")
-        )
-    grams = grams_all.join(F.broadcast(rare), "g").localCheckpoint()
-    cand = (
-        grams.alias("a")
-        .join(
-            grams.alias("b"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 12)
-    )
-    ka = keys.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    kb = keys.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    return (
-        cand.join(ka, "id_a")
-        .join(kb, "id_b")
-        .withColumn("edit_dist", F.levenshtein("sa", "sb"))
-        .filter(F.col("edit_dist") <= 12)
-        .select(
-            "id_a",
-            "id_b",
-            F.col("shared").cast("int").alias("shared_grams"),
-            F.col("edit_dist").cast("int"),
-        )
-        .orderBy("edit_dist", "id_a", "id_b")
-    )
+    keys = base.unionByName(planted)
+    return _edit_join_core(keys, "absolute", base)
 
 
 _STAY_ORACLE = """
