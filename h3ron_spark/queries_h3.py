@@ -5642,7 +5642,6 @@ def _edit_join_core(keys, cap_mode: str, cap_base):
             .filter(F.col("_df") <= F.col("_cap"))
             .select("g")
         )
-    grams = grams_all.join(F.broadcast(rare), "g").localCheckpoint()
     # per-doc surviving-gram counts: the candidate gate adapts to the
     # smaller side's count (VERDICT r8 #4) because the df cap is what
     # erodes shared grams as the corpus grows — the fixed literal 12
@@ -5650,10 +5649,21 @@ def _edit_join_core(keys, cap_mode: str, cap_base):
     # corpus growth. ceil(0.27 * n) as exact integer math, floor 3;
     # at full survival of a 48-char key (44 grams) it equals the
     # historical 12, so shipped-sf behavior is preserved by
-    # construction, not coincidence
-    nrare = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nr"))
-    nra = nrare.select(F.col("doc_id").alias("id_a"), F.col("nr").alias("nr_a"))
-    nrb = nrare.select(F.col("doc_id").alias("id_b"), F.col("nr").alias("nr_b"))
+    # construction, not coincidence. The count RIDES ON the gram rows
+    # through the checkpoint (a window over doc_id, one pass inside
+    # the one-time index build) so the gate costs ZERO extra joins or
+    # exchanges in the per-run plan — gating on min(nr) folds into
+    # the pair groupBy itself. A post-agg join formulation measured
+    # +4 exchanges / +2 sort-merge joins on the same data.
+    from pyspark.sql import Window as W
+
+    grams = (
+        grams_all.join(F.broadcast(rare), "g")
+        .withColumn(
+            "nr", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+        )
+        .localCheckpoint()
+    )
     cand = (
         grams.alias("a")
         .join(
@@ -5664,9 +5674,11 @@ def _edit_join_core(keys, cap_mode: str, cap_base):
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .join(nra, "id_a")
-        .join(nrb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("a.nr").alias("nr_a"),
+            F.min("b.nr").alias("nr_b"),
+        )
         .filter(
             F.col("shared")
             >= F.greatest(

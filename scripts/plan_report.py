@@ -60,6 +60,9 @@ QUERIES = [
     # round-6 additions: the new pipeline oracles
     "text_redact_pii",
     "text_chunk_documents",
+    # round-9 addition: the production absolute-cap editdistance
+    # configuration (VERDICT r8 #5)
+    "dedup_editdistance_absolute",
 ]
 
 # physical-node class name -> digest label (Exec suffix stripped).
