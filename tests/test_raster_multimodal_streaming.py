@@ -997,3 +997,36 @@ def test_stream_rollup_ignores_uncommitted_versions(spark, tmp_path):
     )
     got = rollup_result(spark, base, ["g"], p=6).collect()
     assert got == want
+
+
+def test_stream_queries_thread_safe_under_parallel_replay(spark):
+    """ADVICE r8: scripts/preflight_window.py --parallel replays
+    registry queries from concurrent threads. Two stream_* queries
+    must not (a) interleave their session-wide shuffle-partitions
+    save/restore (the save/set/run/restore now holds
+    queries_h3._STREAM_CONF_LOCK), (b) collide on memory-sink names
+    (_STREAM_SEQ is an atomic itertools.count), or (c) leave the
+    session conf clobbered afterwards. Runs two different stateful
+    stream queries concurrently twice and checks results match their
+    sequential runs and the conf round-trips."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import h3ron_spark.queries_h3 as QH
+
+    sf = "/root/testdata/sf0.001"
+    conf_key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(conf_key)
+
+    def run(fn):
+        return sorted(map(tuple, fn(spark, sf).collect()))
+
+    want_a = run(QH.stream_windowed_counts)
+    want_b = run(QH.stream_dedup_exact)
+    for _ in range(2):
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(run, QH.stream_windowed_counts)
+            fb = pool.submit(run, QH.stream_dedup_exact)
+            got_a, got_b = fa.result(timeout=600), fb.result(timeout=600)
+        assert got_a == want_a
+        assert got_b == want_b
+        assert spark.conf.get(conf_key) == before
