@@ -149,6 +149,29 @@ if "golden_germany_route" in BENCH_QUERIES:
     FLOOR_QUERIES.append("golden_germany_route")
 
 
+def _cpu_times() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat, or None off-Linux.
+    CPU steal is the one co-tenant signal self-load cannot pollute:
+    loadavg during a local[32] capture reads 5-13 from the bench's
+    OWN executors (see BASELINE.md round 9), but steal ticks only
+    accrue when the hypervisor runs someone else on our cores."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    if before is None or after is None:
+        return None
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -183,6 +206,7 @@ def main() -> None:
     # steady-state floor
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     loadavg_start = list(os.getloadavg())
+    cpu_start = _cpu_times()
     best: dict[str, float] = {}
     pass_totals: list[float] = []
     for _ in range(max(1, runs)):
@@ -223,6 +247,7 @@ def main() -> None:
     # are debug/scale runs with their own protocol).
     floors: dict[str, float] = {}
     floor_load: dict[str, float] = {}
+    floor_steal: dict[str, float] = {}
     if not override:
         for name in FLOOR_QUERIES:
             if name not in registry:
@@ -233,8 +258,13 @@ def main() -> None:
                 pass
             # per-floor 1-min loadavg stamp (VERDICT r8 #2): a floor
             # taken at load 8 is not comparable to one taken at load
-            # 0.4 — the stamp makes each number self-describing
+            # 0.4 — the stamp makes each number self-describing.
+            # NOTE self-load: after the interleaved passes the
+            # bench's own executors keep this in a ~5-13 band even
+            # on an idle box — the steal stamp below is the
+            # unpolluted co-tenant signal
             floor_load[name] = round(os.getloadavg()[0], 1)
+            cpu0 = _cpu_times()
             fbest = None
             # per-floor try/except (ADVICE r8): a transient failure
             # in ONE floor measurement (executor loss after the long
@@ -253,6 +283,9 @@ def main() -> None:
                 del floor_load[name]
                 continue
             floors[name] = round(fbest, 3)
+            st = _steal_pct(cpu0, _cpu_times())
+            if st is not None:
+                floor_steal[name] = st
 
     # machine-state self-documentation (VERDICT r5 "Next round" #4):
     # loadavg before/after bounds co-tenant contention during the
@@ -279,8 +312,19 @@ def main() -> None:
         # is adjudicated as such without a judge re-run
         "noisy": bool(loadavg_start[0] > 2.0),
     }
+    # hypervisor steal over the WHOLE capture: >1-2% sustained means
+    # a co-tenant VM held our cores and wall times are inflated
+    # regardless of how idle loadavg looked at the start
+    steal = _steal_pct(cpu_start, _cpu_times())
+    if steal is not None:
+        machine["steal_pct"] = steal
     result = build_result(
-        timings, sf, machine=machine, floors=floors, floor_load=floor_load
+        timings,
+        sf,
+        machine=machine,
+        floors=floors,
+        floor_load=floor_load,
+        floor_steal=floor_steal,
     )
     # stop Spark BEFORE printing: nothing (progress bars, shutdown
     # warnings) may land on the stream after the JSON lines, because
@@ -323,6 +367,7 @@ def build_result(
     machine: dict | None = None,
     floors: dict | None = None,
     floor_load: dict | None = None,
+    floor_steal: dict | None = None,
 ) -> dict:
     result = {
         "metric": "h3ron_spark_bench_total",
@@ -340,6 +385,12 @@ def build_result(
         # measurement — floors are only comparable floor-to-floor
         # when both stamps are idle-range (VERDICT r8 #2)
         result["floor_load"] = floor_load
+    if floor_steal:
+        # hypervisor steal%% measured ACROSS each floor (the
+        # co-tenant signal loadavg cannot give on a box the bench
+        # itself saturates) — full record only; the compact line
+        # carries the capture-wide machine.steal_pct
+        result["floor_steal"] = floor_steal
     return result
 
 

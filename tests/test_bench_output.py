@@ -182,3 +182,45 @@ def test_floor_load_propagates_and_budget_survives():
     # partial-floor path (ADVICE r8): a failed floor drops BOTH dicts'
     # entries, never leaving a stamp without a floor
     assert "floor_load" not in build_result({"q": 1.0}, "0.1", floor_load={})
+
+
+def test_floor_steal_full_record_only():
+    """CPU-steal stamps (the co-tenant signal self-load cannot
+    pollute): per-floor steal rides in the FULL record only; the
+    compact tail line carries the capture-wide machine.steal_pct and
+    stays within budget."""
+    from bench import FLOOR_QUERIES
+
+    floors = {n: 1.111 for n in FLOOR_QUERIES}
+    fload = {n: 0.4 for n in FLOOR_QUERIES}
+    fsteal = {n: 0.12 for n in FLOOR_QUERIES}
+    machine = {
+        "loadavg_start": [1.0, 1.0, 1.0],
+        "loadavg_end": [2.0, 2.0, 2.0],
+        "pass_totals": [100.0, 90.0, 90.0],
+        "cold_start": False,
+        "noisy": False,
+        "steal_pct": 0.07,
+    }
+    timings = {n: 1.234 for n in BENCH_QUERIES}
+    result = build_result(
+        timings, "0.1", machine=machine, floors=floors,
+        floor_load=fload, floor_steal=fsteal,
+    )
+    assert result["floor_steal"] == fsteal
+    compact = build_compact(result)
+    assert "floor_steal" not in compact
+    assert compact["machine"]["steal_pct"] == 0.07
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= COMPACT_BUDGET + 100
+    assert "floor_steal" not in build_result({"q": 1.0}, "0.1", floor_steal={})
+
+
+def test_cpu_steal_helpers():
+    from bench import _cpu_times, _steal_pct
+
+    cur = _cpu_times()
+    assert cur is not None and cur[1] > 0  # Linux CI
+    assert _steal_pct(None, cur) is None
+    assert _steal_pct((100, 1000), (110, 2000)) == 1.0
+    assert _steal_pct((100, 1000), (100, 1000)) is None  # no elapsed ticks
