@@ -110,3 +110,34 @@ def test_redesigned_fixture_is_non_degenerate(spark, name, sf):
         "fixture has gone degenerate; the hash gate alone cannot see "
         "this (it would happily match a thin or empty oracle)"
     )
+
+
+def test_zipf_key_expr_pinned_cross_engine(spark):
+    """dedup_editdistance_absolute's deterministic Zipf-like keys
+    must be IDENTICAL in Spark and DuckDB — the oracle compares
+    levenshtein distances over them, so one divergent character is a
+    silent hash mismatch. Pins three exact keys (independently
+    derived in DuckDB) against the Spark expression, so a regression
+    in the integer recipe (md5 windowing, dyadic rank mixing, lpad)
+    fails loudly here rather than as an opaque oracle diff."""
+    from pyspark.sql import functions as F
+
+    from h3ron_spark.queries_h3 import _zipf_key_expr
+
+    want = {
+        0: "t8175t0031t0089t0002t0172t0007t0046t0000",
+        7: "t0082t0212t0032t0000t0050t0004t0367t0195",
+        123456789: "t0079t0096t0057t0000t0000t0008t1742t0000",
+    }
+    got = {
+        r["doc_id"]: r["s"]
+        for r in spark.createDataFrame(
+            [(k,) for k in want], "doc_id long"
+        )
+        .select("doc_id", F.expr(_zipf_key_expr()).alias("s"))
+        .collect()
+    }
+    assert got == want
+    # every key is exactly 40 chars (the gram window and the twin
+    # mutation offsets depend on it)
+    assert all(len(s) == 40 for s in got.values())
