@@ -1888,13 +1888,17 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole streaming run costs little — memory-sink streams are
     # fixture-scale by design
     _STREAM_CONF_LOCK.acquire()
-    old_parts = spark.conf.get(shuffle_conf, None)
+    # default None BEFORE any py4j call: everything throw-prone runs
+    # inside the try below, so the finally always releases the lock
+    old_parts = None
     # state-store instances track shuffle partitions and checkpoint
     # every micro-batch; fixture-scale key cardinality wants few (size
     # to the cluster at real cardinality like any stateful query)
     try:
-        # inside the try so a py4j failure here still releases the
-        # lock and restores nothing worse than the saved value
+        # get/set inside the try so a py4j failure here still
+        # releases the lock and restores nothing worse than the
+        # saved value
+        old_parts = spark.conf.get(shuffle_conf, None)
         spark.conf.set(
             shuffle_conf,
             str(min(8, spark.sparkContext.defaultParallelism)),
@@ -2002,13 +2006,17 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole streaming run costs little — memory-sink streams are
     # fixture-scale by design
     _STREAM_CONF_LOCK.acquire()
-    old_parts = spark.conf.get(shuffle_conf, None)
+    # default None BEFORE any py4j call: everything throw-prone runs
+    # inside the try below, so the finally always releases the lock
+    old_parts = None
     # state-store instances track shuffle partitions and checkpoint
     # every micro-batch; fixture-scale key cardinality wants few (size
     # to the cluster at real cardinality like any stateful query)
     try:
-        # inside the try so a py4j failure here still releases the
-        # lock and restores nothing worse than the saved value
+        # get/set inside the try so a py4j failure here still
+        # releases the lock and restores nothing worse than the
+        # saved value
+        old_parts = spark.conf.get(shuffle_conf, None)
         spark.conf.set(
             shuffle_conf,
             str(min(8, spark.sparkContext.defaultParallelism)),
@@ -2117,13 +2125,17 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole streaming run costs little — memory-sink streams are
     # fixture-scale by design
     _STREAM_CONF_LOCK.acquire()
-    old_parts = spark.conf.get(shuffle_conf, None)
+    # default None BEFORE any py4j call: everything throw-prone runs
+    # inside the try below, so the finally always releases the lock
+    old_parts = None
     # state-store instances track shuffle partitions and checkpoint
     # every micro-batch; fixture-scale key cardinality wants few (size
     # to the cluster at real cardinality like any stateful query)
     try:
-        # inside the try so a py4j failure here still releases the
-        # lock and restores nothing worse than the saved value
+        # get/set inside the try so a py4j failure here still
+        # releases the lock and restores nothing worse than the
+        # saved value
+        old_parts = spark.conf.get(shuffle_conf, None)
         spark.conf.set(
             shuffle_conf,
             str(min(8, spark.sparkContext.defaultParallelism)),
@@ -3248,13 +3260,17 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole streaming run costs little — memory-sink streams are
     # fixture-scale by design
     _STREAM_CONF_LOCK.acquire()
-    old_parts = spark.conf.get(shuffle_conf, None)
+    # default None BEFORE any py4j call: everything throw-prone runs
+    # inside the try below, so the finally always releases the lock
+    old_parts = None
     # state-store instances track shuffle partitions and checkpoint
     # every micro-batch; fixture-scale key cardinality wants few (size
     # to the cluster at real cardinality like any stateful query)
     try:
-        # inside the try so a py4j failure here still releases the
-        # lock and restores nothing worse than the saved value
+        # get/set inside the try so a py4j failure here still
+        # releases the lock and restores nothing worse than the
+        # saved value
+        old_parts = spark.conf.get(shuffle_conf, None)
         spark.conf.set(
             shuffle_conf,
             str(min(8, spark.sparkContext.defaultParallelism)),
@@ -4170,13 +4186,17 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole streaming run costs little — memory-sink streams are
     # fixture-scale by design
     _STREAM_CONF_LOCK.acquire()
-    old_parts = spark.conf.get(shuffle_conf, None)
+    # default None BEFORE any py4j call: everything throw-prone runs
+    # inside the try below, so the finally always releases the lock
+    old_parts = None
     # state-store instances track shuffle partitions and checkpoint
     # every micro-batch; fixture-scale key cardinality wants few (size
     # to the cluster at real cardinality like any stateful query)
     try:
-        # inside the try so a py4j failure here still releases the
-        # lock and restores nothing worse than the saved value
+        # get/set inside the try so a py4j failure here still
+        # releases the lock and restores nothing worse than the
+        # saved value
+        old_parts = spark.conf.get(shuffle_conf, None)
         spark.conf.set(
             shuffle_conf,
             str(min(8, spark.sparkContext.defaultParallelism)),
@@ -4830,15 +4850,19 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole streaming run costs little — memory-sink streams are
     # fixture-scale by design
     _STREAM_CONF_LOCK.acquire()
-    old_parts = spark.conf.get(shuffle_conf, None)
+    # default None BEFORE any py4j call: everything throw-prone runs
+    # inside the try below, so the finally always releases the lock
+    old_parts = None
     # one state-store instance per shuffle partition, checkpointed
     # every micro-batch: with a handful of keys, 8 partitions cuts the
     # per-batch state-store overhead ~4x vs defaultParallelism (the
     # keyed-state exchange still spreads keys; at real key cardinality
     # size this to the cluster like any stateful query)
     try:
-        # inside the try so a py4j failure here still releases the
-        # lock and restores nothing worse than the saved value
+        # get/set inside the try so a py4j failure here still
+        # releases the lock and restores nothing worse than the
+        # saved value
+        old_parts = spark.conf.get(shuffle_conf, None)
         spark.conf.set(
             shuffle_conf,
             str(min(8, spark.sparkContext.defaultParallelism)),
