@@ -160,7 +160,11 @@ def _cpu_times() -> tuple[int, int] | None:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        # denominator: user..steal only (first 8 fields) — guest and
+        # guest_nice are already folded into user/nice by the kernel,
+        # so summing them again would double-count guest time and
+        # understate steal_pct on hosts running VMs (ADVICE r9)
+        return steal, sum(vals[:8])
     except Exception:
         return None
 

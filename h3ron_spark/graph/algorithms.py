@@ -777,7 +777,11 @@ def persist_sssp_edges_bucketed(
     return spark.table(table_name)
 
 
-def load_sssp_edges_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+def load_sssp_edges_bucketed(
+    spark: SparkSession,
+    table_name: str,
+    expected_n_buckets: int | None = None,
+) -> DataFrame:
     """Load a :func:`persist_sssp_edges_bucketed` table with its
     layout stamp verified (ADVICE r8): raises if the table predates
     the stamp or was written under a different ``_bucket`` formula /
@@ -787,13 +791,22 @@ def load_sssp_edges_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     _bucket)`` by joining the stored columns themselves is
     formula-agnostic — the stamp protects any consumer that
     RECOMPUTES buckets, e.g. a future seeding path keyed off
-    ``_bucket_of``.)"""
+    ``_bucket_of``.)
+
+    ``expected_n_buckets`` (ADVICE r9): a consumer that will recompute
+    buckets via ``_bucket_of(..., n_buckets)`` passes the value it
+    intends to use; a mismatch with the stored ``h3ron.n_buckets``
+    stamp raises instead of cogrouping old rows against fresh labels
+    to zero pairs. The loaded DataFrame also carries the stored value
+    as the ``h3ron_n_buckets`` attribute so callers can adopt it.
+    """
     props = {
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
     }
     version = props.get("h3ron.bucket_formula_version")
     oversample = props.get("h3ron.bucket_oversample")
+    n_buckets = props.get("h3ron.n_buckets")
     if version != str(_BUCKET_FORMULA_VERSION) or oversample != str(
         _BUCKET_OVERSAMPLE
     ):
@@ -806,7 +819,18 @@ def load_sssp_edges_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
             "persist_sssp_edges_bucketed (a missing stamp means the "
             "pre-oversampling v1 layout, which is incompatible)."
         )
-    return spark.table(table_name)
+    if expected_n_buckets is not None and n_buckets != str(expected_n_buckets):
+        raise ValueError(
+            f"bucketed SSSP table {table_name!r} was written with "
+            f"n_buckets={n_buckets} but the consumer expects "
+            f"{expected_n_buckets}; recomputing buckets under a "
+            "different modulus cogroups to zero pairs. Rewrite the "
+            "table or adopt the stored value (h3ron_n_buckets on the "
+            "returned DataFrame)."
+        )
+    df = spark.table(table_name)
+    df.h3ron_n_buckets = int(n_buckets) if n_buckets is not None else None
+    return df
 
 
 def _make_tile_relax(thr, track_parents, label_cols):

@@ -11,7 +11,6 @@ records the weaker rows-only check for those, by design.
 from __future__ import annotations
 
 import itertools
-import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1878,31 +1877,19 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spark.sql.shuffle.partitions at the checkpoint's first batch; a
     # default of 200 means 200 mostly-empty stateful tasks each paying
     # a Python-worker round per micro-batch — pin it to the actual
-    # parallelism for this fresh checkpoint, then restore
-    shuffle_conf = "spark.sql.shuffle.partitions"
-    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
-    # conf is SESSION-wide, so two stream queries on concurrent
-    # threads (scripts/preflight_window.py --parallel) could
-    # interleave their save/restore and pin the shuffle partitioning
-    # to the wrong value permanently (ADVICE r8); serializing the
-    # whole streaming run costs little — memory-sink streams are
-    # fixture-scale by design
-    _STREAM_CONF_LOCK.acquire()
-    # default None BEFORE any py4j call: everything throw-prone runs
-    # inside the try below, so the finally always releases the lock
-    old_parts = None
-    # state-store instances track shuffle partitions and checkpoint
-    # every micro-batch; fixture-scale key cardinality wants few (size
-    # to the cluster at real cardinality like any stateful query)
+    # parallelism for this fresh checkpoint. The override lives on a
+    # CLONED session (spark.newSession(): shared SparkContext,
+    # PRIVATE SQLConf), so no other query on the caller's session can
+    # ever observe it — concurrent replay threads
+    # (scripts/preflight_window.py --parallel) see neither the pinned
+    # value nor a save/restore window (ADVICE r9; replaces the r8
+    # _STREAM_CONF_LOCK serialization, which protected stream-vs-
+    # stream runs but still exposed the override to concurrent
+    # NON-stream queries). Fixture-scale key cardinality wants few
+    # partitions; size to the cluster at real cardinality like any
+    # stateful query.
+    ss = _stream_session(spark)
     try:
-        # get/set inside the try so a py4j failure here still
-        # releases the lock and restores nothing worse than the
-        # saved value
-        old_parts = spark.conf.get(shuffle_conf, None)
-        spark.conf.set(
-            shuffle_conf,
-            str(min(8, spark.sparkContext.defaultParallelism)),
-        )
         half = _STREAM_N // 2
         for i, part in enumerate(
             (
@@ -1912,7 +1899,7 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             part.coalesce(1).write.parquet(f"{workdir}/in/b{i}.parquet")
         stream = (
-            spark.readStream.schema("entity long, cell long, ts timestamp")
+            ss.readStream.schema("entity long, cell long, ts timestamp")
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{workdir}/in/*")
         )
@@ -1933,11 +1920,8 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "would be silently partial"
             )
     finally:
-        if old_parts is not None:
-            spark.conf.set(shuffle_conf, old_parts)
-        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
-    return spark.table(sink).select(
+    return ss.table(sink).select(
         "entity",
         "from_cell",
         "to_cell",
@@ -1948,11 +1932,38 @@ def stream_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # memory-sink names must be unique per stream run; itertools.count's
 # __next__ is a single C-level step (atomic under the GIL), so
 # concurrent preflight threads can never mint the same sink name and
-# read each other's rows (ADVICE r8). The lock serializes the
-# session-wide shuffle-partitions save/set/restore around each
-# streaming run (see the per-site comment).
+# read each other's rows (ADVICE r8).
 _STREAM_SEQ = itertools.count(1)
-_STREAM_CONF_LOCK = threading.Lock()
+
+
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Clone the session for one streaming run (ADVICE r9).
+
+    ``spark.newSession()`` shares the SparkContext (same executors,
+    same cached RDDs) but owns a PRIVATE SQLConf, so pinning
+    ``spark.sql.shuffle.partitions`` here is invisible to every other
+    query on the caller's session — including concurrent replay
+    threads (scripts/preflight_window.py --parallel). This replaces
+    the r8 ``_STREAM_CONF_LOCK`` save/set/restore, which serialized
+    stream-vs-stream runs but still let a concurrent NON-stream query
+    observe the override mid-run, and could deadlock if an async
+    exception landed between acquire() and its try block. No restore
+    step exists anymore — the clone is discarded after the run.
+
+    The state-store partition count is frozen from the conf at the
+    checkpoint's first batch; a default of 200 means 200 mostly-empty
+    stateful tasks each paying a state-store checkpoint (and for
+    Python-kernel streams a Python-worker round) per micro-batch.
+    Fixture-scale streams pin it to min(8, defaultParallelism); at
+    real key cardinality size it to the cluster like any stateful
+    query.
+    """
+    ss = spark.newSession()
+    ss.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(8, spark.sparkContext.defaultParallelism)),
+    )
+    return ss
 
 
 _STREAM_WIN_ORACLE = f"""
@@ -1997,30 +2008,10 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("timestamp").alias("ts"),
     )
     workdir = tempfile.mkdtemp(prefix="h3ron_streamwin_")
-    shuffle_conf = "spark.sql.shuffle.partitions"
-    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
-    # conf is SESSION-wide, so two stream queries on concurrent
-    # threads (scripts/preflight_window.py --parallel) could
-    # interleave their save/restore and pin the shuffle partitioning
-    # to the wrong value permanently (ADVICE r8); serializing the
-    # whole streaming run costs little — memory-sink streams are
-    # fixture-scale by design
-    _STREAM_CONF_LOCK.acquire()
-    # default None BEFORE any py4j call: everything throw-prone runs
-    # inside the try below, so the finally always releases the lock
-    old_parts = None
-    # state-store instances track shuffle partitions and checkpoint
-    # every micro-batch; fixture-scale key cardinality wants few (size
-    # to the cluster at real cardinality like any stateful query)
+    # cloned session carries the shuffle-partitions pin privately
+    # (ADVICE r9) — see _stream_session
+    ss = _stream_session(spark)
     try:
-        # get/set inside the try so a py4j failure here still
-        # releases the lock and restores nothing worse than the
-        # saved value
-        old_parts = spark.conf.get(shuffle_conf, None)
-        spark.conf.set(
-            shuffle_conf,
-            str(min(8, spark.sparkContext.defaultParallelism)),
-        )
         half = n // 2
         for i, part in enumerate(
             (
@@ -2030,7 +2021,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             part.coalesce(1).write.parquet(f"{workdir}/in/b{i}.parquet")
         stream = (
-            spark.readStream.schema("cell long, ts timestamp")
+            ss.readStream.schema("cell long, ts timestamp")
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{workdir}/in/*")
         )
@@ -2056,11 +2047,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "would be silently partial"
             )
     finally:
-        if old_parts is not None:
-            spark.conf.set(shuffle_conf, old_parts)
-        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
-    return spark.table(sink).select(
+    return ss.table(sink).select(
         F.unix_timestamp("window_start").alias("window_start_s"),
         "cell",
         "n_events",
@@ -2116,30 +2104,10 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_id").cast("timestamp").alias("ts")
     )
     workdir = tempfile.mkdtemp(prefix="h3ron_streamsess_")
-    shuffle_conf = "spark.sql.shuffle.partitions"
-    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
-    # conf is SESSION-wide, so two stream queries on concurrent
-    # threads (scripts/preflight_window.py --parallel) could
-    # interleave their save/restore and pin the shuffle partitioning
-    # to the wrong value permanently (ADVICE r8); serializing the
-    # whole streaming run costs little — memory-sink streams are
-    # fixture-scale by design
-    _STREAM_CONF_LOCK.acquire()
-    # default None BEFORE any py4j call: everything throw-prone runs
-    # inside the try below, so the finally always releases the lock
-    old_parts = None
-    # state-store instances track shuffle partitions and checkpoint
-    # every micro-batch; fixture-scale key cardinality wants few (size
-    # to the cluster at real cardinality like any stateful query)
+    # cloned session carries the shuffle-partitions pin privately
+    # (ADVICE r9) — see _stream_session
+    ss = _stream_session(spark)
     try:
-        # get/set inside the try so a py4j failure here still
-        # releases the lock and restores nothing worse than the
-        # saved value
-        old_parts = spark.conf.get(shuffle_conf, None)
-        spark.conf.set(
-            shuffle_conf,
-            str(min(8, spark.sparkContext.defaultParallelism)),
-        )
         half = n // 2
         sentinel = spark.range(1).select(
             F.lit(-1).cast("long").alias("user_id"),
@@ -2153,7 +2121,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, part in enumerate(parts):
             part.coalesce(1).write.parquet(f"{workdir}/in/b{i}.parquet")
         stream = (
-            spark.readStream.schema("user_id long, ts timestamp")
+            ss.readStream.schema("user_id long, ts timestamp")
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{workdir}/in/*")
         )
@@ -2176,12 +2144,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "would be silently partial"
             )
     finally:
-        if old_parts is not None:
-            spark.conf.set(shuffle_conf, old_parts)
-        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
     return (
-        spark.table(sink)
+        ss.table(sink)
         .filter(F.col("user_id") >= 0)
         .select(
             "user_id",
@@ -3251,30 +3216,10 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     workdir = tempfile.mkdtemp(prefix="h3ron_streamdedup_")
-    shuffle_conf = "spark.sql.shuffle.partitions"
-    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
-    # conf is SESSION-wide, so two stream queries on concurrent
-    # threads (scripts/preflight_window.py --parallel) could
-    # interleave their save/restore and pin the shuffle partitioning
-    # to the wrong value permanently (ADVICE r8); serializing the
-    # whole streaming run costs little — memory-sink streams are
-    # fixture-scale by design
-    _STREAM_CONF_LOCK.acquire()
-    # default None BEFORE any py4j call: everything throw-prone runs
-    # inside the try below, so the finally always releases the lock
-    old_parts = None
-    # state-store instances track shuffle partitions and checkpoint
-    # every micro-batch; fixture-scale key cardinality wants few (size
-    # to the cluster at real cardinality like any stateful query)
+    # cloned session carries the shuffle-partitions pin privately
+    # (ADVICE r9) — see _stream_session
+    ss = _stream_session(spark)
     try:
-        # get/set inside the try so a py4j failure here still
-        # releases the lock and restores nothing worse than the
-        # saved value
-        old_parts = spark.conf.get(shuffle_conf, None)
-        spark.conf.set(
-            shuffle_conf,
-            str(min(8, spark.sparkContext.defaultParallelism)),
-        )
         for i, part in enumerate(
             (
                 src.filter(F.col("doc_id") < 200),
@@ -3283,7 +3228,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             part.coalesce(1).write.parquet(f"{workdir}/in/b{i}.parquet")
         stream = (
-            spark.readStream.schema(
+            ss.readStream.schema(
                 "doc_id long, ts timestamp, content_hash string"
             )
             .option("maxFilesPerTrigger", "1")
@@ -3309,11 +3254,8 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "would be silently partial"
             )
     finally:
-        if old_parts is not None:
-            spark.conf.set(shuffle_conf, old_parts)
-        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
-    return spark.table(sink).select("content_hash").orderBy("content_hash")
+    return ss.table(sink).select("content_hash").orderBy("content_hash")
 
 
 _REPETITION_ORACLE = """
@@ -4177,30 +4119,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") + 86_400).cast("timestamp").alias("ts"),
     )
     workdir = tempfile.mkdtemp(prefix="h3ron_stream_join_")
-    shuffle_conf = "spark.sql.shuffle.partitions"
-    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
-    # conf is SESSION-wide, so two stream queries on concurrent
-    # threads (scripts/preflight_window.py --parallel) could
-    # interleave their save/restore and pin the shuffle partitioning
-    # to the wrong value permanently (ADVICE r8); serializing the
-    # whole streaming run costs little — memory-sink streams are
-    # fixture-scale by design
-    _STREAM_CONF_LOCK.acquire()
-    # default None BEFORE any py4j call: everything throw-prone runs
-    # inside the try below, so the finally always releases the lock
-    old_parts = None
-    # state-store instances track shuffle partitions and checkpoint
-    # every micro-batch; fixture-scale key cardinality wants few (size
-    # to the cluster at real cardinality like any stateful query)
+    # cloned session carries the shuffle-partitions pin privately
+    # (ADVICE r9) — see _stream_session
+    ss = _stream_session(spark)
     try:
-        # get/set inside the try so a py4j failure here still
-        # releases the lock and restores nothing worse than the
-        # saved value
-        old_parts = spark.conf.get(shuffle_conf, None)
-        spark.conf.set(
-            shuffle_conf,
-            str(min(8, spark.sparkContext.defaultParallelism)),
-        )
         half = _STREAM_JOIN_N // 2
         for i, part in enumerate(
             (
@@ -4210,7 +4132,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             part.coalesce(1).write.parquet(f"{workdir}/in/b{i}.parquet")
         stream = (
-            spark.readStream.schema(
+            ss.readStream.schema(
                 "event_id long, user_id long, ts timestamp"
             )
             .option("maxFilesPerTrigger", "1")
@@ -4256,12 +4178,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "would be silently partial"
             )
     finally:
-        if old_parts is not None:
-            spark.conf.set(shuffle_conf, old_parts)
-        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
     return (
-        spark.table(sink)
+        ss.table(sink)
         .select(
             F.col("l_user").alias("user_id"),
             "lead_id",
@@ -4841,38 +4760,19 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "user_id"
     )
     workdir = tempfile.mkdtemp(prefix="h3ron_streamhll_")
-    shuffle_conf = "spark.sql.shuffle.partitions"
-    # hold _STREAM_CONF_LOCK across save/set/run/restore: the session
-    # conf is SESSION-wide, so two stream queries on concurrent
-    # threads (scripts/preflight_window.py --parallel) could
-    # interleave their save/restore and pin the shuffle partitioning
-    # to the wrong value permanently (ADVICE r8); serializing the
-    # whole streaming run costs little — memory-sink streams are
-    # fixture-scale by design
-    _STREAM_CONF_LOCK.acquire()
-    # default None BEFORE any py4j call: everything throw-prone runs
-    # inside the try below, so the finally always releases the lock
-    old_parts = None
-    # one state-store instance per shuffle partition, checkpointed
-    # every micro-batch: with a handful of keys, 8 partitions cuts the
-    # per-batch state-store overhead ~4x vs defaultParallelism (the
-    # keyed-state exchange still spreads keys; at real key cardinality
-    # size this to the cluster like any stateful query)
+    # cloned session carries the shuffle-partitions pin privately
+    # (ADVICE r9) — see _stream_session. One state-store instance per
+    # shuffle partition, checkpointed every micro-batch: with a
+    # handful of keys, 8 partitions cuts the per-batch state-store +
+    # Python-worker overhead ~4x vs defaultParallelism.
+    ss = _stream_session(spark)
     try:
-        # get/set inside the try so a py4j failure here still
-        # releases the lock and restores nothing worse than the
-        # saved value
-        old_parts = spark.conf.get(shuffle_conf, None)
-        spark.conf.set(
-            shuffle_conf,
-            str(min(8, spark.sparkContext.defaultParallelism)),
-        )
         for i in range(3):
             ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
                 f"{workdir}/in/b{i}.parquet"
             )
         stream = (
-            spark.readStream.schema(
+            ss.readStream.schema(
                 "event_id long, event_type string, user_id long"
             )
             .option("maxFilesPerTrigger", "1")
@@ -4892,13 +4792,17 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise TimeoutError("stream_hll_distinct did not drain")
         regs = (
-            spark.table(sink)
+            ss.table(sink)
             .groupBy(F.col("key").alias("event_type"), "_reg")
             .agg(F.max("_M").alias("_M"))
         )
         est = SK.hll_estimate(regs, ["event_type"], p=8)
-        exact = ev.groupBy("event_type").agg(
-            F.countDistinct("user_id").alias("n_exact")
+        # exact side rebuilt ON the clone: a plan may not mix
+        # DataFrames from two sessions
+        exact = (
+            load(ss, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_exact"))
         )
         out = (
             exact.join(est, "event_type")
@@ -4908,9 +4812,6 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.localCheckpoint()  # detach from the temp files
         return out
     finally:
-        if old_parts is not None:
-            spark.conf.set(shuffle_conf, old_parts)
-        _STREAM_CONF_LOCK.release()
         shutil.rmtree(workdir, ignore_errors=True)
 
 

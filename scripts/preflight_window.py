@@ -64,12 +64,13 @@ def main() -> None:
     # threads fine) with a DuckDB connection per task (duck_run
     # already connects per call). Halves the ~15 min 50-entry window
     # replay at N=2. The stream_* queries are thread-safe here by
-    # construction (ADVICE r8): their memory-sink names come from an
-    # atomic itertools.count, and their session-wide
-    # shuffle-partitions save/set/restore runs under
-    # queries_h3._STREAM_CONF_LOCK, which serializes concurrent
-    # streaming runs instead of letting them clobber the session
-    # conf. Default stays sequential: the driver's own harness is
+    # construction (ADVICE r8/r9): their memory-sink names come from
+    # an atomic itertools.count, and each streaming run executes on a
+    # PRIVATE cloned session (queries_h3._stream_session) whose
+    # SQLConf carries the shuffle-partitions pin — the shared
+    # session's conf is never written, so a concurrently-replayed
+    # NON-stream query can never observe the override either.
+    # Default stays sequential: the driver's own harness is
     # sequential, and ordered [i/N] output is easier to diff.
     workers = 1
     if "--parallel" in argv:

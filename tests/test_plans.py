@@ -899,9 +899,22 @@ def test_sssp_bucketed_layout_stamp(spark, tmp_path):
         )
         assert props["h3ron.bucket_oversample"] == str(A._BUCKET_OVERSAMPLE)
         assert props["h3ron.n_buckets"] == "4"
-        # verified load round-trips
+        # verified load round-trips, and surfaces the stored modulus
         df = A.load_sssp_edges_bucketed(spark, "sssp_stamp.edges")
         assert set(df.columns) == {"_tile", "_bucket", "_u", "_v", "_w"}
+        assert df.h3ron_n_buckets == 4
+        # ADVICE r9: a consumer that will RECOMPUTE buckets declares
+        # the modulus it intends to use — a mismatch with the stored
+        # h3ron.n_buckets stamp raises (same silent-zero-cogroup
+        # hazard as a formula change), a match loads
+        df = A.load_sssp_edges_bucketed(
+            spark, "sssp_stamp.edges", expected_n_buckets=4
+        )
+        assert df.h3ron_n_buckets == 4
+        with pytest.raises(ValueError, match="n_buckets=4"):
+            A.load_sssp_edges_bucketed(
+                spark, "sssp_stamp.edges", expected_n_buckets=8
+            )
         # a v1-era table (different/missing stamp) must refuse to load
         spark.sql(
             "ALTER TABLE sssp_stamp.edges SET TBLPROPERTIES "

@@ -1000,15 +1000,16 @@ def test_stream_rollup_ignores_uncommitted_versions(spark, tmp_path):
 
 
 def test_stream_queries_thread_safe_under_parallel_replay(spark):
-    """ADVICE r8: scripts/preflight_window.py --parallel replays
+    """ADVICE r8/r9: scripts/preflight_window.py --parallel replays
     registry queries from concurrent threads. Two stream_* queries
-    must not (a) interleave their session-wide shuffle-partitions
-    save/restore (the save/set/run/restore now holds
-    queries_h3._STREAM_CONF_LOCK), (b) collide on memory-sink names
+    must not (a) leak their shuffle-partitions pin to any other query
+    (each streaming run now executes on a PRIVATE cloned session —
+    queries_h3._stream_session — so the caller's session conf is
+    never written at all), (b) collide on memory-sink names
     (_STREAM_SEQ is an atomic itertools.count), or (c) leave the
-    session conf clobbered afterwards. Runs two different stateful
-    stream queries concurrently twice and checks results match their
-    sequential runs and the conf round-trips."""
+    caller's session conf changed afterwards. Runs two different
+    stateful stream queries concurrently twice and checks results
+    match their sequential runs and the caller conf is untouched."""
     from concurrent.futures import ThreadPoolExecutor
 
     import h3ron_spark.queries_h3 as QH
