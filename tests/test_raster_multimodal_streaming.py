@@ -1031,3 +1031,27 @@ def test_stream_queries_thread_safe_under_parallel_replay(spark):
         assert got_a == want_a
         assert got_b == want_b
         assert spark.conf.get(conf_key) == before
+
+
+def test_stream_session_conf_isolated_from_caller(spark):
+    """ADVICE r9: queries_h3._stream_session pins the streaming
+    shuffle-partitions override on a CLONED session's private SQLConf.
+    The clone must (a) carry the pin, (b) share the SparkContext (same
+    executors — no second JVM/cluster), and (c) leave the caller's
+    session conf untouched even while the clone exists, so a
+    concurrent non-stream query can never observe the override."""
+    import h3ron_spark.queries_h3 as QH
+
+    conf_key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(conf_key)
+    ss = QH._stream_session(spark)
+    want = str(min(8, spark.sparkContext.defaultParallelism))
+    assert ss.conf.get(conf_key) == want
+    assert spark.conf.get(conf_key) == before
+    assert ss.sparkContext is spark.sparkContext
+    # isolation is two-way: a conf write on the clone never surfaces
+    # on the caller (AQE makes partition-count assertions on tiny
+    # shuffles meaningless, so pin the SQLConf boundary itself)
+    ss.conf.set("spark.sql.session.timeZone", "UTC+03:00")
+    assert spark.conf.get("spark.sql.session.timeZone") != "UTC+03:00"
+    assert spark.conf.get(conf_key) == before
