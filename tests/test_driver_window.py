@@ -141,3 +141,39 @@ def test_zipf_key_expr_pinned_cross_engine(spark):
     # every key is exactly 40 chars (the gram window and the twin
     # mutation offsets depend on it)
     assert all(len(s) == 40 for s in got.values())
+
+
+def test_rotation_plan_invariants():
+    """scripts/rotation_plan.py mechanizes the hand-rotated window
+    policy (it caught a wrong hand-derived r11 cohort in r10 — see
+    NOTES_r10). Pin the round-independent invariants: every oracle is
+    tracked or flagged, ages partition the oracle set, the due cohort
+    is exactly the age-MAX set, and a non-overflowing proposal is a
+    valid next window (<= budget, deduped, oracled, due-covering)."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import rotation_plan as RP
+
+    p = RP.plan(repo=repo)
+    oracles = set(Q.oracles())
+    hist = p["age_histogram_after_this_round"]
+    assert sum(hist.values()) + len(p["untracked_oracles"]) == len(oracles)
+    # the current window itself is age 0 after this round
+    assert hist.get(0, 0) >= len(Q._DRIVER_ORDER_FIRST) - len(
+        p["untracked_oracles"]
+    )
+    # max-age-2: nothing may be OLDER than the due age already
+    assert max(hist) <= RP.MAX_AGE, (
+        "an oracle is already past max age — the rotation fell behind"
+    )
+    w = p["proposed_next_window"]
+    assert len(w) <= RP.BUDGET
+    assert len(set(w)) == len(w)
+    assert all(n in oracles for n in w)
+    if not p["overflow"]:
+        assert set(p["due_next_round"]) <= set(w), (
+            "proposal drops a due entry without declaring overflow"
+        )
