@@ -1094,80 +1094,82 @@ def rel_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order after these (all were hash-verified green in r2).
 # ---------------------------------------------------------------------
 _DRIVER_ORDER_FIRST = [
-    # --- round 10 window: steady-state rotation, executing the
-    # NOTES_r9 rotation plan. Composition, in policy order:
-    #   (a) oracled queries whose code path an r10 change touches
-    #       (ADVICE-r3 rule): ALL SIX stream_* queries — the ADVICE
-    #       r9 cloned-session refactor (_stream_session replaces the
-    #       _STREAM_CONF_LOCK save/set/restore) rewrites the shared
-    #       prologue of every streaming run;
+    # --- round 11 window: steady-state rotation, executing the
+    # NOTES_r10 / rotation_plan.py plan. Composition, in policy order:
+    #   (a) oracled queries an r11 change touches: the planned r11
+    #       change (generated-SQL expression assembly for the shared
+    #       dedup shingle-hash chains and kmeans/l2_norm builders —
+    #       the r10 PQ-fix pattern) is bit-identical by construction
+    #       and touches queries BOTH in and outside this window. The
+    #       in-window ones (ann_ivf_topk, dedup_minhash_lsh,
+    #       dedup_ngram_jaccard, dedup_paragraphs,
+    #       dedup_simhash_groups, text_decontaminate, ...) get driver
+    #       rows here; the touched queries outside the window are all
+    #       r10-green (age 1 at r11 — legal under max-age-2, the r10
+    #       stream_windowed_counts precedent) and carry compensating
+    #       evidence: a preflight_window.py replay of window+touched
+    #       at sf0.01 recorded in NOTES_r11, plus the pytest
+    #       certification vs DuckDB at sf0.001;
     #   (b) no new oracles (registry frozen at 158/144);
-    #   (c) the full 45-entry r7 cohort — the oldest set (age 2),
-    #       due this round to hold the max-age-2 invariant.
-    # 6 + 45 = 51 > the 50-entry budget (test_driver_window pins it
-    # exactly), so the age invariant — hard, judge-recomputed — wins
-    # the slot conflict: the touched stream query with the MOST other
-    # coverage, stream_windowed_counts (also executed twice per run
-    # of the concurrency regression test), yields its slot. Its
-    # compensating evidence this round: replayed side-by-side exact
-    # vs DuckDB at sf0.01 (2924 rows, driver comparator; NOTES_r10)
-    # along with the other 50, and re-proven at sf0.001 by the pytest
-    # certification the judge re-runs. It self-corrects: last green
-    # r9 means a legal age 2 at r11 and mandatory re-entry via the
-    # 45-entry cohort due at r12 (scripts/rotation_plan.py) — the
-    # max-age-2 invariant is never violated.
-    # (a) r10-touched stream queries (5 of 6; see above)
-    "stream_cell_transitions",
-    "stream_dedup_exact",
-    "stream_hll_distinct",
-    "stream_interval_join",
-    "stream_session_windows",
-    # (c) the r7 cohort (45 entries, registry names sorted)
-    "ann_blocked_exact_topk",
-    "ann_ivf_sampled_topk",
-    "ann_ivf_trained_topk",
-    "ann_ivfpq_rerank",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "ann_topk_cosine",
-    "dedup_embedding_clusters",
-    "dedup_exact",
-    "dedup_minhash_clusters",
-    "dedup_source_overlap",
-    "geo_stay_detection",
-    "geo_trajectory_similarity",
-    "golden_encode_sweep",
-    "golden_polyfill_rect",
-    "golden_route_lines",
-    "golden_route_path_stats",
-    "graph_triangles",
-    "h3_partition_by_res",
-    "h3_purge_children",
-    "mm_avi_decode",
-    "mm_frame_features",
-    "mm_gif_decode",
-    "mm_jpeg_decode",
-    "mm_png_decode",
-    "mm_resize_plumbing",
-    "pipeline_drift_report",
-    "pipeline_incremental_rollup",
-    "pipeline_weighted_sample",
-    "rel_cohort_retention",
-    "rel_event_pivot",
-    "rel_events_gapfill",
-    "rel_events_json",
-    "rel_events_variant",
-    "rel_range_join",
-    "rel_scd2_history",
-    "rel_skew_salted_topk",
-    "rel_zorder_scan",
-    "sketch_bloom_decontaminate",
-    "sketch_hdr_quantiles",
-    "sketch_hll_distinct",
-    "sketch_hll_merged",
-    "sketch_kmv_setops",
-    "text_cms_heavy_hitters",
-    "text_unigram_logprob",
+    #   (c) the full 49-entry r8 cohort — the oldest set (age 2),
+    #       due this round to hold the max-age-2 invariant
+    #       (scripts/rotation_plan.py output, registry names sorted);
+    #   (d) filler from the age-1 (r9-green) cohort head up to the
+    #       50 budget: ann_lsh_topk (1 slot — also a touched query:
+    #       its hyperplane-LSH build goes through the shared
+    #       similarity literal-tree builders).
+    # (c) the r8 cohort (49 entries, registry names sorted)
+    "ann_ivf_topk",
+    "dedup_groups_summary",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "dedup_simhash_groups",
+    "embedding_label_centroid_norms",
+    "golden_cell_api",
+    "golden_cells_to_edges",
+    "golden_clusters_disks",
+    "golden_directed_edges",
+    "golden_direction_digits",
+    "golden_dissolve_donut",
+    "golden_downsample",
+    "golden_edge_iterators",
+    "golden_germany_route",
+    "golden_gpkg_roundtrip",
+    "golden_graph_nodes",
+    "golden_isochrone_hist",
+    "golden_localij",
+    "golden_nearest_nodes",
+    "golden_neighbor_window",
+    "golden_osm_pbf_graph",
+    "golden_partition_by_resolution",
+    "golden_smoothen_donut",
+    "golden_spatial_masks",
+    "graph_pagerank",
+    "graph_sssp_frontier",
+    "h3_bits_accessors",
+    "h3_compact_dataframe",
+    "h3_parent_rollup",
+    "h3_set_ops",
+    "h3_uncompact_join",
+    "mm_real_decode",
+    "pipeline_mixture_epoch",
+    "pipeline_pack_sequences",
+    "pipeline_quality_gate",
+    "pipeline_source_quota",
+    "pipeline_train_test_split",
+    "rel_customer_order_rank",
+    "rel_event_sessions",
+    "rel_nation_order_stats",
+    "rel_pricing_summary",
+    "rel_top_revenue_orders",
+    "text_decontaminate",
+    "text_document_stats",
+    "text_lang_id",
+    "text_quality_by_source",
+    "text_token_counts",
+    # (d) filler from the age-1 cohort head (also r11-touched)
+    "ann_lsh_topk",
 ]
 
 
