@@ -61,7 +61,19 @@ def plan(repo: str = ".", touched: list[str] | None = None) -> dict:
     oracles = set(Q.oracles())
     window = list(Q._DRIVER_ORDER_FIRST)
     hist = load_history(repo)
-    this_round = max(hist) + 1 if hist else 1
+    # Phase detection (ADVICE r10): between the driver's end-of-round
+    # snapshot commit and the next round's window rotation, the newest
+    # CORRECTNESS artifact IS the installed window's own run. Counting
+    # that window as a *future* round's run double-ages every older
+    # cohort (the r8 cohort read age 3 in the r10 post-round worktree
+    # and test_rotation_plan_invariants went red until the rotation
+    # landed). If the installed window is a subset of the newest
+    # artifact's key set, it has already run — plan from max(hist);
+    # otherwise the window is the upcoming round's.
+    if hist and set(window) <= hist[max(hist)]:
+        this_round = max(hist)
+    else:
+        this_round = max(hist) + 1 if hist else 1
     green = last_green(hist)
 
     # the current window runs THIS round

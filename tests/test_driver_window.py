@@ -149,7 +149,15 @@ def test_rotation_plan_invariants():
     NOTES_r10). Pin the round-independent invariants: every oracle is
     tracked or flagged, ages partition the oracle set, the due cohort
     is exactly the age-MAX set, and a non-overflowing proposal is a
-    valid next window (<= budget, deduped, oracled, due-covering)."""
+    valid next window (<= budget, deduped, oracled, due-covering).
+
+    Phase semantics (ADVICE r10): plan() detects whether the
+    installed window has ALREADY run (its key set is contained in the
+    newest CORRECTNESS artifact — the post-round worktree state) and
+    plans from that round instead of a fictitious next one, so this
+    test is meaningful and green at BOTH round phases — before the
+    fix it went red between the driver's snapshot commit and the next
+    round's rotation commit (the r8 cohort read a bogus age 3)."""
     import os
     import sys
 
@@ -177,3 +185,40 @@ def test_rotation_plan_invariants():
         assert set(p["due_next_round"]) <= set(w), (
             "proposal drops a due entry without declaring overflow"
         )
+
+
+def test_rotation_plan_phase_detection(tmp_path, monkeypatch):
+    """plan() must treat the installed window as already-run when the
+    newest CORRECTNESS artifact contains its whole key set (post-round
+    worktree: snapshot committed, rotation not yet), and as the
+    upcoming round's window otherwise (normal mid-round state). The
+    r10 post-round worktree hit the un-detected case: the window was
+    double-counted as r11's run and the r8 cohort computed age 3."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import rotation_plan as RP
+
+    window = list(Q._DRIVER_ORDER_FIRST)
+    others = [n for n in Q.oracles() if n not in window]
+
+    # phase A: newest artifact IS the installed window's own run
+    row = {"rows_match": True}
+    with open(tmp_path / "CORRECTNESS_r05.json", "w") as f:
+        json.dump({n: row for n in window}, f)
+    p = RP.plan(repo=str(tmp_path))
+    assert p["this_round"] == 5
+    assert p["next_round"] == 6
+    # the window ages from its own recorded round: nothing at age > 0
+    assert set(p["age_histogram_after_this_round"]) == {0}
+
+    # phase B: a newer artifact covers a DIFFERENT set -> the
+    # installed window is the upcoming round's
+    with open(tmp_path / "CORRECTNESS_r06.json", "w") as f:
+        json.dump({n: row for n in others[:10]}, f)
+    p = RP.plan(repo=str(tmp_path))
+    assert p["this_round"] == 7
+    assert p["next_round"] == 8
