@@ -176,6 +176,57 @@ def _steal_pct(before, after) -> float | None:
     return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else None
 
 
+# A floor whose steal stamp exceeds this is co-tenant-contaminated by
+# the pinned adjudication protocol (BASELINE.md round 9: clean rounds
+# stamp <= ~0.4%; the r10 driver capture's bad floors stamped 1-5.5%).
+DEGRADED_STEAL_PCT = 0.5
+
+
+def degraded_floor_reasons(
+    name: str,
+    floors: dict[str, float],
+    suite_best: dict[str, float],
+    floor_steal: dict[str, float],
+) -> list[str]:
+    """Why a floor is NOT a trustworthy per-query minimum (VERDICT r9
+    #3 / r10 #3): "inverted" = the GC-fenced isolated floor came out
+    ABOVE the same query's in-suite minimum, which is definitionally
+    machine noise (the floor protocol only removes noise sources);
+    "steal" = the hypervisor ran a co-tenant on our cores during the
+    measurement. BENCH_r10.json carried 7 inverted floors — one a
+    paper 2.06x vs baseline — with the adjudication living only in
+    prose; this flag puts it in the artifact itself."""
+    reasons = []
+    f = floors.get(name)
+    if f is not None and name in suite_best and f > suite_best[name]:
+        reasons.append("inverted")
+    st = floor_steal.get(name)
+    if st is not None and st > DEGRADED_STEAL_PCT:
+        reasons.append("steal")
+    return reasons
+
+
+def _measure_floor(spark, registry, name, sf_dir):
+    """One GC-fenced min-of-2 floor measurement with loadavg + steal
+    stamps. Returns (floor_sec, loadavg1, steal_pct|None); raises on
+    query failure (caller decides whether that discards the floor)."""
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+    load = round(os.getloadavg()[0], 1)
+    cpu0 = _cpu_times()
+    fbest = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        fbest = dt if fbest is None else min(fbest, dt)
+    return fbest, load, _steal_pct(cpu0, _cpu_times())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -252,44 +303,62 @@ def main() -> None:
     floors: dict[str, float] = {}
     floor_load: dict[str, float] = {}
     floor_steal: dict[str, float] = {}
+    floor_degraded: dict[str, list[str]] = {}
     if not override:
         for name in FLOOR_QUERIES:
             if name not in registry:
                 continue
-            try:
-                spark._jvm.System.gc()
-            except Exception:
-                pass
             # per-floor 1-min loadavg stamp (VERDICT r8 #2): a floor
             # taken at load 8 is not comparable to one taken at load
             # 0.4 — the stamp makes each number self-describing.
             # NOTE self-load: after the interleaved passes the
             # bench's own executors keep this in a ~5-13 band even
-            # on an idle box — the steal stamp below is the
-            # unpolluted co-tenant signal
-            floor_load[name] = round(os.getloadavg()[0], 1)
-            cpu0 = _cpu_times()
-            fbest = None
+            # on an idle box — the steal stamp is the unpolluted
+            # co-tenant signal.
             # per-floor try/except (ADVICE r8): a transient failure
             # in ONE floor measurement (executor loss after the long
             # suite) must not discard the completed suite timings —
             # record the floors that succeeded and keep going
             try:
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    registry[name](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    dt = time.perf_counter() - t0
-                    fbest = dt if fbest is None else min(fbest, dt)
+                fbest, load, st = _measure_floor(spark, registry, name, sf_dir)
             except Exception as exc:  # noqa: BLE001
                 print(f"floor {name} failed: {exc!r}", file=sys.stderr)
-                del floor_load[name]
                 continue
             floors[name] = round(fbest, 3)
-            st = _steal_pct(cpu0, _cpu_times())
+            floor_load[name] = load
             if st is not None:
                 floor_steal[name] = st
+
+        # degraded-floor retry (VERDICT r9 #3 / r10 #3): a floor that
+        # came out above its own in-suite minimum, or under >0.5%
+        # hypervisor steal, was measured in a bad window — re-measure
+        # it ONCE after the rest of the floors pass (minutes later, a
+        # different co-tenant window) and keep the better number with
+        # the stamps of the run that produced it.
+        for name in [n for n in floors
+                     if degraded_floor_reasons(n, floors, timings,
+                                               floor_steal)]:
+            try:
+                fbest, load, st = _measure_floor(spark, registry, name, sf_dir)
+            except Exception as exc:  # noqa: BLE001
+                print(f"floor retry {name} failed: {exc!r}", file=sys.stderr)
+                continue
+            if fbest < floors[name]:
+                floors[name] = round(fbest, 3)
+                floor_load[name] = load
+                if st is not None:
+                    floor_steal[name] = st
+                else:
+                    floor_steal.pop(name, None)
+
+        # whatever is STILL degraded after the retry is flagged in the
+        # artifact itself — no more unflagged inverted floors
+        # adjudicated in prose (BENCH_r10.json shipped 7, one of them
+        # a paper 2.06x vs baseline)
+        floor_degraded = {
+            n: r for n in floors
+            if (r := degraded_floor_reasons(n, floors, timings, floor_steal))
+        }
 
     # machine-state self-documentation (VERDICT r5 "Next round" #4):
     # loadavg before/after bounds co-tenant contention during the
@@ -329,6 +398,7 @@ def main() -> None:
         floors=floors,
         floor_load=floor_load,
         floor_steal=floor_steal,
+        floor_degraded=floor_degraded,
     )
     # stop Spark BEFORE printing: nothing (progress bars, shutdown
     # warnings) may land on the stream after the JSON lines, because
@@ -372,6 +442,7 @@ def build_result(
     floors: dict | None = None,
     floor_load: dict | None = None,
     floor_steal: dict | None = None,
+    floor_degraded: dict | None = None,
 ) -> dict:
     result = {
         "metric": "h3ron_spark_bench_total",
@@ -395,6 +466,13 @@ def build_result(
         # itself saturates) — full record only; the compact line
         # carries the capture-wide machine.steal_pct
         result["floor_steal"] = floor_steal
+    if floors:
+        # ALWAYS present when floors are (possibly {} = "every floor
+        # clean"): name -> ["inverted" and/or "steal"] for floors that
+        # are still bad after their one retry window. A reader of the
+        # artifact no longer needs prose to know which floor rows are
+        # machine-state (VERDICT r9 #3 / r10 #3).
+        result["floor_degraded"] = dict(floor_degraded or {})
     return result
 
 
@@ -422,11 +500,17 @@ def build_compact(result: dict) -> dict:
         compact["floors"] = result["floors"]
     if "floor_load" in result:
         compact["floor_load"] = result["floor_load"]
+    if "floor_degraded" in result:
+        # the degraded flags ride in the tail-captured line too — the
+        # driver's BENCH_r{N}.json records only the compact line, and
+        # an unflagged inverted floor THERE is exactly the r10 failure
+        compact["floor_degraded"] = result["floor_degraded"]
     # floors/floor_load grew to 16 queries in r9 — if the fixed part
     # alone ever exceeds the budget, shed loadavg stamps first, then
     # floors (both live complete in BENCH_LAST.local.json; the floors
-    # are the higher-value adjudication data of the two)
-    for shed in ("floor_load", "floors"):
+    # are the higher-value adjudication data of the two; the degraded
+    # flags are small and shed last of the three)
+    for shed in ("floor_load", "floors", "floor_degraded"):
         if len(json.dumps(compact, separators=(",", ":"))) > COMPACT_BUDGET:
             compact.pop(shed, None)
     for name in ordered:

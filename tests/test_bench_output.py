@@ -224,3 +224,60 @@ def test_cpu_steal_helpers():
     assert _steal_pct(None, cur) is None
     assert _steal_pct((100, 1000), (110, 2000)) == 1.0
     assert _steal_pct((100, 1000), (100, 1000)) is None  # no elapsed ticks
+
+
+def test_degraded_floor_reasons():
+    """VERDICT r9 #3 / r10 #3: a floor above its own in-suite minimum
+    is definitionally machine noise ("inverted"); a floor measured
+    under >0.5% hypervisor steal is co-tenant-contaminated ("steal").
+    BENCH_r10.json shipped 7 inverted floors — one a paper 2.06x vs
+    baseline — with the adjudication living only in prose."""
+    from bench import DEGRADED_STEAL_PCT, degraded_floor_reasons
+
+    floors = {"a": 2.0, "b": 1.0, "c": 1.0, "d": 1.0}
+    suite = {"a": 1.5, "b": 1.2, "c": 0.9, "d": 1.2}
+    steal = {"b": 0.7, "c": 0.6, "d": DEGRADED_STEAL_PCT}
+    assert degraded_floor_reasons("a", floors, suite, steal) == ["inverted"]
+    assert degraded_floor_reasons("b", floors, suite, steal) == ["steal"]
+    assert degraded_floor_reasons("c", floors, suite, steal) == [
+        "inverted", "steal",
+    ]
+    # at exactly the threshold, and floor <= suite min: clean
+    assert degraded_floor_reasons("d", floors, suite, steal) == []
+    # missing stamps / missing suite row never flag
+    assert degraded_floor_reasons("zz", floors, suite, steal) == []
+
+
+def test_floor_degraded_field_propagates_to_compact():
+    """The degraded flags must be PRESENT (possibly {}) whenever
+    floors are, in both the full record and the tail-captured compact
+    line the driver keeps — an unflagged inverted floor in
+    BENCH_r{N}.json is exactly the r10 failure mode. Subset runs
+    (no floors) must not grow the key."""
+    from bench import FLOOR_QUERIES
+
+    floors = {n: 1.111 for n in FLOOR_QUERIES}
+    degraded = {FLOOR_QUERIES[0]: ["inverted"],
+                FLOOR_QUERIES[1]: ["inverted", "steal"]}
+    timings = {n: 1.234 for n in BENCH_QUERIES}
+    machine = {"loadavg_start": [1.0, 1.0, 1.0], "noisy": False}
+    result = build_result(
+        timings, "0.1", machine=machine, floors=floors,
+        floor_degraded=degraded,
+    )
+    assert result["floor_degraded"] == degraded
+    compact = build_compact(result)
+    assert compact["floor_degraded"] == degraded
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= COMPACT_BUDGET + 100
+
+    # floors present + nothing degraded -> explicit empty dict
+    clean = build_result(timings, "0.1", floors=floors)
+    assert clean["floor_degraded"] == {}
+    assert build_compact(clean)["floor_degraded"] == {}
+
+    # no floors (subset/scale run) -> key absent
+    assert "floor_degraded" not in build_result({"q": 1.0}, "0.1")
+    assert "floor_degraded" not in build_result(
+        {"q": 1.0}, "0.1", floor_degraded={}
+    )
