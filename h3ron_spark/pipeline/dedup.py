@@ -25,7 +25,16 @@ def shingles(text, n: int = 3) -> Column:
 
     The token array binds once via :func:`with_tokens` — the naive
     inline form re-evaluated the split per element_at (measured 15x
-    slower on corpus scans)."""
+    slower on corpus scans).
+
+    String input takes the generated-SQL path (sqlexpr.shingles_sql:
+    one F.expr parse instead of ~30 py4j round trips — the r10 PQ-fix
+    pattern; bit-identity pinned by tests/test_sqlexpr_identity.py);
+    Column input keeps the classic builder, value-identical."""
+    if isinstance(text, str):
+        from h3ron_spark.pipeline.sqlexpr import shingles_sql
+
+        return F.expr(shingles_sql(text, n))
 
     def build(t):
         idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
@@ -65,7 +74,12 @@ def shingle_base_hash(s: Column) -> Column:
     """Seed-independent 60-bit base hash of a shingle, identical in
     DuckDB: first 15 hex chars of md5(shingle) parsed base-16. Computed
     ONCE per shingle; the per-permutation values are integer mixes of
-    it (16x fewer md5 evaluations than hashing per permutation)."""
+    it (16x fewer md5 evaluations than hashing per permutation).
+    String input takes the one-parse generated-SQL path."""
+    if isinstance(s, str):
+        from h3ron_spark.pipeline.sqlexpr import base_hash_sql
+
+        return F.expr(base_hash_sql(s))
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
@@ -170,11 +184,19 @@ def minhash_signature_df(
         sh = df.select(
             F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("_s")
         ).dropDuplicates(["id", "_s"])
+    # generated-SQL chains (sqlexpr): the 16 per-permutation mixes
+    # assembled one F.expr parse each instead of ~12 py4j calls each —
+    # bit-identical (pinned), same plan shape
+    from h3ron_spark.pipeline.sqlexpr import base_hash_sql, mix_hash_sql
+
     hashed = sh.select(
-        "id", shingle_base_hash(F.col("_s")).alias("_hb")
+        "id", F.expr(base_hash_sql("_s")).alias("_hb")
     ).select(
         "id",
-        *[_mix_hash(F.col("_hb"), k).alias(f"_h{k}") for k in range(num_perms)],
+        *[
+            F.expr(mix_hash_sql("_hb", k)).alias(f"_h{k}")
+            for k in range(num_perms)
+        ],
     )
     return hashed.groupBy("id").agg(
         *[F.min(f"_h{k}").alias(f"m{k}") for k in range(num_perms)]
@@ -182,18 +204,9 @@ def minhash_signature_df(
 
 
 def _band_keys_from_sig(bands: int = LSH_BANDS) -> Column:
-    rows = MINHASH_PERMS // bands
-    keys = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(str(b)),
-                *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)],
-            )
-        )
-        for b in range(bands)
-    ]
-    return F.array(*keys)
+    from h3ron_spark.pipeline.sqlexpr import band_keys_from_cols_sql
+
+    return F.expr(band_keys_from_cols_sql(bands, MINHASH_PERMS // bands))
 
 
 def simhash_df(
@@ -205,21 +218,23 @@ def simhash_df(
     """SimHash as a frame op (explode + one hash per shingle + bit-vote
     aggregation) — same result as :func:`simhash`, linear work.
     Returns (id, simhash)."""
+    from h3ron_spark.pipeline.sqlexpr import (
+        shingle_hash_sql,
+        simhash_fold_sql,
+        simhash_vote_sql,
+    )
+
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col)).alias("_s")
     )
-    h = sh.select("id", _shingle_hash(F.col("_s"), 9999).alias("_h"))
+    h = sh.select("id", F.expr(shingle_hash_sql("_s", 9999)).alias("_h"))
     aggs = [
-        F.sum(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-        for b in range(bits)
+        F.expr(simhash_vote_sql("_h", b)).alias(f"_b{b}") for b in range(bits)
     ] + [F.count(F.lit(1)).alias("_n")]
     votes = h.groupBy("id").agg(*aggs)
-    acc = F.lit(0).cast("long")
-    for b in range(bits):
-        acc = acc.bitwiseOR(
-            F.shiftleft((F.col(f"_b{b}") * 2 > F.col("_n")).cast("long"), b)
-        )
-    return votes.select("id", acc.alias("simhash"))
+    return votes.select(
+        "id", F.expr(simhash_fold_sql(bits)).alias("simhash")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -29,6 +29,15 @@ _QUERY_BROADCAST_LIMIT = 200_000
 
 
 def dot(a, b) -> Column:
+    """Dot product as a JVM higher-order aggregate. String inputs
+    take the one-parse generated-SQL path (sqlexpr.dot_sql — ~15 py4j
+    round trips saved per call site; bit-identity pinned by
+    tests/test_sqlexpr_identity.py); Columns keep the classic
+    builder, value-identical."""
+    if isinstance(a, str) and isinstance(b, str):
+        from h3ron_spark.pipeline.sqlexpr import dot_sql
+
+        return F.expr(dot_sql(a, b))
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -39,7 +48,11 @@ def dot(a, b) -> Column:
 
 
 def l2_norm(a) -> Column:
-    a = F.col(a) if isinstance(a, str) else a
+    """L2 norm via the same dual path as :func:`dot`."""
+    if isinstance(a, str):
+        from h3ron_spark.pipeline.sqlexpr import l2_norm_sql
+
+        return F.expr(l2_norm_sql(a))
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -830,7 +843,23 @@ def pq_adc_dist(
     bit-identical tree, 0 value mismatches across the full
     query-candidate cross product). Rows still carry only the m
     small-int codes — the compressed-domain scan shape at 100 TB is
-    unchanged; only the driver-side expression assembly got cheap."""
+    unchanged; only the driver-side expression assembly got cheap.
+
+    ``qv_col``/``codes_col`` must be plain column identifiers (they
+    are interpolated into the generated SQL verbatim), and the
+    codebook must be finite — a NaN/Inf centroid from degenerate
+    training would emit 'nanD'/'infD' and fail at parse time with an
+    opaque error, so ``float_lit`` rejects it at build time with a
+    clear one (ADVICE r10)."""
+    from h3ron_spark.pipeline.sqlexpr import _is_ident, float_lit
+
+    for cname in (qv_col, codes_col):
+        if not _is_ident(cname):
+            raise ValueError(
+                f"pq_adc_dist: column name {cname!r} is not a plain "
+                "identifier — alias the column first (names are "
+                "spliced into generated SQL)"
+            )
     sub = len(books[0][0][1])
     terms = []
     for s, book in enumerate(books):
@@ -838,7 +867,7 @@ def pq_adc_dist(
             "array(" + ",".join(f"{int(cid)}L" for cid, _ in book) + ")"
         )
         cb_s = "array(" + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
+            "array(" + ",".join(float_lit(x) for x in cv) + ")"
             for _, cv in book
         ) + ")"
         pos = (
@@ -877,7 +906,19 @@ def _with_adc_dist(
     (m codebook literals total) and the distance chain references it,
     then the temp is dropped. Term order and rounding are identical,
     so the value is bit-equal and the DuckDB oracles are untouched;
-    rows still carry only the m small-int codes."""
+    rows still carry only the m small-int codes.
+
+    Same input contract as :func:`pq_adc_dist`: plain-identifier
+    column names, finite codebook (float_lit raises otherwise)."""
+    from h3ron_spark.pipeline.sqlexpr import _is_ident, float_lit
+
+    for cname in (qv_col, codes_col):
+        if not _is_ident(cname):
+            raise ValueError(
+                f"_with_adc_dist: column name {cname!r} is not a plain "
+                "identifier — alias the column first (names are "
+                "spliced into generated SQL)"
+            )
     sub = len(books[0][0][1])
     tmp = f"_pq_cw_{out_col}"
     cw_terms = []
@@ -886,7 +927,7 @@ def _with_adc_dist(
             "array(" + ",".join(f"{int(cid)}L" for cid, _ in book) + ")"
         )
         cb_s = "array(" + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
+            "array(" + ",".join(float_lit(x) for x in cv) + ")"
             for _, cv in book
         ) + ")"
         pos = (

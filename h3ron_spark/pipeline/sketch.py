@@ -26,9 +26,14 @@ from pyspark.sql import functions as F
 
 def hash_u60(col) -> Column:
     """60-bit deterministic hash: first 15 md5 hex chars, base-16.
-    DuckDB replica: ('0x' || substr(md5(x), 1, 15))::BIGINT."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+    DuckDB replica: ('0x' || substr(md5(x), 1, 15))::BIGINT.
+    String input takes the one-parse generated-SQL path (sqlexpr);
+    Column input keeps the classic builder, value-identical."""
+    if isinstance(col, str):
+        from h3ron_spark.pipeline.sqlexpr import hash_u60_sql
+
+        return F.expr(hash_u60_sql(col))
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
 
@@ -335,21 +340,12 @@ def cms_build(
     there). Feeding (value, count) pairs shrinks the explode domain
     from occurrences to DISTINCT values — the shape to use when a
     count table already exists."""
-    h = hash_u60(value_col)
+    from h3ron_spark.pipeline.sqlexpr import cms_probes_sql
+
     wcol = F.col(weight_col) if weight_col else F.lit(1)
     rows = df.select(
         wcol.alias("_w"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _cms_bucket(h, seed, w).alias("bucket"),
-                    )
-                    for j, seed in enumerate(seeds)
-                ]
-            )
-        ).alias("jb"),
+        F.explode(F.expr(cms_probes_sql(value_col, w, seeds))).alias("jb"),
     )
     return rows.groupBy(
         F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
@@ -367,20 +363,11 @@ def cms_lookup(
     counters — the classic one-sided estimate (cms_est >= true count,
     always). One broadcast join of the d*w-row sketch against the
     exploded (item, j, bucket) probes; never touches the corpus."""
-    h = hash_u60(value_col)
+    from h3ron_spark.pipeline.sqlexpr import cms_probes_sql
+
     probes = items.select(
         "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _cms_bucket(h, seed, w).alias("bucket"),
-                    )
-                    for j, seed in enumerate(seeds)
-                ]
-            )
-        ).alias("jb"),
+        F.explode(F.expr(cms_probes_sql(value_col, w, seeds))).alias("jb"),
     )
     joined = probes.join(
         F.broadcast(cms),
@@ -432,11 +419,12 @@ def bloom_build(
     positives — which is the correct direction for decontamination
     (over-flagging is reviewable; under-flagging leaks eval data).
     """
-    c = F.col(value_col)
+    from h3ron_spark.pipeline.sqlexpr import bloom_pos_array_sql
+
     m_bits = m_words * 63
     pos = df.select(
         F.explode(
-            F.array(*[_bloom_pos(c, seed, m_bits) for seed in seeds])
+            F.expr(bloom_pos_array_sql(value_col, m_bits, seeds))
         ).alias("pos")
     )
     return (
@@ -466,12 +454,13 @@ def bloom_contains(
     against the exploded probes — the corpus-side scan never shuffles.
     Adds a boolean ``bloom_maybe`` column (true = possibly in the set,
     false = DEFINITELY not — the Bloom guarantee)."""
-    c = F.col(value_col)
+    from h3ron_spark.pipeline.sqlexpr import bloom_pos_array_sql
+
     m_bits = m_words * 63
     probes = items.select(
         "*",
         F.explode(
-            F.array(*[_bloom_pos(c, seed, m_bits) for seed in seeds])
+            F.expr(bloom_pos_array_sql(value_col, m_bits, seeds))
         ).alias("pos"),
     )
     joined = probes.join(

@@ -1957,6 +1957,17 @@ def _stream_session(spark: SparkSession) -> SparkSession:
     Fixture-scale streams pin it to min(8, defaultParallelism); at
     real key cardinality size it to the cluster like any stateful
     query.
+
+    Inheritance caveat (ADVICE r10): ``newSession()`` inherits only
+    BUILDER-TIME / SparkConf settings — runtime ``spark.conf.set``
+    calls made on the caller's session (e.g. ``testdata.load``
+    defensively setting ``spark.sql.legacy.parquet.nanosAsLong``) do
+    NOT carry over to the clone. Every current stream input reads
+    with an explicit schema and the semantic confs (timeZone,
+    nanosAsLong) are set at builder time by session.get_spark and
+    conftest, so nothing depends on runtime inheritance today; a
+    future conf that must reach streaming runs belongs in the
+    builder (or must be copied onto the clone here explicitly).
     """
     ss = spark.newSession()
     ss.conf.set(
@@ -4057,7 +4068,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     grams = docs.select(
-        "source", F.explode(DD2.shingles(F.col("text"), 5)).alias("g")
+        "source", F.explode(DD2.shingles("text", 5)).alias("g")
     )
     sk = SK.kmv_sketch(grams, "g", "source", k=64)
     return (
@@ -5282,7 +5293,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     grams = docs.select(
-        "source", F.explode(DD2.shingles(F.col("text"), 5)).alias("g")
+        "source", F.explode(DD2.shingles("text", 5)).alias("g")
     )
     sk = SK.kmv_sketch(grams, "g", "source", k=64)
     return (

@@ -44,6 +44,16 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4's DataFrame-debugging hook (default ON) captures a
+        # Python call site and ships it to the JVM
+        # (PySparkCurrentOrigin.set + clear) around EVERY Column/
+        # DataFrame API call — measured ~2-3 py4j round trips of pure
+        # overhead per call, ~40% of the driver-side plan-construction
+        # time of expression-heavy queries (631 -> 388 round trips on
+        # one minhash build). It only enriches error messages with
+        # user call sites; a query fleet pays it per query, so it is
+        # off here. Flip to "true" when debugging a plan error.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
