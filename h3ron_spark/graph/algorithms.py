@@ -797,8 +797,11 @@ def load_sssp_edges_bucketed(
     buckets via ``_bucket_of(..., n_buckets)`` passes the value it
     intends to use; a mismatch with the stored ``h3ron.n_buckets``
     stamp raises instead of cogrouping old rows against fresh labels
-    to zero pairs. The loaded DataFrame also carries the stored value
-    as the ``h3ron_n_buckets`` attribute so callers can adopt it.
+    to zero pairs. To ADOPT the stored value instead, call
+    :func:`get_sssp_bucket_count` — out-of-band on purpose (ADVICE
+    r10): an ad-hoc attribute on the DataFrame would vanish on the
+    first ``.filter``/``.select`` (every transformation returns a new
+    object) and would not survive Spark Connect.
     """
     props = {
         r["key"]: r["value"]
@@ -825,12 +828,29 @@ def load_sssp_edges_bucketed(
             f"n_buckets={n_buckets} but the consumer expects "
             f"{expected_n_buckets}; recomputing buckets under a "
             "different modulus cogroups to zero pairs. Rewrite the "
-            "table or adopt the stored value (h3ron_n_buckets on the "
-            "returned DataFrame)."
+            "table or adopt the stored value "
+            "(get_sssp_bucket_count(spark, table_name))."
         )
-    df = spark.table(table_name)
-    df.h3ron_n_buckets = int(n_buckets) if n_buckets is not None else None
-    return df
+    return spark.table(table_name)
+
+
+def get_sssp_bucket_count(spark: SparkSession, table_name: str) -> int:
+    """The ``n_buckets`` modulus a bucketed SSSP table was written
+    under (its ``h3ron.n_buckets`` TBLPROPERTY) — the value a consumer
+    passes to ``_bucket_of`` to recompute bucket labels that actually
+    cogroup with the stored rows. Raises on a pre-stamp table."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    }
+    n_buckets = props.get("h3ron.n_buckets")
+    if n_buckets is None:
+        raise ValueError(
+            f"bucketed SSSP table {table_name!r} carries no "
+            "h3ron.n_buckets stamp (pre-stamp layout) — rewrite it "
+            "with persist_sssp_edges_bucketed"
+        )
+    return int(n_buckets)
 
 
 def _make_tile_relax(thr, track_parents, label_cols):

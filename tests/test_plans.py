@@ -899,10 +899,16 @@ def test_sssp_bucketed_layout_stamp(spark, tmp_path):
         )
         assert props["h3ron.bucket_oversample"] == str(A._BUCKET_OVERSAMPLE)
         assert props["h3ron.n_buckets"] == "4"
-        # verified load round-trips, and surfaces the stored modulus
+        # verified load round-trips; the stored modulus comes from
+        # the out-of-band helper (ADVICE r10: a DataFrame attribute
+        # would vanish on the first transformation — every .filter/
+        # .select returns a NEW DataFrame without it)
         df = A.load_sssp_edges_bucketed(spark, "sssp_stamp.edges")
         assert set(df.columns) == {"_tile", "_bucket", "_u", "_v", "_w"}
-        assert df.h3ron_n_buckets == 4
+        assert A.get_sssp_bucket_count(spark, "sssp_stamp.edges") == 4
+        assert not hasattr(
+            df.filter("_w >= 0"), "h3ron_n_buckets"
+        )  # the old attribute pattern is gone for good
         # ADVICE r9: a consumer that will RECOMPUTE buckets declares
         # the modulus it intends to use — a mismatch with the stored
         # h3ron.n_buckets stamp raises (same silent-zero-cogroup
@@ -910,7 +916,6 @@ def test_sssp_bucketed_layout_stamp(spark, tmp_path):
         df = A.load_sssp_edges_bucketed(
             spark, "sssp_stamp.edges", expected_n_buckets=4
         )
-        assert df.h3ron_n_buckets == 4
         with pytest.raises(ValueError, match="n_buckets=4"):
             A.load_sssp_edges_bucketed(
                 spark, "sssp_stamp.edges", expected_n_buckets=8
