@@ -36,6 +36,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by shuffle-INPUT bytes, so a
+        # small-input stage whose real work is downstream fanout (a
+        # self-join that multiplies rows 50x, an explode, an expensive
+        # per-row expression) gets coalesced to 1-3 partitions and runs
+        # effectively single-core: the 2.6 MB gram index feeding
+        # dedup_editdistance_join's 6.5M-row pair join measured 5.6 s
+        # for the join+agg stage at the default 1 MB floor vs 1.15 s
+        # uncoalesced (OPTIMIZATION_r11.md). parallelismFirst targets
+        # max(total/defaultParallelism, THIS floor), so on any input
+        # under ~cores MB the floor is what binds. 64k keeps such
+        # stages parallel; big shuffles are unaffected (their
+        # total/parallelism quotient dominates the floor at any size
+        # that matters, locally or on a 100 TB cluster).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
