@@ -232,6 +232,15 @@ def kmv_pair_overlap(sketch: DataFrame, k: int = 64) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # materialize the sketch ONCE (<= |groups| * k rows): this frame
+    # is referenced three times below (both sides of the pair
+    # self-join + the overlap join) and Catalyst does not CSE
+    # subtrees, so without the checkpoint each reference re-runs the
+    # full corpus scan + shingle explode + distinct — measured 3
+    # parquet scans in dedup_source_overlap's plan, ~2x its runtime.
+    # kmv_set_cardinalities has carried the same checkpoint since r9;
+    # this brings the pair-overlap sibling in line.
+    sketch = sketch.localCheckpoint()
     groups = sketch.select(F.col("g")).distinct()
     pairs = (
         groups.alias("a")
