@@ -258,10 +258,18 @@ def minhash_lsh_candidates(
     plan: signature (JVM exprs) -> explode band keys -> self-join on
     band key -> distinct pairs. The only shuffle is on the band key;
     identical docs share all bands, similar docs >=1.
+
+    The banded signature table is checkpointed before the self-join:
+    Catalyst does not CSE subtrees, so without it BOTH join sides
+    re-run the scan + shingle explode + 16-hash + min-agg pipeline
+    (measured 6 parquet scans in dedup_minhash_lsh's plan) — the same
+    guard minhash_dedup_pairs has carried via persist() since r6. The
+    checkpointed frame is |docs| x bands small-int rows, not corpus
+    text.
     """
     sigs = minhash_signature_df(df, text_col, id_col).select(
         "id", F.explode(_band_keys_from_sig()).alias("band")
-    )
+    ).localCheckpoint()
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (

@@ -74,6 +74,16 @@ def drift_report(
 
     reports = []
 
+    # `counts` is checkpointed (a 2-row frame) because it feeds one
+    # widen() per metric row-family below and Catalyst does not CSE
+    # subtrees — without it every null_rate/n_rows widen re-ran the
+    # full corpus count aggregation (pipeline_drift_report's plan
+    # carried 14 parquet scans of the documents table for a 12-row
+    # report; 6 of them were this frame). The single-reference HLL
+    # and HDR frames stay lazy: checkpointing them too measured
+    # SLOWER locally (it serializes the metric families into
+    # back-to-back jobs where one job overlaps their scans) for no
+    # scan reduction.
     counts = tagged.groupBy("_side").agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -83,7 +93,7 @@ def drift_report(
             ).alias(f"_null_{c}")
             for c in numeric_cols + string_cols
         ],
-    )
+    ).localCheckpoint()
     reports.append(
         widen(counts, F.lit("n_rows"), F.lit("*"), F.col("n"))
     )
