@@ -615,9 +615,15 @@ def hdr_quantiles(
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy("bucket")
+    # checkpoint the cumulative frame (<= 2k rows per group): the
+    # per-quantile loop below references it once per q, and Catalyst
+    # does not CSE subtrees, so without this every quantile re-ran
+    # the caller's full histogram aggregation — 3 corpus scans for
+    # the default (p50, p90, p99) in sketch_hdr_quantiles' and
+    # pipeline_drift_report's plans.
     cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
         "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
-    )
+    ).localCheckpoint()
     out = None
     for q in qs:
         rank = F.ceil(F.lit(q) * F.col("n"))
