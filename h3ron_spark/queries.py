@@ -1094,82 +1094,76 @@ def rel_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order after these (all were hash-verified green in r2).
 # ---------------------------------------------------------------------
 _DRIVER_ORDER_FIRST = [
-    # --- round 11 window: steady-state rotation, executing the
-    # NOTES_r10 / rotation_plan.py plan. Composition, in policy order:
-    #   (a) oracled queries an r11 change touches: the planned r11
-    #       change (generated-SQL expression assembly for the shared
-    #       dedup shingle-hash chains and kmeans/l2_norm builders —
-    #       the r10 PQ-fix pattern) is bit-identical by construction
-    #       and touches queries BOTH in and outside this window. The
-    #       in-window ones (ann_ivf_topk, dedup_minhash_lsh,
-    #       dedup_ngram_jaccard, dedup_paragraphs,
-    #       dedup_simhash_groups, text_decontaminate, ...) get driver
-    #       rows here; the touched queries outside the window are all
-    #       r10-green (age 1 at r11 — legal under max-age-2, the r10
-    #       stream_windowed_counts precedent) and carry compensating
-    #       evidence: a preflight_window.py replay of window+touched
-    #       at sf0.01 recorded in NOTES_r11, plus the pytest
-    #       certification vs DuckDB at sf0.001;
+    # --- round 12 window: steady-state rotation, executing the
+    # scripts/rotation_plan.py proposal for r12. Composition, in
+    # policy order:
+    #   (a) oracled queries an r12 change may touch: the r12
+    #       optimization targets (VERDICT r11 "Next round") are
+    #       pipeline_corpus_curation — already IN the due cohort —
+    #       and rel_range_join, swapped into a filler slot below so a
+    #       targeted mitigation of its accepted +0.25 s regression
+    #       gets a driver row if code changes;
     #   (b) no new oracles (registry frozen at 158/144);
-    #   (c) the full 49-entry r8 cohort — the oldest set (age 2),
+    #   (c) the full 44-entry r9 cohort — the oldest set (age 2),
     #       due this round to hold the max-age-2 invariant
     #       (scripts/rotation_plan.py output, registry names sorted);
-    #   (d) filler from the age-1 (r9-green) cohort head up to the
-    #       50 budget: ann_lsh_topk (1 slot — also a touched query:
-    #       its hyperplane-LSH build goes through the shared
-    #       similarity literal-tree builders).
-    # (c) the r8 cohort (49 entries, registry names sorted)
-    "ann_ivf_topk",
-    "dedup_groups_summary",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_paragraphs",
-    "dedup_simhash_groups",
-    "embedding_label_centroid_norms",
-    "golden_cell_api",
-    "golden_cells_to_edges",
-    "golden_clusters_disks",
-    "golden_directed_edges",
-    "golden_direction_digits",
-    "golden_dissolve_donut",
-    "golden_downsample",
-    "golden_edge_iterators",
-    "golden_germany_route",
-    "golden_gpkg_roundtrip",
-    "golden_graph_nodes",
-    "golden_isochrone_hist",
-    "golden_localij",
-    "golden_nearest_nodes",
-    "golden_neighbor_window",
-    "golden_osm_pbf_graph",
-    "golden_partition_by_resolution",
-    "golden_smoothen_donut",
-    "golden_spatial_masks",
-    "graph_pagerank",
-    "graph_sssp_frontier",
-    "h3_bits_accessors",
-    "h3_compact_dataframe",
-    "h3_parent_rollup",
-    "h3_set_ops",
-    "h3_uncompact_join",
-    "mm_real_decode",
-    "pipeline_mixture_epoch",
-    "pipeline_pack_sequences",
-    "pipeline_quality_gate",
-    "pipeline_source_quota",
-    "pipeline_train_test_split",
-    "rel_customer_order_rank",
-    "rel_event_sessions",
-    "rel_nation_order_stats",
-    "rel_pricing_summary",
-    "rel_top_revenue_orders",
-    "text_decontaminate",
-    "text_document_stats",
-    "text_lang_id",
-    "text_quality_by_source",
-    "text_token_counts",
-    # (d) filler from the age-1 cohort head (also r11-touched)
-    "ann_lsh_topk",
+    #   (d) filler from the age-1 (r10-green) cohort up to the 50
+    #       budget: the planner's cohort-head proposal (5 ann_*
+    #       slots) plus rel_range_join in place of ann_pq_adc_topk
+    #       (same cohort, same age — see (a)).
+    # (c) the r9 cohort (44 entries, registry names sorted)
+    "dedup_editdistance_absolute",
+    "dedup_editdistance_join",
+    "dedup_embedding_cosine",
+    "dedup_semantic_ivf",
+    "dedup_substring_coverage",
+    "dedup_substring_spans",
+    "dedup_winnow_overlap",
+    "geo_cell_clusters",
+    "geo_compact_events",
+    "geo_raster_cells",
+    "geo_wkt_polyfill",
+    "golden_aligned_dissolve",
+    "golden_bounding_rect",
+    "golden_covered_area",
+    "golden_differential_route",
+    "golden_disk_checksums",
+    "golden_edge_metrics",
+    "golden_raster_file",
+    "golden_res0_cells",
+    "golden_route_selfloop",
+    "h3_direction_lookup",
+    "h3_localij_roundtrip",
+    "h3_string_roundtrip",
+    "mm_fake_features",
+    "mm_frame_sample",
+    "pipeline_corpus_curation",
+    "pipeline_curated_sink",
+    "rel_event_anomalies",
+    "rel_event_funnel",
+    "rel_events_asof",
+    "rel_events_rolling_window",
+    "rel_pricing_cube",
+    "rel_supplier_part_pricing",
+    "stream_windowed_counts",
+    "text_bigram_logprob",
+    "text_chunk_documents",
+    "text_length_quantiles",
+    "text_quality_classifier",
+    "text_redact_pii",
+    "text_repetition_filter",
+    "text_source_divergence",
+    "text_tfidf_keywords",
+    "text_vocab_topk",
+    "text_winnow_fingerprint",
+    # (d) filler from the age-1 cohort (5 cohort-head slots + the
+    # swapped rel_range_join — see (a))
+    "ann_blocked_exact_topk",
+    "ann_ivf_sampled_topk",
+    "ann_ivf_trained_topk",
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_topk",
+    "rel_range_join",
 ]
 
 
