@@ -433,6 +433,14 @@ COMPACT_PRIORITY = [
     "golden_germany_route", "graph_sssp_frontier", "graph_pagerank",
 ]
 COMPACT_BUDGET = 1800  # chars; driver tail capture holds ~2000
+# The per-query dict is the driver's ONLY perf signal (PERF_r{N}.json
+# diffs it): r11's noisy capture carried 16 floor_degraded entries,
+# the fixed fields ate the budget, and only 3 query rows survived —
+# the driver then reported 20 phantom "dropped_from_bench" rows
+# (VERDICT r11 "What's wrong" #1). Guarantee at least this many rows
+# by shedding floor stamps (all live complete in BENCH_LAST.local.json
+# and the committed official artifact) before shrinking the dict.
+COMPACT_MIN_QUERY_ROWS = 20
 
 
 def build_result(
@@ -505,18 +513,35 @@ def build_compact(result: dict) -> dict:
         # driver's BENCH_r{N}.json records only the compact line, and
         # an unflagged inverted floor THERE is exactly the r10 failure
         compact["floor_degraded"] = result["floor_degraded"]
-    # floors/floor_load grew to 16 queries in r9 — if the fixed part
-    # alone ever exceeds the budget, shed loadavg stamps first, then
-    # floors (both live complete in BENCH_LAST.local.json; the floors
-    # are the higher-value adjudication data of the two; the degraded
-    # flags are small and shed last of the three)
-    for shed in ("floor_load", "floors", "floor_degraded"):
-        if len(json.dumps(compact, separators=(",", ":"))) > COMPACT_BUDGET:
-            compact.pop(shed, None)
-    for name in ordered:
-        compact["queries"][name] = timings[name]
-        if len(json.dumps(compact, separators=(",", ":"))) > COMPACT_BUDGET:
-            del compact["queries"][name]
+    # Fill the query dict under the budget; if fewer than
+    # COMPACT_MIN_QUERY_ROWS rows fit, shed the next floor-stamp field
+    # and refill. Shed order: loadavg stamps first (lowest adjudication
+    # value), then floors, then the degraded flags — all three live
+    # complete in BENCH_LAST.local.json and the committed per-round
+    # official artifact; the per-query dict exists ONLY here, so it
+    # wins the budget fight (VERDICT r11 #1: 16 degraded flags starved
+    # it to 3 rows and the driver diffed 20 phantom drops).
+    target = min(COMPACT_MIN_QUERY_ROWS, len(ordered))
+    for shed in (None, "floor_load", "floors", "floor_degraded"):
+        if shed is not None:
+            if shed not in compact:
+                continue
+            compact.pop(shed)
+            if shed == "floor_degraded":
+                # keep the contamination signal itself: a reader of a
+                # shed compact line must still see HOW MANY floors
+                # were bad (the full list is in the untracked/official
+                # records)
+                n_bad = len(result.get("floor_degraded", {}) or {})
+                if n_bad:
+                    compact["n_floor_degraded"] = n_bad
+        compact["queries"] = {}
+        for name in ordered:
+            compact["queries"][name] = timings[name]
+            if len(json.dumps(compact, separators=(",", ":"))) > COMPACT_BUDGET:
+                del compact["queries"][name]
+                break
+        if len(compact["queries"]) >= target:
             break
     compact["n_shown"] = len(compact["queries"])
     return compact

@@ -281,3 +281,71 @@ def test_floor_degraded_field_propagates_to_compact():
     assert "floor_degraded" not in build_result(
         {"q": 1.0}, "0.1", floor_degraded={}
     )
+
+
+def test_noisy_capture_keeps_min_query_rows():
+    """VERDICT r11 "What's wrong" #1: in the r11 driver capture the
+    16 floor_degraded entries (plus floors + floor_load + machine) ate
+    the compact budget and only THREE query rows survived — the
+    driver's PERF diff then reported 20 phantom dropped_from_bench
+    rows and a 3-query geomean. The per-query dict is the driver's
+    only perf signal; floor stamps all live elsewhere (the untracked
+    full record + the committed official artifact). Reproduce the
+    exact r11 shape and pin that the dict now keeps at least
+    COMPACT_MIN_QUERY_ROWS rows, shedding stamps as needed."""
+    from bench import COMPACT_MIN_QUERY_ROWS, FLOOR_QUERIES
+
+    timings = {n: 4.607 for n in BENCH_QUERIES}
+    floors = {n: 2.531 for n in FLOOR_QUERIES}
+    fload = {n: 10.3 for n in FLOOR_QUERIES}
+    # the r11 capture: 15/16 floors flagged, most with both reasons
+    degraded = {n: ["inverted", "steal"] for n in FLOOR_QUERIES}
+    machine = {
+        "loadavg_start": [5.05, 8.47, 7.5],
+        "loadavg_end": [9.72, 10.34, 9.31],
+        "pass_totals": [263.589, 208.376, 113.415],
+        "cold_start": True,
+        "noisy": True,
+        "steal_pct": 4.79,
+    }
+    result = build_result(
+        timings, "0.1", machine=machine, floors=floors,
+        floor_load=fload, floor_degraded=degraded,
+    )
+    compact = build_compact(result)
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= COMPACT_BUDGET + 100
+    parsed = json.loads(line)
+    assert parsed["n_shown"] >= COMPACT_MIN_QUERY_ROWS, parsed["n_shown"]
+    assert parsed["n_shown"] == len(parsed["queries"])
+    # the headline totals always survive
+    assert parsed["value"] == result["value"]
+    assert parsed["n_queries"] == len(BENCH_QUERIES)
+    # if the degraded flags had to be shed to make room, the count of
+    # bad floors must still be visible in the tail line
+    if "floor_degraded" not in parsed:
+        assert parsed["n_floor_degraded"] == len(degraded)
+
+
+def test_clean_capture_keeps_floor_stamps():
+    """The shed logic must NOT strip floor stamps when they fit: a
+    clean capture (empty degraded dict) keeps floors + floor_load and
+    still shows at least the minimum query rows."""
+    from bench import COMPACT_MIN_QUERY_ROWS, FLOOR_QUERIES
+
+    timings = {n: 1.234 for n in BENCH_QUERIES}
+    floors = {n: 1.111 for n in FLOOR_QUERIES}
+    fload = {n: 0.4 for n in FLOOR_QUERIES}
+    machine = {"loadavg_start": [0.4, 0.5, 0.6], "noisy": False,
+               "steal_pct": 0.05}
+    result = build_result(
+        timings, "0.1", machine=machine, floors=floors,
+        floor_load=fload, floor_degraded={},
+    )
+    compact = build_compact(result)
+    assert compact["floors"] == floors
+    assert compact["floor_load"] == fload
+    assert compact["floor_degraded"] == {}
+    assert compact["n_shown"] >= COMPACT_MIN_QUERY_ROWS
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= COMPACT_BUDGET + 100
