@@ -293,6 +293,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    doc_sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates refined by exact shingle Jaccard >= threshold.
 
@@ -302,8 +303,18 @@ def minhash_dedup_pairs(
     the Jaccard refine joins the same cached arrays into the
     candidate pairs instead of re-splitting raw text per pair. The
     banded signature table is persisted too so the LSH self-join
-    reads it twice without re-running the hash/min pipeline."""
-    doc_sh = doc_shingles_df(df, text_col, id_col).persist()
+    reads it twice without re-running the hash/min pipeline.
+
+    ``doc_sh`` lets a caller that ALREADY derives the per-document
+    distinct shingle set (id, sh) — e.g. a curation funnel sharing one
+    corpus scan across its stage families — supply it instead of
+    paying a second scan+tokenize here. The caller owns its
+    materialization (pass a persisted frame or a cheap projection of
+    one); the arrays must be ``array_distinct(shingles(text, 3))``
+    over the same id/text, which is exactly ``doc_shingles_df``'s
+    contract — the default path is unchanged."""
+    if doc_sh is None:
+        doc_sh = doc_shingles_df(df, text_col, id_col).persist()
     sigs = minhash_signature_df(df, doc_sh=doc_sh).select(
         "id", F.explode(_band_keys_from_sig()).alias("band")
     ).persist()
@@ -364,6 +375,8 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    corpus_sh: DataFrame | None = None,
+    benchmark_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: per-document fraction of distinct
     word n-grams that also occur in a held-out benchmark set (the
@@ -374,18 +387,39 @@ def ngram_contamination(
     corpus (eval suites are MBs), so it broadcasts and the whole check
     is one map-side hash join + one combinable aggregation over the
     exploded distinct grams — no corpus-side shuffle on the gram key,
-    no Python."""
-    bench_grams = (
-        benchmark.select(
-            F.explode(F.array_distinct(shingles(text_col, n))).alias("gram")
+    no Python.
+
+    ``corpus_sh`` / ``benchmark_sh`` let a caller that already
+    materializes the per-document distinct gram arrays (id, sh) —
+    ``doc_shingles_df``'s shape with the same ``n`` — feed them in
+    instead of re-scanning and re-tokenizing raw text per side;
+    exploding a pre-distinct array yields exactly the rows the
+    default path derives, so results are identical by construction."""
+    if benchmark_sh is not None:
+        bench_grams = (
+            benchmark_sh.select(F.explode("sh").alias("gram"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
         )
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    doc_grams = corpus.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("gram"),
-    )
+    else:
+        bench_grams = (
+            benchmark.select(
+                F.explode(
+                    F.array_distinct(shingles(text_col, n))
+                ).alias("gram")
+            )
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+    if corpus_sh is not None:
+        doc_grams = corpus_sh.select(
+            "id", F.explode("sh").alias("gram")
+        )
+    else:
+        doc_grams = corpus.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("gram"),
+        )
     return (
         doc_grams.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy("id")

@@ -1212,31 +1212,43 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     job would chain them. Scale: stage 1 is one hash agg; stage 2
     touches only docs with a near-dup; stage 3 is scan-local plus a
     broadcast benchmark join — no stage shuffles the full corpus more
-    than once."""
+    than once.
+
+    The corpus is SCANNED once too (r12): every per-document
+    derivation the four families need — content hash, distinct
+    shingle set (shared by minhash and decontamination, which use the
+    same n=3 grams), token stats — rides one persisted base frame.
+    Before it, the 4-family join tree read documents.parquet five
+    times and tokenized the corpus three times (Catalyst does not CSE
+    plan subtrees); at 100 TB the scan count IS the cost of a 20-row
+    report."""
     from h3ron_spark.pipeline import components as CP
     from h3ron_spark.pipeline import text as TX
 
     par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").repartition(par)
-    base = docs.select("doc_id", "source", F.md5(F.col("text")).alias("h"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        TX.token_count("text").alias("n"),
+        TX.top_token_fraction("text").alias("top_tok"),
+        # doc_shingles_df's contract: distinct word-trigram shingles
+        F.array_distinct(DD.shingles("text", 3)).alias("sh"),
+    ).persist()
+    doc_sh = base.select(F.col("doc_id").alias("id"), "sh")
     exact_min = base.groupBy("h").agg(F.min("doc_id").alias("exact_min"))
-    pairs = DD.minhash_dedup_pairs(docs, threshold=0.5)
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.5, doc_sh=doc_sh)
     comps = CP.label_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster")
     )
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    contam = DD.ngram_contamination(docs, bench).select(
-        F.col("id").alias("doc_id"), "contamination"
-    )
-    stats = docs.select(
-        "doc_id",
-        TX.token_count("text").alias("n"),
-        TX.top_token_fraction("text").alias("top_tok"),
-    )
+    bench_sh = doc_sh.filter(F.col("id") % 97 == 0)
+    contam = DD.ngram_contamination(
+        docs, docs, corpus_sh=doc_sh, benchmark_sh=bench_sh
+    ).select(F.col("id").alias("doc_id"), "contamination")
     f = (
         base.join(exact_min, "h")
         .join(comps, "doc_id", "left")
-        .join(stats, "doc_id")
         .join(contam, "doc_id")
     )
     de = F.col("doc_id") != F.col("exact_min")
