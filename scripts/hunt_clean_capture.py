@@ -72,12 +72,21 @@ def main() -> None:
         print(time.strftime("%H:%M:%S"),
               f"attempt {attempt}: launching (gate {a:.2f}/{b:.2f})",
               flush=True)
+        t_launch = time.time()
         with open(f"/tmp/bench_attempt{attempt}.out", "w") as out, \
                 open(f"/tmp/bench_attempt{attempt}.err", "w") as err:
             rc = subprocess.call(["python", "bench.py"], stdout=out,
                                  stderr=err, env=env)
         if rc != 0:
             print(f"attempt {attempt}: rc={rc}", flush=True)
+            continue
+        # rc=0 without a rewritten record (e.g. a future bench mode
+        # that skips the full-record write) must not adjudicate a
+        # STALE file from an earlier attempt as this attempt's result
+        if os.path.getmtime("BENCH_LAST.local.json") < t_launch:
+            print(f"attempt {attempt}: record not rewritten "
+                  "(stale BENCH_LAST.local.json) — discarding",
+                  flush=True)
             continue
         d = json.load(open("BENCH_LAST.local.json"))
         shutil.copy("BENCH_LAST.local.json",
