@@ -265,7 +265,8 @@ def minhash_lsh_candidates(
     (measured 6 parquet scans in dedup_minhash_lsh's plan) — the same
     guard minhash_dedup_pairs has carried via persist() since r6. The
     checkpointed frame is |docs| x bands small-int rows, not corpus
-    text.
+    text. Dynamic-allocation caveat: see the package docstring
+    (h3ron_spark/pipeline/__init__.py).
     """
     sigs = minhash_signature_df(df, text_col, id_col).select(
         "id", F.explode(_band_keys_from_sig()).alias("band")

@@ -83,7 +83,8 @@ def drift_report(
     # and HDR frames stay lazy: checkpointing them too measured
     # SLOWER locally (it serializes the metric families into
     # back-to-back jobs where one job overlaps their scans) for no
-    # scan reduction.
+    # scan reduction. Dynamic-allocation caveat: see the package
+    # docstring.
     counts = tagged.groupBy("_side").agg(
         F.count(F.lit(1)).alias("n"),
         *[

@@ -239,7 +239,8 @@ def kmv_pair_overlap(sketch: DataFrame, k: int = 64) -> DataFrame:
     # full corpus scan + shingle explode + distinct — measured 3
     # parquet scans in dedup_source_overlap's plan, ~2x its runtime.
     # kmv_set_cardinalities has carried the same checkpoint since r9;
-    # this brings the pair-overlap sibling in line.
+    # this brings the pair-overlap sibling in line. Dynamic-allocation
+    # caveat: see the package docstring.
     sketch = sketch.localCheckpoint()
     groups = sketch.select(F.col("g")).distinct()
     pairs = (
@@ -620,7 +621,8 @@ def hdr_quantiles(
     # does not CSE subtrees, so without this every quantile re-ran
     # the caller's full histogram aggregation — 3 corpus scans for
     # the default (p50, p90, p99) in sketch_hdr_quantiles' and
-    # pipeline_drift_report's plans.
+    # pipeline_drift_report's plans. Dynamic-allocation caveat: see
+    # the package docstring.
     cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
         "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
     ).localCheckpoint()
