@@ -71,6 +71,23 @@ def get_spark(
         # user call sites; a query fleet pays it per query, so it is
         # off here. Flip to "true" when debugging a plan error.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Generated-class cache (Janino output). The default 100
+        # entries was sized for a session running a handful of query
+        # shapes; a query FLEET on one long-lived session (this
+        # engine's contract — 83+ distinct bench queries, a Thrift
+        # server, a scheduled pipeline) emits far more distinct
+        # codegen units (509 for the first 30 bench queries alone),
+        # so the LRU cycles completely and EVERY re-execution
+        # re-compiles every unit: measured 432 Janino compiles per
+        # suite pass at ~11-24 ms each (~5-10 s/pass over 30
+        # queries) vs ZERO at a cache that fits (OPTIMIZATION_r12.md
+        # A/B). Executors keep per-process caches governed by the
+        # same conf, so the fix is cluster-side too. ~1-2k units x
+        # O(10 KB) of class metadata is noise next to the 8 g heap.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", "4000"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
